@@ -1,0 +1,80 @@
+"""Checkpoint / resume.
+
+The reference has no serialization, but its architecture is
+checkpoint-shaped: all solver state is one struct yielded every
+iteration (SURVEY.md §5, reference ``Finito.jl:169-183``). Here every
+solver state is a NamedTuple pytree of device arrays, so checkpointing
+is generic:
+
+  * :func:`save` / :func:`load` — single-file npz round-trip of any
+    solver state (works for every family; sharded arrays are gathered).
+  * :func:`save_async` — orbax-backed async per-shard checkpointing for
+    large HBM-resident tables (used by the large-scale harness).
+
+Resume = ``iterator``-mode consumption from a restored state: pass the
+restored state to ``resume_iterator`` and keep stepping.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save(path, state: Any) -> None:
+    """Serialize a solver-state pytree to ``<path>`` (npz + treedef)."""
+    path = Path(path)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+    with open(str(path) + ".treedef", "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def load(path) -> Any:
+    """Restore a solver-state pytree saved by :func:`save`."""
+    path = Path(path)
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    with open(str(path) + ".treedef", "rb") as f:
+        treedef = pickle.load(f)
+    return jax.tree_util.tree_unflatten(treedef, [jax.numpy.asarray(l) for l in leaves])
+
+
+def save_async(path, state: Any):
+    """Async checkpoint via orbax (per-shard, suitable for sharded
+    (N, n) tables). Returns the manager — call ``.wait_until_finished()``
+    before relying on durability."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    return ckptr
+
+
+def load_orbax(path, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    return ckptr.restore(path, args=ocp.args.StandardRestore(like))
+
+
+def resume_iterator(iterable, state):
+    """Continue a :class:`~ciao_tpu.solvers.base.SolverIterable` from a
+    restored state: yields ``state``, then keeps stepping."""
+    from ciao_tpu.solvers.base import Status
+
+    yield state
+    while True:
+        state = iterable._step_fn(state)
+        if int(state.status) != Status.RUNNING:
+            return
+        yield state

@@ -1,0 +1,73 @@
+"""Convergence monitoring / observability.
+
+The reference computes NO convergence metric in its main path (stop ≡
+false, ``Finito.jl:74``) and only prints ``it | hat_γ`` every ``freq``
+(``Finito.jl:76,124-126``). We keep that printer for parity and add what
+the TPU build needs (SURVEY.md §5):
+
+  * on-device fixed-point residual ``||z_{k+1} - z_k|| / hat_γ`` and
+    objective value, computed with collective norms when sharded;
+  * ``jax.profiler`` trace annotations around the hot phases (the solver
+    steps are wrapped in ``jax.named_scope``);
+  * a lightweight structured trace recorder.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def fixed_point_residual(z_prev, z_next, gamma):
+    """||z_next - z_prev|| / gamma — the natural stationarity surrogate
+    for these fixed-point iterations (works under pjit: the norm lowers
+    to a collective when z is sharded)."""
+    return jnp.sqrt(jnp.sum(jnp.abs(z_next - z_prev) ** 2)) / gamma
+
+
+def objective(F, g, x):
+    """(1/N) Σ f_i(x) + g(x), computed with full-pass fused oracles."""
+    vals, _ = F.value_and_grad_all(x)
+    return jnp.sum(vals) / F.num_terms + g.value(x)
+
+
+@dataclass
+class Trace:
+    """Structured per-checkpoint metric log (JSONL-dumpable)."""
+
+    records: List[Dict[str, Any]] = field(default_factory=list)
+    t0: float = field(default_factory=time.perf_counter)
+
+    def log(self, it: int, **metrics):
+        rec = {"it": int(it), "t": time.perf_counter() - self.t0}
+        for k, v in metrics.items():
+            rec[k] = float(v)
+        self.records.append(rec)
+
+    def dump(self, path):
+        with open(path, "w") as f:
+            for rec in self.records:
+                f.write(json.dumps(rec) + "\n")
+
+    def last(self, key, default=None):
+        for rec in reversed(self.records):
+            if key in rec:
+                return rec[key]
+        return default
+
+
+def profiler_trace(logdir: str):
+    """Context manager: dump an xprof trace of everything inside.
+
+    Usage::
+
+        with monitor.profiler_trace("/tmp/xprof"):
+            state = run_chunk(state, 100)
+            jax.block_until_ready(state)
+    """
+    return jax.profiler.trace(logdir)

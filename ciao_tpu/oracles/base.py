@@ -1,0 +1,132 @@
+"""Smooth-term oracle protocol.
+
+The reference interacts with its smooth terms exclusively through
+``gradient(f_i, x) -> (grad, value)`` / ``gradient!(out, f_i, x) -> value``
+on *per-index closure objects* (ProximalOperators.jl; see e.g.
+reference ``src/algorithms/Finito/Finito_basic.jl:78,112``).
+
+The TPU-native inversion: one oracle object owns the data of ALL ``N``
+terms as stacked device arrays, and exposes *batched* gradient entry
+points so that the hot paths are gathers + matmuls (MXU) rather than N
+scalar closure calls:
+
+  * ``grad_batch(x, idx)``      — per-sample grads of the gathered index
+                                  batch, all evaluated at the same point
+                                  (Finito/SAGA table updates).
+  * ``grad_sum_batch(x, idx)``  — only the SUM of those grads (LFinito /
+                                  SVRG anchor block work; avoids
+                                  materializing the (B, n) block).
+  * ``grad_sum_diff(x1,x2,idx)``— sum_i (grad_i(x1) - grad_i(x2)); the
+                                  LFinito inner update, fusable into a
+                                  single matmul pair for linear-gradient
+                                  oracles.
+  * ``grad_sum_all(x)``         — full-pass gradient sum (SVRG anchor,
+                                  solver init), a single matmul for
+                                  row-structured oracles.
+  * ``grad_pointwise(xs, idx)`` — per-sample grads with PER-SAMPLE
+                                  evaluation points (ProShI blocks).
+
+All methods are pure and jit/vmap/shard_map friendly. Oracles are
+registered as pytrees: array fields are leaves (so one compiled solver
+step serves every problem instance of the same shape), static metadata
+goes in the treedef.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def register_oracle(cls):
+    """Register a dataclass oracle as a JAX pytree.
+
+    Fields with ``metadata={"static": True}`` become treedef metadata.
+    """
+    data_fields = []
+    meta_fields = []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get("static", False):
+            meta_fields.append(f.name)
+        else:
+            data_fields.append(f.name)
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+    return cls
+
+
+def static_field(**kwargs):
+    return dataclasses.field(metadata={"static": True}, **kwargs)
+
+
+class SmoothOracle(abc.ABC):
+    """Protocol for a finite family ``{f_i}_{i=1..N}`` of smooth terms.
+
+    Subclasses must define ``N`` (number of terms) and ``dim`` (dimension
+    of the evaluation point) and implement ``value_and_grad_i``.  All
+    batched entry points have generic implementations via ``vmap``;
+    subclasses override them when a fused matmul (MXU) path exists.
+    """
+
+    # --- required -----------------------------------------------------
+    @property
+    @abc.abstractmethod
+    def num_terms(self) -> int:
+        ...
+
+    @abc.abstractmethod
+    def value_and_grad_i(self, x: jax.Array, i: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Return ``(f_i(x), grad f_i(x))`` for a single (traced) index i."""
+        ...
+
+    # --- derived ------------------------------------------------------
+    def value_i(self, x: jax.Array, i: jax.Array) -> jax.Array:
+        return self.value_and_grad_i(x, i)[0]
+
+    def grad_i(self, x: jax.Array, i: jax.Array) -> jax.Array:
+        return self.value_and_grad_i(x, i)[1]
+
+    def value_and_grad_batch(self, x, idx):
+        """``(vals[B], grads[B, n])`` — all terms in idx evaluated at x."""
+        return jax.vmap(lambda j: self.value_and_grad_i(x, j))(idx)
+
+    def grad_batch(self, x, idx):
+        return self.value_and_grad_batch(x, idx)[1]
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        """Sum of grads over the index batch; ``mask`` zeroes padded slots."""
+        g = self.grad_batch(x, idx)
+        if mask is not None:
+            g = jnp.where(mask[:, None], g, 0)
+        return jnp.sum(g, axis=0)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        """``sum_{i in idx} grad f_i(x1) - grad f_i(x2)``."""
+        return self.grad_sum_batch(x1, idx, mask) - self.grad_sum_batch(x2, idx, mask)
+
+    def grad_all(self, x):
+        """Per-sample gradients of ALL terms: ``(N, n)`` (table init)."""
+        return self.grad_batch(x, jnp.arange(self.num_terms))
+
+    def value_and_grad_all(self, x):
+        return self.value_and_grad_batch(x, jnp.arange(self.num_terms))
+
+    def grad_sum_all(self, x):
+        """Full-pass gradient sum (SVRG anchor / init); override with matmul."""
+        return jnp.sum(self.grad_all(x), axis=0)
+
+    def grad_pointwise(self, xs, idx):
+        """Per-sample grads with per-sample eval points: xs is (B, n)."""
+        return jax.vmap(lambda xi, j: self.value_and_grad_i(xi, j)[1])(xs, idx)
+
+    def value_and_grad_pointwise(self, xs, idx):
+        return jax.vmap(lambda xi, j: self.value_and_grad_i(xi, j))(xs, idx)
+
+
+def _real_dtype(dtype) -> Any:
+    return jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.zeros((), dtype).real.dtype

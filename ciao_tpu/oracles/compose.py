@@ -1,0 +1,112 @@
+"""Oracle combinators: Sum, Zero, affine precompose, and user-defined.
+
+Capabilities of ProximalOperators' ``Sum`` (test_sharing.jl:23),
+``Zero()`` default smooth terms (reference ``Finito.jl:78``), and
+``Precompose`` (test_logistic_l1.jl:36; the common row-precompose case
+is folded into the row oracles directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ciao_tpu.oracles.base import SmoothOracle, register_oracle
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class SumOracle(SmoothOracle):
+    """Pointwise sum of oracle families sharing the same index set."""
+
+    terms: Tuple[SmoothOracle, ...]
+
+    @property
+    def num_terms(self) -> int:
+        return self.terms[0].num_terms
+
+    def value_and_grad_i(self, x, i):
+        vals, grads = zip(*(t.value_and_grad_i(x, i) for t in self.terms))
+        return sum(vals), sum(grads)
+
+    def value_and_grad_batch(self, x, idx):
+        vals, grads = zip(*(t.value_and_grad_batch(x, idx) for t in self.terms))
+        return sum(vals), sum(grads)
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        return sum(t.grad_sum_batch(x, idx, mask) for t in self.terms)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        return sum(t.grad_sum_diff(x1, x2, idx, mask) for t in self.terms)
+
+    def grad_sum_all(self, x):
+        return sum(t.grad_sum_all(x) for t in self.terms)
+
+    def grad_all(self, x):
+        return sum(t.grad_all(x) for t in self.terms)
+
+    def value_and_grad_all(self, x):
+        vals, grads = zip(*(t.value_and_grad_all(x) for t in self.terms))
+        return sum(vals), sum(grads)
+
+    def value_and_grad_pointwise(self, xs, idx):
+        vals, grads = zip(*(t.value_and_grad_pointwise(xs, idx) for t in self.terms))
+        return sum(vals), sum(grads)
+
+    def grad_pointwise(self, xs, idx):
+        return sum(t.grad_pointwise(xs, idx) for t in self.terms)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class ZeroOracle(SmoothOracle):
+    """f_i == 0 for all i — the reference's default F (Finito.jl:78)."""
+
+    n_terms: int = dataclasses.field(metadata={"static": True})
+    example: jnp.ndarray = None  # shape/dtype template for gradients
+
+    @property
+    def num_terms(self) -> int:
+        return self.n_terms
+
+    def value_and_grad_i(self, x, i):
+        return jnp.zeros((), jnp.real(x).dtype), jnp.zeros_like(x)
+
+    def grad_sum_all(self, x):
+        return jnp.zeros_like(x)
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        return jnp.zeros_like(x)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        return jnp.zeros_like(x1)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class CustomOracle(SmoothOracle):
+    """User-defined smooth family: ``fun(x, data_i) -> scalar``.
+
+    ``data`` is any pytree whose leaves are stacked over the leading N
+    axis; gradients come from ``jax.value_and_grad`` — the escape hatch
+    matching the reference's ability to accept any ProximalOperators
+    function as f_i.
+    """
+
+    data: Any
+    fun: Callable = dataclasses.field(metadata={"static": True})
+    n_terms: int = dataclasses.field(metadata={"static": True}, default=0)
+
+    @property
+    def num_terms(self) -> int:
+        if self.n_terms:
+            return self.n_terms
+        return jax.tree_util.tree_leaves(self.data)[0].shape[0]
+
+    def value_and_grad_i(self, x, i):
+        data_i = jax.tree_util.tree_map(lambda a: a[i], self.data)
+        val, grad = jax.value_and_grad(self.fun)(x, data_i)
+        return val, grad

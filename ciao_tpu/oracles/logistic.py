@@ -1,0 +1,94 @@
+"""Row-wise logistic-loss oracle family.
+
+Mirrors ``Precompose(LogisticLoss([y_i], 1.0), a_i^T, 1.0)`` per-row
+objects used by the reference's L1-logistic tests
+(reference ``test/test_logistic_l1.jl:34-41``):
+
+    f_i(x) = log(1 + exp(-y_i <a_i, x>))
+    grad f_i(x) = -y_i * sigmoid(-y_i <a_i, x>) * a_i
+
+Stored as a stacked matrix ``X (N, n)`` and labels ``y (N,)`` so batched
+paths are matmuls. The Lipschitz modulus of grad f_i is
+``0.25 * |a_i|^2`` (test_logistic_l1.jl:40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ciao_tpu.oracles.base import SmoothOracle, register_oracle
+
+
+def _log1pexp(t):
+    # numerically stable log(1 + exp(t))
+    return jnp.logaddexp(0.0, t)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class LogisticRows(SmoothOracle):
+    X: jnp.ndarray  # (N, n) features
+    y: jnp.ndarray  # (N,) labels in {-1, +1}
+
+    @property
+    def num_terms(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.X.shape[1]
+
+    def value_and_grad_i(self, x, i):
+        a = self.X[i]
+        t = -self.y[i] * jnp.dot(a, x)
+        val = _log1pexp(t)
+        grad = (-self.y[i] * jax.nn.sigmoid(t)) * a
+        return val, grad
+
+    def _margins(self, x, idx):
+        X_B = self.X[idx]
+        t = -self.y[idx] * (X_B @ x)
+        return X_B, t
+
+    def value_and_grad_batch(self, x, idx):
+        X_B, t = self._margins(x, idx)
+        vals = _log1pexp(t)
+        coeff = -self.y[idx] * jax.nn.sigmoid(t)
+        return vals, coeff[:, None] * X_B
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        X_B, t = self._margins(x, idx)
+        coeff = -self.y[idx] * jax.nn.sigmoid(t)
+        if mask is not None:
+            coeff = jnp.where(mask, coeff, 0)
+        return coeff @ X_B
+
+    def grad_sum_all(self, x):
+        t = -self.y * (self.X @ x)
+        coeff = -self.y * jax.nn.sigmoid(t)
+        return coeff @ self.X
+
+    def grad_all(self, x):
+        t = -self.y * (self.X @ x)
+        coeff = -self.y * jax.nn.sigmoid(t)
+        return coeff[:, None] * self.X
+
+    def value_and_grad_all(self, x):
+        t = -self.y * (self.X @ x)
+        coeff = -self.y * jax.nn.sigmoid(t)
+        return _log1pexp(t), coeff[:, None] * self.X
+
+    def grad_pointwise(self, xs, idx):
+        X_B = self.X[idx]
+        t = -self.y[idx] * jnp.sum(X_B * xs, axis=-1)
+        coeff = -self.y[idx] * jax.nn.sigmoid(t)
+        return coeff[:, None] * X_B
+
+    def value_and_grad_pointwise(self, xs, idx):
+        X_B = self.X[idx]
+        t = -self.y[idx] * jnp.sum(X_B * xs, axis=-1)
+        coeff = -self.y[idx] * jax.nn.sigmoid(t)
+        return _log1pexp(t), coeff[:, None] * X_B

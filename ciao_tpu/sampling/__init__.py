@@ -1,0 +1,111 @@
+"""On-device index schedules.
+
+Replaces the reference's host-global RNG sampling —
+``sample(1:N, batch, replace=false)`` (Finito_basic.jl:97),
+``randperm`` (Finito_basic.jl:102), ``rand(1:N)`` (SAGA_basic.jl:55) —
+with explicit ``jax.random`` keys threaded through solver state:
+deterministic, checkpoint-resumable, and foldable per host/shard.
+
+Sweeping strategies (reference ``Finito.jl:153``):
+  1 = uniformly random (without replacement within a minibatch)
+  2 = cyclic over static contiguous blocks
+  3 = shuffled block order, re-shuffled every epoch
+
+Behavioral parity notes (SURVEY.md §2.1):
+  * blocks are STATIC contiguous ranges of size ``batch`` with a ragged
+    final block (Finito_basic.jl:50-58); `mask` flags the valid lanes.
+  * in shuffled mode the FIRST epoch runs in natural (cyclic) order —
+    the reference initializes ``inds = 1:d`` and only reshuffles once a
+    full epoch has been consumed (Finito_basic.jl:100-107).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Sweep(enum.IntEnum):
+    RANDOM = 1
+    CYCLIC = 2
+    SHUFFLED = 3
+
+
+class SweepState(NamedTuple):
+    """Index-schedule carry; all fields are device scalars/arrays."""
+
+    pos: jnp.ndarray       # 1-based position within the current epoch
+    order: jnp.ndarray     # (d,) current block order (0-based block ids)
+    key: jnp.ndarray       # PRNG key
+
+
+def num_blocks(n: int, batch: int) -> int:
+    return -(-n // batch)  # ceil
+
+
+def init_sweep(key, n: int, batch: int, sweeping: int = Sweep.RANDOM) -> SweepState:
+    d = num_blocks(n, batch)
+    # cyclic carries the reference's 1-based ``idxr`` (init 1 →
+    # first step lands on block 2, Finito_basic.jl:99 with init :44);
+    # shuffled carries ``idx`` (init 0 → first epoch in natural order).
+    pos0 = 1 if sweeping == Sweep.CYCLIC else 0
+    return SweepState(
+        pos=jnp.asarray(pos0, jnp.int32),
+        order=jnp.arange(d, dtype=jnp.int32),
+        key=key,
+    )
+
+
+def next_block(
+    state: SweepState, n: int, batch: int, sweeping: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, SweepState]:
+    """Advance the schedule one step.
+
+    Returns ``(idx, mask, new_state)`` with ``idx`` an (batch,)-shaped
+    int32 index vector and ``mask`` the valid-lane booleans.
+    """
+    d = num_blocks(n, batch)
+    if sweeping == Sweep.RANDOM:
+        key, sub = jax.random.split(state.key)
+        idx = jax.random.choice(sub, n, (batch,), replace=False).astype(jnp.int32)
+        mask = jnp.ones((batch,), bool)
+        return idx, mask, state._replace(key=key)
+
+    if sweeping == Sweep.CYCLIC:
+        new_pos = state.pos % d + 1  # reference: idxr = mod(idxr, d) + 1
+        idx = (new_pos - 1) * batch + jnp.arange(batch, dtype=jnp.int32)
+        mask = idx < n
+        idx = jnp.minimum(idx, n - 1)
+        return idx, mask, state._replace(pos=new_pos)
+
+    if sweeping == Sweep.SHUFFLED:
+        # reference semantics: when pos == d, draw a fresh permutation and
+        # restart at position 1; otherwise advance (Finito_basic.jl:100-107).
+        def reshuffle(op):
+            order, pos, key = op
+            key, sub = jax.random.split(key)
+            return jax.random.permutation(sub, d).astype(jnp.int32), jnp.ones((), jnp.int32), key
+
+        def advance(op):
+            order, pos, key = op
+            return order, pos + 1, key
+
+        order, pos, key = jax.lax.cond(
+            state.pos == d, reshuffle, advance, (state.order, state.pos, state.key)
+        )
+        block = order[pos - 1]
+        idx = block * batch + jnp.arange(batch, dtype=jnp.int32)
+        mask = idx < n
+        idx = jnp.minimum(idx, n - 1)
+        return idx, mask, SweepState(pos=pos, order=order, key=key)
+
+    raise ValueError(f"sweeping must be 1, 2 or 3; got {sweeping}")
+
+
+def uniform_index(key, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single uniform index (SAGA/SVRG inner sampling, SAGA_basic.jl:55)."""
+    key, sub = jax.random.split(key)
+    return jax.random.randint(sub, (), 0, n, dtype=jnp.int32), key

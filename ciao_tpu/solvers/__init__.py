@@ -1,0 +1,31 @@
+"""Solver facades: Finito/MISO (basic, LFinito, adaptive), ProShI,
+SAGA/SAG, SVRG/SVRG++ — mirroring the reference's public surface
+(constructors, functor-style ``solver(x0; F, g, L, N)`` calls,
+``iterator``, ``solution``)."""
+
+from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
+from ciao_tpu.solvers.finito import Finito
+from ciao_tpu.solvers.proshi import Proshi
+from ciao_tpu.solvers.saga import SAG, SAGA
+from ciao_tpu.solvers.svrg import SVRG
+
+
+def iterator(solver, x0, **kwargs):
+    """Streaming mode (reference ``Finito.jl:186-234``): returns a bare
+    iterable of states; the solver's maxit/verbose/freq are ignored."""
+    return solver.iterator(x0, **kwargs)
+
+
+__all__ = [
+    "Finito",
+    "Proshi",
+    "SAGA",
+    "SAG",
+    "SVRG",
+    "iterator",
+    "solution",
+    "take",
+    "loop",
+    "SolverIterable",
+    "Status",
+]

@@ -1,0 +1,179 @@
+"""ProShI — proximal sharing-problem incremental solver.
+
+Re-design of reference ``src/algorithms/ProShI/ProShI_basic.jl`` for
+
+    minimize (1/N) Σ_i f_i(x_i) + g(Σ_i x_i)
+
+Each block variable x_i is a row of the (N, n) table ``s``; the
+coupling runs through ``av = Σ_i s_i`` (on a device mesh this is the
+psum/all-reduce of the data axis) and the dual-like coupling variable
+
+    z = (prox_g(av, hat_γ) - av) / hat_γ,   hat_γ = Σ_i γ_i
+
+(NOTE: hat_γ is the SUM here, not the harmonic mean as in Finito —
+ProShI_basic.jl:82 vs Finito_basic.jl:82.)
+
+Per-index update (ProShI_basic.jl:111-120), batched exactly (every i in
+a batch reads the same z and the av deltas are additive):
+
+    s_i <- (s_i + γ_i z) - (γ_i/N) ∇f_i(s_i + γ_i z);  av += Δs_i
+
+``solution(state)`` materializes the PURE view x_i = s_i + γ_i z
+(the reference mutates its table in place here, ProShI_basic.jl:127-132,
+which corrupts repeated calls — we return a fresh array instead and
+document the deviation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ciao_tpu.prox import Zero
+from ciao_tpu.sampling import Sweep, SweepState, init_sweep, next_block
+from ciao_tpu.solvers.base import (
+    SolverIterable,
+    real_dtype_of,
+    resolve_gamma_array,
+    run_solver_loop,
+)
+
+
+class ProshiCfg(NamedTuple):
+    N: int
+    batch: int
+    sweeping: int
+    alpha: float
+
+
+class ProshiState(NamedTuple):
+    s: jnp.ndarray          # (N, n) block table
+    gamma: jnp.ndarray      # (N,)
+    hat_gamma: jnp.ndarray  # Σ γ_i
+    av: jnp.ndarray         # (n,) Σ_i s_i
+    z: jnp.ndarray          # (n,) coupling variable
+    sweep: SweepState
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        # pure view of the N block solutions x_i = s_i + γ_i z
+        return self.s + self.gamma[:, None] * self.z[None, :]
+
+
+def _coupling(g, av, hat_gamma):
+    z = g.prox_only(av, hat_gamma)
+    return (z - av) / hat_gamma
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def proshi_init(F, g, x0, gamma, key, cfg: ProshiCfg) -> ProshiState:
+    """Reference ProShI_basic.jl:45-90."""
+    N = cfg.N
+    G = F.grad_all(x0)
+    s = x0[None, :] - (gamma / N)[:, None] * G
+    hat_gamma = jnp.sum(gamma)
+    av = jnp.sum(s, axis=0)
+    z = _coupling(g, av, hat_gamma)
+    sweep = init_sweep(key, N, cfg.batch, cfg.sweeping)
+    return ProshiState(
+        s=s, gamma=gamma, hat_gamma=hat_gamma, av=av, z=z, sweep=sweep,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _proshi_step(F, g, cfg: ProshiCfg, state: ProshiState) -> ProshiState:
+    """Reference ProShI_basic.jl:93-125, batched."""
+    N, B = cfg.N, cfg.batch
+    idx, mask, sweep = next_block(state.sweep, N, B, cfg.sweeping)
+    gi = state.gamma[idx]                             # (B,)
+    s_old = state.s[idx]                              # (B, n)
+    s_tmp = s_old + gi[:, None] * state.z[None, :]
+    G_B = F.grad_pointwise(s_tmp, idx)                # per-block eval points
+    s_new = s_tmp - (gi / N)[:, None] * G_B
+    delta_rows = jnp.where(mask[:, None], s_new - s_old, 0)
+    av = state.av + jnp.sum(delta_rows, axis=0)
+    s = state.s.at[idx].add(delta_rows)
+    z = _coupling(g, av, state.hat_gamma)
+    return state._replace(s=s, av=av, z=z, sweep=sweep, it=state.it + 1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def proshi_run(F, g, state, cfg: ProshiCfg, steps: int):
+    def body(s, _):
+        return _proshi_step(F, g, cfg, s), None
+
+    return jax.lax.scan(body, state, None, length=steps)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def proshi_step(F, g, state, cfg: ProshiCfg):
+    return _proshi_step(F, g, cfg, state)
+
+
+@dataclasses.dataclass(frozen=True)
+class Proshi:
+    """ProShI facade (reference ``ProShI.jl:18-40``)."""
+
+    gamma: Optional[object] = None
+    sweeping: int = 1
+    minibatch: Tuple[bool, int] = (False, 1)
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    alpha: float = 0.999
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.gamma is not None:
+            assert np.min(np.asarray(self.gamma)) > 0
+        assert self.maxit > 0
+        assert self.freq > 0
+        assert self.sweeping in (1, 2, 3)
+
+    def _setup(self, x0, F, g, L, N):
+        x0 = jnp.asarray(x0)
+        if N is None:
+            if F is None:
+                raise ValueError("provide F or N")
+            N = F.num_terms
+        if F is None:
+            from ciao_tpu.oracles import ZeroOracle
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="ProShI")
+        cfg = ProshiCfg(
+            N=N, batch=self.minibatch[1], sweeping=self.sweeping,
+            alpha=float(self.alpha),
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: proshi_init(F, g, x0, gamma, key, cfg)
+        return x0, F, g, cfg, init
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None):
+        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
+
+        def run_chunk(state, n):
+            return proshi_run(F, g, state, cfg, n)
+
+        def disp(it, state):
+            print(f"{it:5d} | {float(state.hat_gamma):.3e}")
+
+        state, it = run_solver_loop(
+            init, run_chunk, self.maxit, self.verbose, self.freq, disp
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
+        step = lambda s: proshi_step(F, g, s, cfg)
+        return SolverIterable(x0_orig, init, step)

@@ -1,0 +1,174 @@
+"""Unit tests for the smooth-term oracles: every fused batched path must
+agree with per-index autodiff ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ciao_tpu import oracles
+
+
+def _autodiff_check(oracle, funs, x, atol=1e-8):
+    """funs[i](x) must match oracle term i in value and grad."""
+    N = oracle.num_terms
+    for i in range(N):
+        v, g = oracle.value_and_grad_i(x, jnp.asarray(i))
+        v_ref = funs[i](x)
+        g_ref = jax.grad(funs[i])(x)
+        np.testing.assert_allclose(v, v_ref, atol=atol, rtol=1e-6)
+        np.testing.assert_allclose(g, g_ref, atol=atol, rtol=1e-6)
+
+
+def _batched_paths_consistent(oracle, x, atol=1e-8):
+    N = oracle.num_terms
+    idx = jnp.arange(N)
+    vals_i, grads_i = zip(
+        *[oracle.value_and_grad_i(x, jnp.asarray(i)) for i in range(N)]
+    )
+    G_ref = jnp.stack(grads_i)
+    vals, G = oracle.value_and_grad_batch(x, idx)
+    np.testing.assert_allclose(G, G_ref, atol=atol, rtol=1e-6)
+    np.testing.assert_allclose(vals, jnp.stack(vals_i), atol=atol, rtol=1e-6)
+    np.testing.assert_allclose(
+        oracle.grad_sum_all(x), jnp.sum(G_ref, axis=0), atol=atol, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        oracle.grad_all(x), G_ref, atol=atol, rtol=1e-6
+    )
+    # masked block sum
+    mask = jnp.array([True] * (N - 1) + [False])
+    np.testing.assert_allclose(
+        oracle.grad_sum_batch(x, idx, mask),
+        jnp.sum(G_ref[:-1], axis=0),
+        atol=atol,
+        rtol=1e-6,
+    )
+    # grad_sum_diff
+    x2 = x + 0.37
+    np.testing.assert_allclose(
+        oracle.grad_sum_diff(x, x2, idx),
+        oracle.grad_sum_batch(x, idx) - oracle.grad_sum_batch(x2, idx),
+        atol=atol,
+        rtol=1e-6,
+    )
+    # pointwise path at distinct eval points
+    xs = jnp.stack([x + 0.1 * i for i in range(N)])
+    Gp = oracle.grad_pointwise(xs, idx)
+    Gp_ref = jnp.stack(
+        [oracle.value_and_grad_i(xs[i], jnp.asarray(i))[1] for i in range(N)]
+    )
+    np.testing.assert_allclose(Gp, Gp_ref, atol=atol, rtol=1e-6)
+
+
+def test_least_squares_rows():
+    rng = np.random.default_rng(0)
+    N, n = 5, 4
+    A = jnp.asarray(rng.standard_normal((N, n)))
+    b = jnp.asarray(rng.standard_normal(N))
+    orc = oracles.LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N)))
+    x = jnp.asarray(rng.standard_normal(n))
+    funs = [
+        (lambda x, i=i: 0.5 * N * (A[i] @ x - b[i]) ** 2) for i in range(N)
+    ]
+    _autodiff_check(orc, funs, x)
+    _batched_paths_consistent(orc, x)
+
+
+def test_least_squares_complex():
+    rng = np.random.default_rng(1)
+    N, n = 4, 3
+    A = jnp.asarray(rng.standard_normal((N, n)) + 0j)
+    b = jnp.asarray(rng.standard_normal(N) + 0j)
+    orc = oracles.LeastSquaresRows(A=A, b=b, scale=jnp.asarray(1.0))
+    x = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    # Wirtinger gradient of (1/2)|a·x-b|^2 w.r.t. x is conj(a)(a·x-b)
+    for i in range(N):
+        v, g = orc.value_and_grad_i(x, jnp.asarray(i))
+        r = A[i] @ x - b[i]
+        np.testing.assert_allclose(v, 0.5 * np.abs(r) ** 2, atol=1e-10)
+        np.testing.assert_allclose(g, np.conj(A[i]) * r, atol=1e-10)
+    _batched_paths_consistent(orc, x)
+
+
+def test_logistic_rows():
+    rng = np.random.default_rng(2)
+    N, n = 6, 3
+    X = jnp.asarray(rng.standard_normal((N, n)))
+    y = jnp.asarray(np.where(rng.random(N) > 0.5, 1.0, -1.0))
+    orc = oracles.LogisticRows(X=X, y=y)
+    x = jnp.asarray(rng.standard_normal(n))
+    funs = [
+        (lambda x, i=i: jnp.logaddexp(0.0, -y[i] * (X[i] @ x))) for i in range(N)
+    ]
+    _autodiff_check(orc, funs, x)
+    _batched_paths_consistent(orc, x)
+
+
+def test_diag_quadratic_and_sqrdist_sum():
+    rng = np.random.default_rng(3)
+    N, n = 3, 2
+    d = jnp.asarray(rng.standard_normal((N, n)))
+    q = jnp.asarray(rng.standard_normal((N, n)))
+    quad = oracles.DiagQuadratic(d=d, q=q)
+    x = jnp.asarray(rng.standard_normal(n))
+    funs = [
+        (lambda x, i=i: 0.5 * x @ (d[i] * x) + q[i] @ x) for i in range(N)
+    ]
+    _autodiff_check(quad, funs, x)
+    _batched_paths_consistent(quad, x)
+
+    sq = oracles.SqrDistBox(
+        lo=jnp.asarray(-1.0), hi=jnp.asarray(1.0), eta=jnp.asarray(5.0), n_terms=N
+    )
+    sfuns = [
+        (
+            lambda x, i=i: 2.5
+            * jnp.sum((x - jnp.clip(x, -1.0, 1.0)) ** 2)
+        )
+        for i in range(N)
+    ]
+    _autodiff_check(sq, sfuns, jnp.asarray([3.0, -0.5]))
+
+    both = oracles.SumOracle(terms=(quad, sq))
+    bfuns = [(lambda x, i=i: funs[i](x) + sfuns[i](x)) for i in range(N)]
+    _autodiff_check(both, bfuns, x)
+    _batched_paths_consistent(both, x)
+
+
+def test_custom_oracle_matches_handwritten():
+    rng = np.random.default_rng(4)
+    N, n = 5, 4
+    A = rng.standard_normal((N, n))
+    b = rng.standard_normal(N)
+    custom = oracles.CustomOracle(
+        data={"a": jnp.asarray(A), "b": jnp.asarray(b)},
+        fun=lambda x, d: 0.5 * (d["a"] @ x - d["b"]) ** 2,
+    )
+    hand = oracles.LeastSquaresRows(
+        A=jnp.asarray(A), b=jnp.asarray(b), scale=jnp.asarray(1.0)
+    )
+    x = jnp.asarray(rng.standard_normal(n))
+    assert custom.num_terms == N
+    for i in range(N):
+        v1, g1 = custom.value_and_grad_i(x, jnp.asarray(i))
+        v2, g2 = hand.value_and_grad_i(x, jnp.asarray(i))
+        np.testing.assert_allclose(v1, v2, atol=1e-10)
+        np.testing.assert_allclose(g1, g2, atol=1e-10)
+
+
+def test_oracles_are_pytrees():
+    orc = oracles.LeastSquaresRows(
+        A=jnp.ones((3, 2)), b=jnp.zeros(3), scale=jnp.asarray(3.0)
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(orc)
+    assert len(leaves) == 3
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(rebuilt, oracles.LeastSquaresRows)
+
+    # jit with the oracle as an argument must not error
+    @jax.jit
+    def f(o, x):
+        return o.grad_sum_all(x)
+
+    np.testing.assert_allclose(f(orc, jnp.ones(2)), orc.grad_sum_all(jnp.ones(2)))

@@ -1,0 +1,79 @@
+"""Sharing-formulation acceptance suite — parity with reference
+``test/test_sharing.jl``: min (1/N) Σ_i [x_i'Q_i x_i/2 + q'x_i +
+η·dist²(x_i, Box)] + IndBox(-∞,1)(Σ_i x_i), N=3 blocks of n=2, hardcoded
+coupling optimum, maxit=1000, ∞-norm tolerance 1e-4."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ciao_tpu import Proshi, iterator, solution
+from ciao_tpu.oracles import DiagQuadratic, SqrDistBox, SumOracle
+from ciao_tpu.prox import IndBox
+from ciao_tpu.solvers import take
+from ciao_tpu.utils import make_sharing
+
+MAXIT = 1000
+TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def sharing():
+    prob = make_sharing()
+    quad = DiagQuadratic(d=jnp.asarray(prob.d), q=jnp.asarray(prob.q))
+    soft_box = SqrDistBox(
+        lo=jnp.asarray(prob.box_lo),
+        hi=jnp.asarray(prob.box_hi),
+        eta=jnp.asarray(prob.eta),
+        n_terms=3,
+    )
+    F = SumOracle(terms=(quad, soft_box))
+    g = IndBox(lo=-jnp.inf, hi=jnp.asarray(prob.g_hi))
+    x0 = jnp.zeros(2)
+    return prob, F, g, x0
+
+
+def check(prob, blocks):
+    blocks = np.asarray(blocks)
+    assert blocks.shape == (3, 2)  # array of N block solutions
+    assert np.max(np.abs(blocks.sum(axis=0) - prob.sum_star)) < TOL
+
+
+@pytest.mark.parametrize("sweeping", [1, 2, 3])
+def test_proshi_basic(sharing, sweeping):
+    prob, F, g, x0 = sharing
+    x, it = Proshi(maxit=MAXIT, sweeping=sweeping)(x0, F=F, g=g, L=prob.L, N=3)
+    assert it == MAXIT
+    check(prob, x)
+
+
+@pytest.mark.parametrize("sweeping,batch", [(1, 2), (2, 2), (3, 3)])
+def test_proshi_minibatch(sharing, sweeping, batch):
+    prob, F, g, x0 = sharing
+    x, _ = Proshi(maxit=MAXIT, sweeping=sweeping, minibatch=(True, batch))(
+        x0, F=F, g=g, L=prob.L, N=3
+    )
+    check(prob, x)
+
+
+def test_proshi_scalar_gamma_and_L(sharing):
+    prob, F, g, x0 = sharing
+    gamma = 3.0 / float(np.max(prob.L))
+    x, _ = Proshi(maxit=MAXIT, gamma=gamma)(x0, F=F, g=g, L=prob.L, N=3)
+    check(prob, x)
+    x2, _ = Proshi(maxit=MAXIT)(x0, F=F, g=g, L=float(np.max(prob.L)), N=3)
+    check(prob, x2)
+
+
+@pytest.mark.parametrize("sweeping", [1, 2, 3])
+def test_proshi_iterator(sharing, sweeping):
+    prob, F, g, x0 = sharing
+    solver = Proshi(sweeping=sweeping)
+    it = iterator(solver, x0, F=F, g=g, L=prob.L, N=3)
+    assert it.x0 is x0
+    for state in take(iter(it), 2):
+        sol = solution(state)
+        assert np.asarray(sol).shape == (3, 2)
+        # pure view: repeated calls agree (the reference's in-place
+        # solution() corrupts its own table here — documented deviation)
+        np.testing.assert_array_equal(np.asarray(sol), np.asarray(solution(state)))
