@@ -1,0 +1,719 @@
+"""Data-parallel (index-block sharded) solver paths.
+
+The reference is single-process; the finite-sum index ``i`` is its
+natural partition axis (SURVEY.md §2.3). Here each solver family gets a
+``shard_map``-based step over the ``"data"`` mesh axis:
+
+  * the (N, n) gradient/iterate tables, the per-index stepsizes γ_i and
+    the oracle's stacked data rows live SHARDED by index block — each
+    device owns N/D contiguous rows and only ever touches its own rows;
+  * every step, each device draws its minibatch slice from ITS OWN index
+    block (without replacement locally) — the sanctioned minibatch
+    variants of each algorithm (reference ``Finito.jl:89`` minibatch;
+    SAGA minibatch is the reference's own TODO at ``SAGA_basic.jl:74``)
+    with a block-stratified sampler;
+  * the only cross-device traffic is the x-sized reduction of the
+    aggregate (``av`` deltas, SVRG anchors, ProShI coupling sums) — one
+    ``psum`` over ICI per step — plus the replicated prox.
+
+Index schedules are STATELESS: the (key, iteration, axis_index) triple
+derives every draw via ``fold_in``, so schedules are deterministic,
+checkpoint-free and identical across restarts — no RNG state to
+shard (contrast the reference's global host RNG, SURVEY.md §2.2).
+
+Sweeping semantics over the local block (reference ``Finito.jl:153``):
+1 = fresh uniform without-replacement draw per step; 2 = cyclic over
+static contiguous sub-blocks; 3 = per-epoch shuffled sub-block order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ciao_tpu.parallel.mesh import DATA_AXIS, data_specs, make_mesh, replicated_specs
+from ciao_tpu.prox import Zero
+from ciao_tpu.sampling import Sweep
+from ciao_tpu.solvers.base import (
+    SolverIterable,
+    real_dtype_of,
+    resolve_gamma_array,
+    run_solver_loop,
+)
+
+
+# ---------------------------------------------------------------------------
+# stateless per-device index schedules
+# ---------------------------------------------------------------------------
+
+def local_indices(key, it, n_loc: int, b_loc: int, sweeping: int):
+    """The device's (b_loc,) index draw for step ``it`` from its own
+    [0, n_loc) block. Deterministic in (key, it, device)."""
+    ax = jax.lax.axis_index(DATA_AXIS)
+    d_loc = n_loc // b_loc
+    if sweeping == Sweep.RANDOM:
+        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
+        return jax.random.choice(k, n_loc, (b_loc,), replace=False).astype(jnp.int32)
+    lane = jnp.arange(b_loc, dtype=jnp.int32)
+    if sweeping == Sweep.CYCLIC:
+        j = (it - 1) % d_loc
+        return j * b_loc + lane
+    # SHUFFLED: fresh permutation of sub-block order each local epoch
+    epoch = (it - 1) // d_loc
+    pos = (it - 1) % d_loc
+    ke = jax.random.fold_in(jax.random.fold_in(key, epoch), ax)
+    order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    return order[pos] * b_loc + lane
+
+
+def _rows(F, x, n_loc):
+    """(n_loc, n) per-row gradients of the LOCAL shard, all at x.
+
+    Uses the pointwise entry so oracles whose data is shared across
+    terms (e.g. SqrDistBox inside a SumOracle) produce locally-shaped
+    outputs even though their static ``n_terms`` is global."""
+    xs = jnp.broadcast_to(x, (n_loc,) + x.shape)
+    return F.grad_pointwise(xs, jnp.arange(n_loc, dtype=jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# configs and states
+# ---------------------------------------------------------------------------
+
+class DPCfg(NamedTuple):
+    """Static config (jit cache key) for all DP families."""
+
+    N: int          # global term count
+    D: int          # mesh size along "data"
+    b_loc: int      # per-device minibatch
+    sweeping: int
+    alpha: float
+    sag: bool = False
+    plus: bool = False
+    variant: str = "basic"
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+class DPFinitoState(NamedTuple):
+    s: jnp.ndarray          # (N, n) sharded table
+    gamma: jnp.ndarray      # (N,) sharded
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class DPLFinitoState(NamedTuple):
+    gamma: jnp.ndarray
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    z_full: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class DPSAGAState(NamedTuple):
+    s: jnp.ndarray          # (N, n) sharded gradient table
+    gamma: jnp.ndarray      # scalar
+    av: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class DPSVRGState(NamedTuple):
+    gamma: jnp.ndarray
+    m: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    z_full: jnp.ndarray
+    w: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z_full
+
+
+class DPProshiState(NamedTuple):
+    s: jnp.ndarray          # (N, n) sharded block table
+    gamma: jnp.ndarray      # (N,) sharded
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.s + self.gamma[:, None] * self.z[None, :]
+
+
+_SHARDED_FIELDS = {"s": P(DATA_AXIS, None), "gamma": P(DATA_AXIS)}
+
+
+def _state_specs(state_cls, scalar_gamma=False):
+    specs = {}
+    for f in state_cls._fields:
+        if f in _SHARDED_FIELDS and not (f == "gamma" and scalar_gamma):
+            specs[f] = _SHARDED_FIELDS[f]
+        else:
+            specs[f] = P()
+    return state_cls(**specs)
+
+
+def _psum(x):
+    return jax.lax.psum(x, DATA_AXIS)
+
+
+# ---------------------------------------------------------------------------
+# local (per-device) init / step bodies
+# ---------------------------------------------------------------------------
+
+def _finito_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded Finito bootstrap (reference Finito_basic.jl:44-89): local
+    table rows, then the harmonic-mean/weighted-average algebra as two
+    x-sized psums."""
+    n_loc, N = cfg.n_loc, cfg.N
+    G = _rows(F, x0, n_loc)
+    s = x0[None, :] - (gamma / N)[:, None] * G
+    hat_gamma = 1.0 / _psum(jnp.sum(1.0 / gamma))
+    av = hat_gamma * _psum(jnp.sum(s / gamma[:, None], axis=0))
+    z = g.prox_only(av, hat_gamma)
+    return DPFinitoState(
+        s=s, gamma=gamma, hat_gamma=hat_gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _finito_step_local(F, g, cfg: DPCfg, state: DPFinitoState):
+    """Sharded Finito hot step (reference Finito_basic.jl:91-121): every
+    device refreshes b_loc of its own table rows against the shared z;
+    the av innovation is one psum."""
+    N = cfg.N
+    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
+    gi = state.gamma[idx]
+    G_B = F.grad_batch(state.z, idx)
+    s_new = state.z[None, :] - (gi / N)[:, None] * G_B
+    delta = s_new - state.s[idx]
+    av = state.av + _psum(
+        jnp.sum(delta * (state.hat_gamma / gi)[:, None], axis=0)
+    )
+    s = state.s.at[idx].set(s_new)
+    z = g.prox_only(av, state.hat_gamma)
+    return state._replace(s=s, av=av, z=z, it=state.it + 1)
+
+
+def _lfinito_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded LFinito bootstrap (reference Finito_LFinito.jl:39-74);
+    O(n) memory per device — only γ is sharded."""
+    hat_gamma = 1.0 / _psum(jnp.sum(1.0 / gamma))
+    av = x0 - (hat_gamma / cfg.N) * _psum(F.grad_sum_all(x0))
+    return DPLFinitoState(
+        gamma=gamma, hat_gamma=hat_gamma, av=av, z=av, z_full=av, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _lfinito_step_local(F, g, cfg: DPCfg, state: DPLFinitoState):
+    """Sharded LFinito epoch (reference Finito_LFinito.jl:77-103): full
+    psum'd gradient refresh, then a lockstep sweep where each inner step
+    processes D sub-blocks (one per device) against the same z — the
+    distributed minibatch-LFinito estimator."""
+    N, b_loc = cfg.N, cfg.b_loc
+    n_loc = cfg.n_loc
+    d_loc = n_loc // b_loc
+    hat = state.hat_gamma
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    z_full = g.prox_only(state.av, hat)
+    av = z_full - (hat / N) * _psum(F.grad_sum_all(z_full))
+
+    if cfg.sweeping == Sweep.SHUFFLED:
+        ke = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+        order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    else:
+        order = jnp.arange(d_loc, dtype=jnp.int32)
+
+    lane = jnp.arange(b_loc, dtype=jnp.int32)
+
+    def block_body(carry, j):
+        av, z = carry
+        z = g.prox_only(av, hat)
+        idx = j * b_loc + lane
+        diff = F.grad_sum_diff(z_full, z, idx)
+        inv_g = jnp.sum(1.0 / state.gamma[idx])
+        av = av + _psum((hat / N) * diff + hat * inv_g * (z - z_full))
+        return (av, z), None
+
+    (av, z), _ = jax.lax.scan(block_body, (av, state.z), order)
+    return state._replace(av=av, z=z, z_full=z_full, it=state.it + 1)
+
+
+def _saga_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded SAGA bootstrap (reference SAGA_basic.jl:41-48)."""
+    s = _rows(F, x0, cfg.n_loc)
+    av = _psum(jnp.sum(s, axis=0)) / cfg.N
+    z = g.prox_only((1 - gamma) * x0, gamma)
+    return DPSAGAState(
+        s=s, gamma=gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
+    """Sharded minibatch SAGA/SAG step (reference SAGA_basic.jl:53-67;
+    minibatching is the reference's own TODO at :74). The biased SAG /
+    unbiased SAGA update-order quirk is preserved."""
+    N = cfg.N
+    B_glob = cfg.b_loc * cfg.D
+    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
+    G_B = F.grad_batch(state.z, idx)
+    innov = _psum(jnp.sum(G_B - state.s[idx], axis=0))  # (n,)
+    diff = innov / B_glob
+    if cfg.sag:
+        av = state.av + innov / N
+        w = state.z - state.gamma * av
+    else:
+        w = state.z - state.gamma * (diff + state.av)
+        av = state.av + innov / N
+    z = g.prox_only(w, state.gamma)
+    s = state.s.at[idx].set(G_B)
+    return state._replace(s=s, av=av, z=z, it=state.it + 1)
+
+
+def _svrg_init_local(F, g, x0, gamma, m, key, cfg: DPCfg):
+    """Sharded SVRG bootstrap (reference SVRG_basic.jl:58-67): the anchor
+    full gradient is one local matmul + psum."""
+    av = _psum(F.grad_sum_all(x0)) / cfg.N
+    return DPSVRGState(
+        gamma=gamma, m=jnp.asarray(m, jnp.int32), av=av,
+        z=jnp.zeros_like(x0), z_full=x0, w=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _svrg_step_local(F, g, cfg: DPCfg, state: DPSVRGState):
+    """Sharded SVRG outer step (reference SVRG_basic.jl:71-96): each
+    inner iterate draws b_loc indices per device iid from its block, and
+    the variance-reduced direction is pmean'd — distributed minibatch
+    SVRG with global batch b_loc · D."""
+    N = cfg.N
+    gamma, av = state.gamma, state.av
+    ax = jax.lax.axis_index(DATA_AXIS)
+    kstep = jax.random.fold_in(state.key, state.it)
+
+    def inner(k, carry):
+        w, zsum = carry
+        kk = jax.random.fold_in(jax.random.fold_in(kstep, k), ax)
+        i = jax.random.randint(kk, (cfg.b_loc,), 0, cfg.n_loc, dtype=jnp.int32)
+        d = F.grad_sum_batch(state.z_full, i) - F.grad_sum_batch(w, i)
+        d = _psum(d) / (cfg.b_loc * cfg.D)
+        w = g.prox_only(w + gamma * (d - av), gamma)
+        return w, zsum + w
+
+    w, zsum = jax.lax.fori_loop(0, state.m, inner, (state.w, state.z))
+    z_full = zsum / state.m.astype(jnp.zeros((), jnp.result_type(zsum)).real.dtype)
+    w_next = w if cfg.plus else z_full
+    av_next = _psum(F.grad_sum_all(z_full)) / N
+    m_next = state.m * 2 if cfg.plus else state.m
+    return state._replace(
+        m=m_next, av=av_next, z=jnp.zeros_like(zsum), z_full=z_full,
+        w=w_next, it=state.it + 1,
+    )
+
+
+def _proshi_coupling(g, av, hat_gamma):
+    z = g.prox_only(av, hat_gamma)
+    return (z - av) / hat_gamma
+
+
+def _proshi_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded ProShI bootstrap (reference ProShI_basic.jl:45-90):
+    hat_γ = Σγ and av = Σ s_i are the two psums; z replicates."""
+    n_loc, N = cfg.n_loc, cfg.N
+    G = _rows(F, x0, n_loc)
+    s = x0[None, :] - (gamma / N)[:, None] * G
+    hat_gamma = _psum(jnp.sum(gamma))
+    av = _psum(jnp.sum(s, axis=0))
+    z = _proshi_coupling(g, av, hat_gamma)
+    return DPProshiState(
+        s=s, gamma=gamma, hat_gamma=hat_gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _proshi_step_local(F, g, cfg: DPCfg, state: DPProshiState):
+    """Sharded ProShI step (reference ProShI_basic.jl:93-125): block
+    variables stay put; the coupling delta is one psum, the prox of the
+    sum and the broadcast of z are replicated — the all-gather + scatter
+    pattern named in BASELINE.md realized as psum + replicated compute."""
+    N = cfg.N
+    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
+    gi = state.gamma[idx]
+    s_old = state.s[idx]
+    s_tmp = s_old + gi[:, None] * state.z[None, :]
+    G_B = F.grad_pointwise(s_tmp, idx)
+    s_new = s_tmp - (gi / N)[:, None] * G_B
+    av = state.av + _psum(jnp.sum(s_new - s_old, axis=0))
+    s = state.s.at[idx].set(s_new)
+    z = _proshi_coupling(g, av, state.hat_gamma)
+    return state._replace(s=s, av=av, z=z, it=state.it + 1)
+
+
+_FAMILY = {
+    "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False),
+    "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState, False),
+    "saga": (_saga_init_local, _saga_step_local, DPSAGAState, True),
+    "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True),
+    "proshi": (_proshi_init_local, _proshi_step_local, DPProshiState, False),
+}
+
+
+# ---------------------------------------------------------------------------
+# shard_map + jit assembly (cached per (mesh, problem structure, cfg))
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _compiled(family: str, mesh, f_treedef, f_specs_leaves, g_treedef,
+              cfg: DPCfg, extra_init_scalars: int):
+    """Build (init_fn, step_fn, run_fn) for a family on a mesh.
+
+    Cached on the problem STRUCTURE (oracle treedefs + static cfg), so
+    repeated solves reuse both the closures and their jit caches.
+    """
+    init_local, step_local, state_cls, scalar_gamma = _FAMILY[family]
+    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
+    g_specs_tree = jax.tree_util.tree_unflatten(
+        g_treedef, [P()] * g_treedef.num_leaves
+    )
+    st_specs = _state_specs(state_cls, scalar_gamma=scalar_gamma)
+    gamma_spec = P() if scalar_gamma else P(DATA_AXIS)
+    init_in = (f_specs, g_specs_tree, P(), gamma_spec) + (P(),) * (
+        1 + extra_init_scalars
+    )
+
+    def init_body(F, g, x0, gamma, *rest):
+        return init_local(F, g, x0, gamma, *rest, cfg)
+
+    init_sm = jax.shard_map(
+        init_body, mesh=mesh, in_specs=init_in, out_specs=st_specs,
+        check_vma=False,
+    )
+    init_fn = jax.jit(init_sm)
+
+    def step_body(F, g, state):
+        return step_local(F, g, cfg, state)
+
+    step_sm = jax.shard_map(
+        step_body, mesh=mesh, in_specs=(f_specs, g_specs_tree, st_specs),
+        out_specs=st_specs, check_vma=False,
+    )
+    step_fn = jax.jit(step_sm)
+
+    def run_body(F, g, state, steps):
+        def body(s, _):
+            return step_local(F, g, cfg, s), None
+
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    def make_run(steps):
+        sm = jax.shard_map(
+            functools.partial(run_body, steps=steps), mesh=mesh,
+            in_specs=(f_specs, g_specs_tree, st_specs), out_specs=st_specs,
+            check_vma=False,
+        )
+        return sm
+
+    run_fn = jax.jit(
+        lambda F, g, state, steps: make_run(steps)(F, g, state),
+        static_argnames=("steps",),
+    )
+    return init_fn, step_fn, run_fn
+
+
+def build_dp_functions(family: str, mesh, F, g, cfg: DPCfg,
+                       extra_init_scalars: int = 0):
+    f_specs = data_specs(F, cfg.N)
+    leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+    g_treedef = jax.tree_util.tree_structure(g)
+    return _compiled(
+        family, mesh, f_treedef, tuple(leaves), g_treedef, cfg,
+        extra_init_scalars,
+    )
+
+
+# ---------------------------------------------------------------------------
+# facades
+# ---------------------------------------------------------------------------
+
+def _validate_mesh_batch(N, mesh, batch, sweeping, who):
+    D = mesh.shape[DATA_AXIS]
+    if N % D != 0:
+        raise ValueError(
+            f"{who}: N={N} must divide evenly over the {D}-device data axis "
+            f"(pad the problem or pick a different mesh)"
+        )
+    if batch % D != 0:
+        raise ValueError(f"{who}: global batch={batch} must be divisible by D={D}")
+    b_loc = batch // D
+    n_loc = N // D
+    if sweeping in (Sweep.CYCLIC, Sweep.SHUFFLED) and n_loc % b_loc != 0:
+        raise ValueError(
+            f"{who}: cyclic/shuffled sweeps need N/D={n_loc} divisible by "
+            f"the per-device batch {b_loc}"
+        )
+    if sweeping == Sweep.RANDOM and b_loc > n_loc:
+        raise ValueError(f"{who}: per-device batch {b_loc} exceeds local block {n_loc}")
+    return D, b_loc
+
+
+@dataclasses.dataclass(frozen=True)
+class DPFinito:
+    """Data-parallel Finito/MISO (basic or LFinito) over a device mesh.
+
+    Same knobs as :class:`ciao_tpu.solvers.Finito` where they apply;
+    ``batch`` is the GLOBAL minibatch (split evenly across the data
+    axis). The adaptive variant stays single-chip — its backtracking
+    serializes on a global scalar (SURVEY.md §7 hard-parts)."""
+
+    mesh: object = None
+    gamma: Optional[object] = None
+    sweeping: int = 1
+    LFinito: bool = False
+    batch: int = 0          # 0 -> one index per device
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    alpha: float = 0.999
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPFinito")
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
+        cfg = DPCfg(
+            N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
+            alpha=float(self.alpha),
+            variant="lfinito" if self.LFinito else "basic",
+        )
+        family = "lfinito" if self.LFinito else "finito"
+        init_c, step_c, run_c = build_dp_functions(family, mesh, F, g, cfg)
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, n: run_c(F, g, s, n)
+        return x0, F, g, init, step, run
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None):
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPSAGA:
+    """Data-parallel minibatch SAGA/SAG over a device mesh."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    SAG_flag: bool = False
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM, "DPSAGA")
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError("DPSAGA: provide L or γ")
+            L_max = jnp.max(jnp.asarray(L, rdt))
+            gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
+        cfg = DPCfg(
+            N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
+            sag=self.SAG_flag,
+        )
+        init_c, step_c, run_c = build_dp_functions("saga", mesh, F, g, cfg)
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, n: run_c(F, g, s, n)
+        return x0, F, g, init, step, run
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None):
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step)
+
+
+def DPSAG(**kwargs):
+    return DPSAGA(SAG_flag=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPSVRG:
+    """Data-parallel SVRG/SVRG++: psum'd full-gradient anchors, pmean'd
+    variance-reduced inner directions (global inner batch = D·b_loc)."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    m: Optional[int] = None
+    plus: bool = False
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM, "DPSVRG")
+        if self.gamma is None:
+            if L is None:
+                raise ValueError("DPSVRG: provide L or γ")
+            gamma = 1.0 / (10.0 * jnp.max(jnp.asarray(L, rdt)))
+        else:
+            gamma = jnp.asarray(self.gamma, rdt)
+        m = (N if self.m is None else self.m)
+        # inner batch scales the step count: m counts INNER BATCHES here
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, plus=self.plus)
+        init_c, step_c, run_c = build_dp_functions(
+            "svrg", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, jnp.asarray(m, jnp.int32), key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, n: run_c(F, g, s, n)
+        return x0, F, g, init, step, run
+
+    def _effective_maxit(self):
+        return min(self.maxit, 25) if self.plus else self.maxit
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None):
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self._effective_maxit(), self.verbose, self.freq, disp
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPProshi:
+    """Data-parallel ProShI: block variables x_i sharded by i; the
+    coupling Σ s_i is a psum and z replicates back — the sharing
+    problem's all-reduce/broadcast pattern on ICI."""
+
+    mesh: object = None
+    gamma: Optional[object] = None
+    sweeping: int = 1
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    alpha: float = 0.999
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPProshi")
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="DPProshi")
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
+                    alpha=float(self.alpha))
+        init_c, step_c, run_c = build_dp_functions("proshi", mesh, F, g, cfg)
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, n: run_c(F, g, s, n)
+        return x0, F, g, init, step, run
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None):
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step)

@@ -1,0 +1,206 @@
+"""Distributed (sharded) solver tests on a virtual 8-device CPU mesh.
+
+The reference has NO distributed tests (single-process Julia; SURVEY.md
+§4 flags this as the gap our build fills). These tests run the shard_map
+DP paths over ``--xla_force_host_platform_device_count=8`` and assert
+
+  * convergence to the planted optimum at the reference's tolerances
+    on a larger synthesized Lasso (the reference generator at any scale,
+    test_lasso.jl:14-47 construction);
+  * the sharded-state layout (tables really sharded over the data axis);
+  * DP/single-chip solution agreement;
+  * ProShI coupling convergence on a block-replicated sharing problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import ciao_tpu
+from ciao_tpu.oracles import DiagQuadratic, LeastSquaresRows, SqrDistBox, SumOracle
+from ciao_tpu.parallel import (
+    DATA_AXIS,
+    DPFinito,
+    DPProshi,
+    DPSAG,
+    DPSAGA,
+    DPSVRG,
+    make_mesh,
+    shard_finite_sum,
+)
+from ciao_tpu.prox import IndBox, NormL1
+from ciao_tpu.utils.problems import make_lasso
+
+N, n = 64, 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def lasso(mesh):
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum(F, mesh)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    return prob, F, g
+
+
+def x0(prob):
+    return jnp.zeros(prob.A.shape[1], prob.A.dtype)
+
+
+def test_oracle_sharding_layout(mesh, lasso):
+    prob, F, g = lasso
+    spec = F.A.sharding.spec
+    assert spec == P(DATA_AXIS, None)
+    assert F.b.sharding.spec == P(DATA_AXIS)
+
+
+def test_dp_finito_basic_converges(mesh, lasso):
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, maxit=2000, batch=8, sweeping=1)
+    x, it = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+@pytest.mark.parametrize("sweeping", [2, 3])
+def test_dp_finito_sweeps(mesh, lasso, sweeping):
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, maxit=2000, batch=16, sweeping=sweeping)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_finito_table_sharded(mesh, lasso):
+    prob, F, g = lasso
+    it = DPFinito(mesh=mesh, batch=8).iterator(x0(prob), F=F, g=g, L=prob.L)
+    state = next(iter(it))
+    assert state.s.shape == (N, n)
+    assert state.s.sharding.spec == P(DATA_AXIS, None)
+    assert state.gamma.sharding.spec == P(DATA_AXIS)
+
+
+def test_dp_lfinito_converges(mesh, lasso):
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, LFinito=True, maxit=200, batch=8, sweeping=3)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_saga_converges(mesh, lasso):
+    prob, F, g = lasso
+    solver = DPSAGA(mesh=mesh, maxit=3000, batch=8)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_sag_converges(mesh, lasso):
+    prob, F, g = lasso
+    solver = DPSAG(mesh=mesh, maxit=20000, batch=16)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_svrg_converges(mesh, lasso):
+    prob, F, g = lasso
+    gamma = 1.0 / (7 * float(np.max(prob.L)))
+    solver = DPSVRG(mesh=mesh, maxit=500, batch=8, m=N, gamma=gamma)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_matches_single_chip(mesh, lasso):
+    """DP and single-chip minibatch solvers agree on the solution (same
+    optimum at tolerance; trajectories differ by sampling)."""
+    prob, F, g = lasso
+    x_dp, _ = DPFinito(mesh=mesh, maxit=2000, batch=8)(
+        x0(prob), F=F, g=g, L=prob.L
+    )
+    x_sc, _ = ciao_tpu.Finito(maxit=2000, minibatch=(True, 8))(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_sc), atol=2e-3)
+
+
+def test_dp_deterministic(mesh, lasso):
+    """Stateless (key, it, device) schedules: same seed -> identical run."""
+    prob, F, g = lasso
+    a, _ = DPSAGA(mesh=mesh, maxit=200, batch=8, seed=7)(x0(prob), F=F, g=g, L=prob.L)
+    b, _ = DPSAGA(mesh=mesh, maxit=200, batch=8, seed=7)(x0(prob), F=F, g=g, L=prob.L)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_iterator_streaming(mesh, lasso):
+    from ciao_tpu.solvers.base import take
+
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, batch=8, maxit=50)
+    states = list(take(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)), 5))
+    assert len(states) == 5
+    assert int(states[-1].it) == 5
+
+
+def test_dp_validation_errors(mesh, lasso):
+    prob, F, g = lasso
+    with pytest.raises(ValueError, match="divide evenly"):
+        DPFinito(mesh=mesh)(jnp.zeros(n), F=F, g=g, L=prob.L, N=63)
+    with pytest.raises(ValueError, match="divisible by D"):
+        DPFinito(mesh=mesh, batch=12)(x0(prob), F=F, g=g, L=prob.L, N=N)
+
+
+# ---------------------------------------------------------------------------
+# sharing problem (ProShI) — block-parallel coupling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sharing(mesh):
+    """A 24-block sharing problem: the reference's 3 blocks
+    (test_sharing.jl:13-24) replicated 8x; the coupling optimum is found
+    with the single-chip solver and used as the DP target."""
+    reps = 8
+    rng = np.random.default_rng(0)
+    base_d = np.array([[1.0, 2.0], [-1.0, 3.0], [0.0, 10.0]])
+    d = np.tile(base_d, (reps, 1))
+    q = np.ones_like(d)
+    Nb, nb = d.shape
+    eta = Nb * 10.0
+    L = np.abs(d).max(axis=1) + eta
+    F = SumOracle(
+        terms=(
+            DiagQuadratic(d=jnp.asarray(d), q=jnp.asarray(q)),
+            SqrDistBox(
+                lo=jnp.asarray(-2.0), hi=jnp.asarray(2.0),
+                eta=jnp.asarray(eta), n_terms=Nb,
+            ),
+        )
+    )
+    g = IndBox(lo=-jnp.inf, hi=jnp.asarray(np.ones(nb)))
+    # batch-8 reference: the nonconvex block (d_2 = (-1, 3), as in the
+    # reference problem) means batch-1 and batch-8 sweeps select
+    # different stationary points — parity is defined at MATCHED batch
+    # size (the reference's own minibatch mode, ProShI.jl:27).
+    x_ref, _ = ciao_tpu.Proshi(maxit=10000, minibatch=(True, 8))(
+        jnp.zeros(nb), F=F, g=g, L=jnp.asarray(L), N=Nb
+    )
+    sum_ref = np.asarray(jnp.sum(x_ref, axis=0))
+    F_sharded = shard_finite_sum(F, mesh, N=Nb)
+    return F_sharded, g, L, Nb, nb, sum_ref
+
+
+def test_dp_proshi_converges(mesh, sharing):
+    F, g, L, Nb, nb, sum_ref = sharing
+    solver = DPProshi(mesh=mesh, maxit=10000, batch=8)
+    x, _ = solver(jnp.zeros(nb), F=F, g=g, L=jnp.asarray(L), N=Nb)
+    assert x.shape == (Nb, nb)
+    got = np.asarray(jnp.sum(x, axis=0))
+    np.testing.assert_allclose(got, sum_ref, atol=2e-2)
+    # the coupling constraint g = IndBox(-inf, 1) must hold
+    assert np.all(got <= 1.0 + 1e-6)
