@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Headline benchmark — SAGA epoch throughput on a large dense Lasso.
+
+The reference publishes no performance numbers (BASELINE.md): its
+functional tests are tiny (N=6..8) and its runtime is a single-process
+Julia loop doing one sample per iteration (``SAGA_basic.jl:53-67``).
+The baseline here is therefore a faithful single-core CPU (numpy/BLAS)
+implementation of that batch-1 SAGA loop, measured in samples/s; the
+TPU build runs the algorithmically-sanctioned minibatch variant (the
+reference's own TODO at ``SAGA_basic.jl:74``) with the (N, n) gradient
+table HBM-resident and the whole step jitted + scanned on device.
+
+Prints ONE JSON line:
+  {"metric": "saga_samples_per_s", "value": ..., "unit": "samples/s",
+   "vs_baseline": <tpu samples/s ÷ cpu-loop samples/s>}
+Details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# problem size (fits one v5e chip: A 1 GB + table 1 GB in f32)
+# ---------------------------------------------------------------------------
+N, n = 262_144, 1_024
+BATCH = 4_096
+STEPS_PER_EPOCH = N // BATCH
+WARMUP_EPOCHS = 2
+TIMED_EPOCHS = 8
+
+# CPU baseline gets a smaller N (same n) and extrapolates per-sample time.
+N_CPU, CPU_STEPS = 16_384, 20_000
+
+
+def cpu_baseline_samples_per_s() -> float:
+    """Batch-1 SAGA loop (the reference's algorithm, SAGA_basic.jl:53-67)
+    in numpy — per-sample cost is O(n) BLAS-1 ops, matching the Julia
+    reference's in-place broadcast profile."""
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((N_CPU, n), dtype=np.float32)
+    b = rng.standard_normal(N_CPU).astype(np.float32)
+    s = np.zeros((N_CPU, n), np.float32)          # gradient table
+    av = np.zeros(n, np.float32)
+    z = np.zeros(n, np.float32)
+    L_max = float((A * A).sum(axis=1).max() * N_CPU)
+    gamma = np.float32(1.0 / (3.0 * L_max))
+    lam = np.float32(0.1)
+    idx = rng.integers(0, N_CPU, size=CPU_STEPS)
+
+    t0 = time.perf_counter()
+    for k in range(CPU_STEPS):
+        i = idx[k]
+        a = A[i]
+        r = a @ z - b[i]
+        grad = (N_CPU * r) * a                    # scale = N (reference)
+        diff = grad - s[i]
+        w = z - gamma * (diff + av)
+        av += diff / N_CPU
+        z = np.sign(w) * np.maximum(np.abs(w) - gamma * lam, 0)  # prox L1
+        s[i] = grad
+    dt = time.perf_counter() - t0
+    return CPU_STEPS / dt
+
+
+def tpu_samples_per_s() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = jax.random.normal(kA, (N, n), jnp.float32)
+    b = jax.random.normal(kb, (N,), jnp.float32)
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
+    g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
+    L_max = jnp.max(jnp.sum(A * A, axis=1)) * N
+    gamma = (1.0 / (3.0 * L_max)).astype(jnp.float32)
+    cfg = SAGACfg(N=N, sag=False, batch=BATCH)
+
+    state = saga_init(F, g, jnp.zeros(n, jnp.float32), gamma, key, cfg)
+    jax.block_until_ready(state)
+
+    obj0 = float(
+        0.5 * jnp.sum((A @ state.z - b) ** 2) + 0.1 * jnp.sum(jnp.abs(state.z))
+    )
+
+    t_compile = time.perf_counter()
+    state = saga_run(F, g, state, cfg, STEPS_PER_EPOCH)
+    jax.block_until_ready(state)
+    log(f"compile+first epoch: {time.perf_counter() - t_compile:.1f}s")
+
+    for _ in range(WARMUP_EPOCHS - 1):
+        state = saga_run(F, g, state, cfg, STEPS_PER_EPOCH)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        state = saga_run(F, g, state, cfg, STEPS_PER_EPOCH)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    obj1 = float(
+        0.5 * jnp.sum((A @ state.z - b) ** 2) + 0.1 * jnp.sum(jnp.abs(state.z))
+    )
+    log(f"objective {obj0:.4e} -> {obj1:.4e} (must decrease)")
+    assert obj1 < obj0, "solver is not making progress"
+
+    samples = TIMED_EPOCHS * STEPS_PER_EPOCH * BATCH
+    step_ms = dt / (TIMED_EPOCHS * STEPS_PER_EPOCH) * 1e3
+    log(
+        f"TPU: {samples / dt:,.0f} samples/s  "
+        f"({TIMED_EPOCHS / dt:.2f} epochs/s, {step_ms:.3f} ms/step, "
+        f"batch={BATCH}, N={N}, n={n})"
+    )
+    return samples / dt
+
+
+def main():
+    tpu = tpu_samples_per_s()
+    cpu = cpu_baseline_samples_per_s()
+    log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
+    print(
+        json.dumps(
+            {
+                "metric": "saga_samples_per_s",
+                "value": round(tpu, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(tpu / cpu, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
