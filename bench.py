@@ -91,7 +91,10 @@ def tpu_samples_per_s() -> float:
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
     L_max = jnp.max(jnp.sum(A * A, axis=1)) * N
     gamma = (1.0 / (3.0 * L_max)).astype(jnp.float32)
-    cfg = SAGACfg(N=N, sag=False, batch=BATCH)
+    # block sampling + coefficient-compressed table: the TPU-native fast
+    # path (trajectory exactly equals the full-table variant; see
+    # tests/test_ops.py equivalence suite)
+    cfg = SAGACfg(N=N, sag=False, batch=BATCH, block=True, coeff=True)
 
     state = saga_init(F, g, jnp.zeros(n, jnp.float32), gamma, key, cfg)
     jax.block_until_ready(state)

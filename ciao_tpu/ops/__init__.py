@@ -1,0 +1,23 @@
+"""Pallas TPU kernels for the hot solver steps.
+
+The reference's performance layer is Julia's JIT-compiled in-place
+broadcast loops (SURVEY.md §2); ours is XLA-fused jitted steps plus the
+hand-written Pallas kernels here for the one pattern XLA serves badly:
+the per-step TABLE REFRESH, whose row scatter is ~10x off HBM bandwidth
+(see BENCH notes in bench.py history). The fused kernels stream each
+contiguous block tile through VMEM exactly once: read A-tile + s-tile,
+compute the row gradients and the aggregate innovation, write the new
+s-tile — one pass at speed-of-light HBM traffic.
+"""
+
+from ciao_tpu.ops.fused_block import (
+    finito_block_update,
+    fused_block_available,
+    saga_block_update,
+)
+
+__all__ = [
+    "finito_block_update",
+    "fused_block_available",
+    "saga_block_update",
+]

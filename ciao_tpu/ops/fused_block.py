@@ -1,0 +1,178 @@
+"""Fused contiguous-block table-refresh kernels (Pallas TPU).
+
+One solver step on a contiguous index block [start, start+B) must:
+
+  1. read the oracle rows   A[start:start+B]      (B·n floats)
+  2. read the table rows    s[start:start+B]      (B·n floats)
+  3. compute row gradients  G_i = scale·(a_i·z − b_i)·a_i   (MXU matvec
+     + VPU row scale; least-squares rows, reference test_lasso.jl:54)
+  4. write the new table rows and reduce the x-sized innovation
+
+Steps 1-4 are ONE streaming pass: each TILE×n tile goes HBM→VMEM,
+is transformed, and the new tile + an innovation partial go back — no
+intermediate HBM round-trips, no gather/scatter. The block start is a
+scalar-prefetch operand feeding the BlockSpec index maps, so one
+compiled kernel serves every (data-dependent) block choice; the table
+is updated in place via input_output_aliases.
+
+Two variants share the pipeline (reference semantics):
+  * SAGA  (SAGA_basic.jl:61-65):  s_i ← ∇f_i(z);  innov = Σ (s_new−s_old)
+  * Finito (Finito_basic.jl:110-117): s_i ← z − (γ_i/N)∇f_i(z);
+        innov = Σ (s_new−s_old)·(hat_γ/γ_i)
+
+f32 only (TPU-native dtype); callers fall back to the XLA dynamic-slice
+path for f64/complex/CPU (solvers/saga.py, solvers/finito.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(B: int, N: int, n: int = 1024) -> int:
+    """Largest row-tile dividing the block and the table that keeps the
+    double-buffered working set (3 tile buffers x 2 slots, f32) inside
+    ~12 MB of the 16 MB VMEM."""
+    budget_rows = (12 * 1024 * 1024) // (6 * 4 * max(n, 1))
+    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if t <= budget_rows and B % t == 0 and N % t == 0:
+            return t
+    return 0
+
+
+def fused_block_available(N: int, n: int, B: int, dtype) -> bool:
+    """True when the fused kernel can serve (N, n, B, dtype) on this
+    backend: TPU, f32, lane-aligned n, tileable rows. ``start`` must
+    then also be a multiple of the chosen tile — guaranteed because
+    block starts are multiples of B."""
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and n % 128 == 0
+        and _pick_tile(B, N, n) >= 8
+    )
+
+
+def _row_grad(A_t, b_t, z_t, scale):
+    """Least-squares row gradients of one tile on the MXU:
+    G = scale·(A_t z − b)·A_t, full-f32 precision."""
+    r = jnp.dot(
+        A_t,
+        z_t[0, :][:, None],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TILE, 1)
+    return (scale * (r - b_t)) * A_t
+
+
+def _saga_kernel(start_ref, A_ref, b_ref, s_ref, z_ref, sc_ref,
+                 s_out_ref, innov_ref):
+    i = pl.program_id(0)
+    G = _row_grad(A_ref[:], b_ref[:], z_ref, sc_ref[0, 0])
+    innov_ref[i, :] = jnp.sum(G - s_ref[:], axis=0)
+    s_out_ref[:] = G
+
+
+def _finito_kernel(start_ref, A_ref, b_ref, s_ref, g_ref, z_ref, sc_ref,
+                   s_out_ref, innov_ref):
+    i = pl.program_id(0)
+    scale, inv_n, hat = sc_ref[0, 0], sc_ref[0, 1], sc_ref[0, 2]
+    G = _row_grad(A_ref[:], b_ref[:], z_ref, scale)
+    gi = g_ref[:]                                     # (TILE, 1)
+    s_new = z_ref[0, :][None, :] - (gi * inv_n) * G
+    innov_ref[i, :] = jnp.sum((s_new - s_ref[:]) * (hat / gi), axis=0)
+    s_out_ref[:] = s_new
+
+
+def _row_spec(TILE, n):
+    return pl.BlockSpec((TILE, n), lambda i, st: (st[0] // TILE + i, 0))
+
+
+def _col_spec(TILE):
+    return pl.BlockSpec((TILE, 1), lambda i, st: (st[0] // TILE + i, 0))
+
+
+def _bcast_spec(shape):
+    return pl.BlockSpec(shape, lambda i, st: (0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
+def saga_block_update(A, b2, s, z2, start, scale2, B: int):
+    """SAGA table refresh on rows [start, start+B): returns
+    ``(s_updated, Σ_B (∇f_i(z) − s_i_old))`` with s updated IN PLACE
+    (donate s). ``b2`` is b[:, None]; ``z2`` is z[None, :]; ``scale2``
+    the (1,1) row-gradient scale (= N for the reference's LeastSquares
+    scaling)."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    num_tiles = B // TILE
+    acc_rows = max(8, num_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            _row_spec(TILE, n),                       # A
+            _col_spec(TILE),                          # b
+            _row_spec(TILE, n),                       # s (old rows)
+            _bcast_spec((1, n)),                      # z
+            pl.BlockSpec((1, 1), lambda i, st: (0, 0),
+                         memory_space=pltpu.SMEM),    # scale
+        ],
+        out_specs=[
+            _row_spec(TILE, n),                       # s (new rows)
+            _bcast_spec((acc_rows, n)),               # innovation partials
+        ],
+    )
+    s_new, innov = pl.pallas_call(
+        _saga_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n), s.dtype),
+            jax.ShapeDtypeStruct((acc_rows, n), jnp.float32),
+        ],
+        input_output_aliases={3: 0},  # s -> s_new (in-place table)
+    )(jnp.reshape(start, (1,)).astype(jnp.int32), A, b2, s, z2, scale2)
+    return s_new, jnp.sum(innov[:num_tiles], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
+def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int):
+    """Finito table refresh on rows [start, start+B): returns
+    ``(s_updated, Σ_B (s_new − s_old)·hat_γ/γ_i)``. ``gamma2`` is
+    gamma[:, None]; ``scalars`` is the (1,3) row [scale, 1/N, hat_γ]."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    num_tiles = B // TILE
+    acc_rows = max(8, num_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            _row_spec(TILE, n),                       # A
+            _col_spec(TILE),                          # b
+            _row_spec(TILE, n),                       # s (old rows)
+            _col_spec(TILE),                          # gamma
+            _bcast_spec((1, n)),                      # z
+            pl.BlockSpec((1, 3), lambda i, st: (0, 0),
+                         memory_space=pltpu.SMEM),    # [scale, 1/N, hat]
+        ],
+        out_specs=[
+            _row_spec(TILE, n),
+            _bcast_spec((acc_rows, n)),
+        ],
+    )
+    s_new, innov = pl.pallas_call(
+        _finito_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n), s.dtype),
+            jax.ShapeDtypeStruct((acc_rows, n), jnp.float32),
+        ],
+        input_output_aliases={3: 0},
+    )(jnp.reshape(start, (1,)).astype(jnp.int32), A, b2, s, gamma2, z2, scalars)
+    return s_new, jnp.sum(innov[:num_tiles], axis=0)

@@ -127,6 +127,24 @@ class SmoothOracle(abc.ABC):
     def value_and_grad_pointwise(self, xs, idx):
         return jax.vmap(lambda xi, j: self.value_and_grad_i(xi, j))(xs, idx)
 
+    # --- contiguous-block entry points --------------------------------
+    # TPU fast path: the reference's cyclic/shuffled sweeps pick STATIC
+    # CONTIGUOUS index blocks (Finito_basic.jl:50-58), which map to
+    # dynamic-slice DMAs instead of row gathers (XLA's TPU row scatter
+    # is ~10x off bandwidth; measured in BENCH notes). Subclasses with
+    # stacked data override these with lax.dynamic_slice reads.
+
+    def grad_block(self, x, start, size: int):
+        """grads of terms [start, start+size) at x — contiguous block."""
+        return self.grad_batch(x, start + jnp.arange(size, dtype=jnp.int32))
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        idx = start + jnp.arange(size, dtype=jnp.int32)
+        return self.grad_sum_diff(x1, x2, idx)
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        return self.grad_pointwise(xs, start + jnp.arange(size, dtype=jnp.int32))
+
 
 def _real_dtype(dtype) -> Any:
     return jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.zeros((), dtype).real.dtype

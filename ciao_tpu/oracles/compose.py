@@ -59,6 +59,15 @@ class SumOracle(SmoothOracle):
     def grad_pointwise(self, xs, idx):
         return sum(t.grad_pointwise(xs, idx) for t in self.terms)
 
+    def grad_block(self, x, start, size: int):
+        return sum(t.grad_block(x, start, size) for t in self.terms)
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        return sum(t.grad_sum_diff_block(x1, x2, start, size) for t in self.terms)
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        return sum(t.grad_pointwise_block(xs, start, size) for t in self.terms)
+
 
 @register_oracle
 @dataclasses.dataclass(frozen=True)

@@ -89,6 +89,94 @@ class LeastSquaresRows(SmoothOracle):
         r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
         return self.scale * jnp.conj(A_B) * r[:, None]
 
+    # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        A_B = lax.dynamic_slice_in_dim(self.A, start, size, 0)
+        b_B = lax.dynamic_slice_in_dim(self.b, start, size, 0)
+        return A_B, b_B
+
+    def grad_block(self, x, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        r = A_B @ x - b_B
+        return self.scale * jnp.conj(A_B) * r[:, None]
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        A_B, _ = self._slice(start, size)
+        d = A_B @ (x1 - x2)
+        return self.scale * (d @ jnp.conj(A_B))
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        r = jnp.sum(A_B * xs, axis=-1) - b_B
+        return self.scale * jnp.conj(A_B) * r[:, None]
+
+    # ---- coefficient (rank-1) gradient structure ---------------------
+    # grad f_i(x) = c_i(x) · conj(a_i) with SCALAR c_i = scale·(a_i·x − b_i):
+    # an (N,) coefficient vector is an EXACT compression of the (N, n)
+    # gradient table (SURVEY.md §7's recompute-vs-store tradeoff taken to
+    # its limit). Solvers in table="coeff" mode store c instead of s —
+    # 1/n the memory and half the per-step HBM traffic.
+
+    supports_coeff: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
+
+    def coeff_batch(self, x, idx):
+        """c_i(x) for i in idx."""
+        A_B = self.A[idx]
+        return self.scale * (A_B @ x - self.b[idx])
+
+    def coeff_block(self, x, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        return self.scale * (A_B @ x - b_B)
+
+    def coeff_all(self, x):
+        return self.scale * (self.A @ x - self.b)
+
+    def apply_rows(self, w, idx):
+        """Σ_i w_i · conj(a_i) over i in idx (the table-delta matvec)."""
+        return w @ jnp.conj(self.A[idx])
+
+    def apply_rows_block(self, w, start, size: int):
+        A_B, _ = self._slice(start, size)
+        return w @ jnp.conj(A_B)
+
+    def apply_all(self, w):
+        return w @ self._conjA()
+
+    # ---- fused Pallas table-refresh kernels (TPU, f32) ---------------
+    # One streaming VMEM pass per block: row gradients + table write +
+    # aggregate innovation (ciao_tpu.ops.fused_block). Callers gate on
+    # ``ops.fused_block_available``.
+
+    def fused_saga_block(self, s, z, start, size: int):
+        """(s_updated, Σ_B (∇f_i(z) − s_i_old)) on rows [start, start+size)."""
+        from ciao_tpu.ops import saga_block_update
+
+        scale2 = jnp.reshape(self.scale, (1, 1)).astype(jnp.float32)
+        return saga_block_update(
+            self.A, self.b[:, None], s, z[None, :], start, scale2, size
+        )
+
+    def fused_finito_block(self, s, gamma, z, start, size: int, inv_N, hat_gamma):
+        """(s_updated, Σ_B (s_new − s_old)·hat_γ/γ_i) with
+        s_new = z − γ_i·inv_N·∇f_i(z) on rows [start, start+size)."""
+        from ciao_tpu.ops import finito_block_update
+
+        scalars = jnp.stack(
+            [
+                jnp.asarray(self.scale, jnp.float32),
+                jnp.asarray(inv_N, jnp.float32),
+                jnp.asarray(hat_gamma, jnp.float32),
+            ]
+        )[None, :]
+        return finito_block_update(
+            self.A, self.b[:, None], s, gamma[:, None], z[None, :], start,
+            scalars, size,
+        )
+
     def value_and_grad_pointwise(self, xs, idx):
         A_B = self.A[idx]
         r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]

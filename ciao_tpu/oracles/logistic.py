@@ -92,3 +92,57 @@ class LogisticRows(SmoothOracle):
         t = -self.y[idx] * jnp.sum(X_B * xs, axis=-1)
         coeff = -self.y[idx] * jax.nn.sigmoid(t)
         return _log1pexp(t), coeff[:, None] * X_B
+
+    # ---- coefficient (rank-1) gradient structure ---------------------
+    # grad f_i(x) = c_i(x) · x_i with SCALAR c_i = −y_i σ(−y_i x_i·x):
+    # (N,) coefficients exactly compress the (N, n) gradient table.
+
+    supports_coeff: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
+
+    def coeff_batch(self, x, idx):
+        X_B = self.X[idx]
+        t = -self.y[idx] * (X_B @ x)
+        return -self.y[idx] * jax.nn.sigmoid(t)
+
+    def coeff_block(self, x, start, size: int):
+        X_B, y_B = self._slice(start, size)
+        t = -y_B * (X_B @ x)
+        return -y_B * jax.nn.sigmoid(t)
+
+    def coeff_all(self, x):
+        t = -self.y * (self.X @ x)
+        return -self.y * jax.nn.sigmoid(t)
+
+    def apply_rows(self, w, idx):
+        return w @ self.X[idx]
+
+    def apply_rows_block(self, w, start, size: int):
+        X_B, _ = self._slice(start, size)
+        return w @ X_B
+
+    def apply_all(self, w):
+        return w @ self.X
+
+    # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
+    def _slice(self, start, size):
+        X_B = jax.lax.dynamic_slice_in_dim(self.X, start, size, 0)
+        y_B = jax.lax.dynamic_slice_in_dim(self.y, start, size, 0)
+        return X_B, y_B
+
+    def grad_block(self, x, start, size: int):
+        X_B, y_B = self._slice(start, size)
+        t = -y_B * (X_B @ x)
+        return (-y_B * jax.nn.sigmoid(t))[:, None] * X_B
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        X_B, y_B = self._slice(start, size)
+        c1 = -y_B * jax.nn.sigmoid(-y_B * (X_B @ x1))
+        c2 = -y_B * jax.nn.sigmoid(-y_B * (X_B @ x2))
+        return (c1 - c2) @ X_B
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        X_B, y_B = self._slice(start, size)
+        t = -y_B * jnp.sum(X_B * xs, axis=-1)
+        return (-y_B * jax.nn.sigmoid(t))[:, None] * X_B

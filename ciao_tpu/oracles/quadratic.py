@@ -58,6 +58,22 @@ class DiagQuadratic(SmoothOracle):
     def grad_pointwise(self, xs, idx):
         return self.value_and_grad_pointwise(xs, idx)[1]
 
+    # ---- contiguous-block fast paths ---------------------------------
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        d_B = lax.dynamic_slice_in_dim(self.d, start, size, 0)
+        q_B = lax.dynamic_slice_in_dim(self.q, start, size, 0)
+        return d_B, q_B
+
+    def grad_block(self, x, start, size: int):
+        d_B, q_B = self._slice(start, size)
+        return d_B * x[None, :] + q_B
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        d_B, q_B = self._slice(start, size)
+        return d_B * xs + q_B
+
 
 @register_oracle
 @dataclasses.dataclass(frozen=True)
@@ -118,3 +134,6 @@ class SqrDistBox(SmoothOracle):
 
     def grad_pointwise(self, xs, idx):
         return self.value_and_grad_pointwise(xs, idx)[1]
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        return self.eta * (xs - self._proj(xs))

@@ -72,6 +72,21 @@ def local_indices(key, it, n_loc: int, b_loc: int, sweeping: int):
     return order[pos] * b_loc + lane
 
 
+def local_block_start(key, it, n_loc: int, b_loc: int, sweeping: int):
+    """Contiguous-block schedule: the device's dynamic-slice START for
+    step ``it`` (cyclic / per-epoch-shuffled sub-blocks — the TPU fast
+    path; XLA's row scatter is ~10x off HBM bandwidth)."""
+    ax = jax.lax.axis_index(DATA_AXIS)
+    d_loc = n_loc // b_loc
+    if sweeping == Sweep.CYCLIC:
+        return ((it - 1) % d_loc) * b_loc
+    epoch = (it - 1) // d_loc
+    pos = (it - 1) % d_loc
+    ke = jax.random.fold_in(jax.random.fold_in(key, epoch), ax)
+    order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    return order[pos] * b_loc
+
+
 def _rows(F, x, n_loc):
     """(n_loc, n) per-row gradients of the LOCAL shard, all at x.
 
@@ -96,6 +111,7 @@ class DPCfg(NamedTuple):
     alpha: float
     sag: bool = False
     plus: bool = False
+    block: bool = False  # contiguous-block sampling (TPU fast path)
     variant: str = "basic"
 
     @property
@@ -219,16 +235,26 @@ def _finito_step_local(F, g, cfg: DPCfg, state: DPFinitoState):
     """Sharded Finito hot step (reference Finito_basic.jl:91-121): every
     device refreshes b_loc of its own table rows against the shared z;
     the av innovation is one psum."""
-    N = cfg.N
-    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
-    gi = state.gamma[idx]
-    G_B = F.grad_batch(state.z, idx)
-    s_new = state.z[None, :] - (gi / N)[:, None] * G_B
-    delta = s_new - state.s[idx]
+    N, B = cfg.N, cfg.b_loc
+    if cfg.sweeping != Sweep.RANDOM:
+        # contiguous fast path: dynamic-slice DMAs, no gather/scatter
+        start = local_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        G_B = F.grad_block(state.z, start, B)
+        s_new = state.z[None, :] - (gi / N)[:, None] * G_B
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        delta = s_new - s_old
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, s_new, start, 0)
+    else:
+        idx = local_indices(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        gi = state.gamma[idx]
+        G_B = F.grad_batch(state.z, idx)
+        s_new = state.z[None, :] - (gi / N)[:, None] * G_B
+        delta = s_new - state.s[idx]
+        s = state.s.at[idx].set(s_new)
     av = state.av + _psum(
         jnp.sum(delta * (state.hat_gamma / gi)[:, None], axis=0)
     )
-    s = state.s.at[idx].set(s_new)
     z = g.prox_only(av, state.hat_gamma)
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
@@ -264,14 +290,14 @@ def _lfinito_step_local(F, g, cfg: DPCfg, state: DPLFinitoState):
     else:
         order = jnp.arange(d_loc, dtype=jnp.int32)
 
-    lane = jnp.arange(b_loc, dtype=jnp.int32)
-
     def block_body(carry, j):
         av, z = carry
         z = g.prox_only(av, hat)
-        idx = j * b_loc + lane
-        diff = F.grad_sum_diff(z_full, z, idx)
-        inv_g = jnp.sum(1.0 / state.gamma[idx])
+        start = j * b_loc
+        diff = F.grad_sum_diff_block(z_full, z, start, b_loc)
+        inv_g = jnp.sum(
+            1.0 / jax.lax.dynamic_slice_in_dim(state.gamma, start, b_loc)
+        )
         av = av + _psum((hat / N) * diff + hat * inv_g * (z - z_full))
         return (av, z), None
 
@@ -294,11 +320,23 @@ def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
     """Sharded minibatch SAGA/SAG step (reference SAGA_basic.jl:53-67;
     minibatching is the reference's own TODO at :74). The biased SAG /
     unbiased SAGA update-order quirk is preserved."""
-    N = cfg.N
-    B_glob = cfg.b_loc * cfg.D
-    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
-    G_B = F.grad_batch(state.z, idx)
-    innov = _psum(jnp.sum(G_B - state.s[idx], axis=0))  # (n,)
+    N, B = cfg.N, cfg.b_loc
+    B_glob = B * cfg.D
+    if cfg.block:
+        # contiguous fast path: each device draws one of its sub-blocks
+        ax = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+        j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
+        start = j * B
+        G_B = F.grad_block(state.z, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        innov = _psum(jnp.sum(G_B - s_old, axis=0))
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
+    else:
+        idx = local_indices(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        G_B = F.grad_batch(state.z, idx)
+        innov = _psum(jnp.sum(G_B - state.s[idx], axis=0))  # (n,)
+        s = state.s.at[idx].set(G_B)
     diff = innov / B_glob
     if cfg.sag:
         av = state.av + innov / N
@@ -307,7 +345,6 @@ def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
         w = state.z - state.gamma * (diff + state.av)
         av = state.av + innov / N
     z = g.prox_only(w, state.gamma)
-    s = state.s.at[idx].set(G_B)
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
 
@@ -377,15 +414,24 @@ def _proshi_step_local(F, g, cfg: DPCfg, state: DPProshiState):
     variables stay put; the coupling delta is one psum, the prox of the
     sum and the broadcast of z are replicated — the all-gather + scatter
     pattern named in BASELINE.md realized as psum + replicated compute."""
-    N = cfg.N
-    idx = local_indices(state.key, state.it, cfg.n_loc, cfg.b_loc, cfg.sweeping)
-    gi = state.gamma[idx]
-    s_old = state.s[idx]
-    s_tmp = s_old + gi[:, None] * state.z[None, :]
-    G_B = F.grad_pointwise(s_tmp, idx)
-    s_new = s_tmp - (gi / N)[:, None] * G_B
+    N, B = cfg.N, cfg.b_loc
+    if cfg.sweeping != Sweep.RANDOM:
+        start = local_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise_block(s_tmp, start, B)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, s_new, start, 0)
+    else:
+        idx = local_indices(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        gi = state.gamma[idx]
+        s_old = state.s[idx]
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise(s_tmp, idx)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        s = state.s.at[idx].set(s_new)
     av = state.av + _psum(jnp.sum(s_new - s_old, axis=0))
-    s = state.s.at[idx].set(s_new)
     z = _proshi_coupling(g, av, state.hat_gamma)
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
@@ -564,6 +610,7 @@ class DPSAGA:
     verbose: bool = False
     freq: int = 1000
     SAG_flag: bool = False
+    block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -583,9 +630,11 @@ class DPSAGA:
                 raise ValueError("DPSAGA: provide L or γ")
             L_max = jnp.max(jnp.asarray(L, rdt))
             gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError("DPSAGA block_sampling needs N/D divisible by batch/D")
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
-            sag=self.SAG_flag,
+            sag=self.SAG_flag, block=self.block_sampling,
         )
         init_c, step_c, run_c = build_dp_functions("saga", mesh, F, g, cfg)
         key = jax.random.PRNGKey(self.seed)

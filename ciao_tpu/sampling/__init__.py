@@ -59,27 +59,17 @@ def init_sweep(key, n: int, batch: int, sweeping: int = Sweep.RANDOM) -> SweepSt
     )
 
 
-def next_block(
+def next_block_id(
     state: SweepState, n: int, batch: int, sweeping: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, SweepState]:
-    """Advance the schedule one step.
-
-    Returns ``(idx, mask, new_state)`` with ``idx`` an (batch,)-shaped
-    int32 index vector and ``mask`` the valid-lane booleans.
-    """
+) -> Tuple[jnp.ndarray, SweepState]:
+    """Advance a cyclic/shuffled schedule one step, returning the
+    0-based BLOCK id — the TPU fast path consumes ``block * batch`` as a
+    dynamic-slice start (contiguous blocks avoid XLA's slow TPU row
+    scatter; see oracles.base block entry points)."""
     d = num_blocks(n, batch)
-    if sweeping == Sweep.RANDOM:
-        key, sub = jax.random.split(state.key)
-        idx = jax.random.choice(sub, n, (batch,), replace=False).astype(jnp.int32)
-        mask = jnp.ones((batch,), bool)
-        return idx, mask, state._replace(key=key)
-
     if sweeping == Sweep.CYCLIC:
         new_pos = state.pos % d + 1  # reference: idxr = mod(idxr, d) + 1
-        idx = (new_pos - 1) * batch + jnp.arange(batch, dtype=jnp.int32)
-        mask = idx < n
-        idx = jnp.minimum(idx, n - 1)
-        return idx, mask, state._replace(pos=new_pos)
+        return new_pos - 1, state._replace(pos=new_pos)
 
     if sweeping == Sweep.SHUFFLED:
         # reference semantics: when pos == d, draw a fresh permutation and
@@ -96,13 +86,30 @@ def next_block(
         order, pos, key = jax.lax.cond(
             state.pos == d, reshuffle, advance, (state.order, state.pos, state.key)
         )
-        block = order[pos - 1]
-        idx = block * batch + jnp.arange(batch, dtype=jnp.int32)
-        mask = idx < n
-        idx = jnp.minimum(idx, n - 1)
-        return idx, mask, SweepState(pos=pos, order=order, key=key)
+        return order[pos - 1], SweepState(pos=pos, order=order, key=key)
 
-    raise ValueError(f"sweeping must be 1, 2 or 3; got {sweeping}")
+    raise ValueError(f"block schedules need sweeping 2 or 3; got {sweeping}")
+
+
+def next_block(
+    state: SweepState, n: int, batch: int, sweeping: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, SweepState]:
+    """Advance the schedule one step.
+
+    Returns ``(idx, mask, new_state)`` with ``idx`` an (batch,)-shaped
+    int32 index vector and ``mask`` the valid-lane booleans.
+    """
+    if sweeping == Sweep.RANDOM:
+        key, sub = jax.random.split(state.key)
+        idx = jax.random.choice(sub, n, (batch,), replace=False).astype(jnp.int32)
+        mask = jnp.ones((batch,), bool)
+        return idx, mask, state._replace(key=key)
+
+    block, new_state = next_block_id(state, n, batch, sweeping)
+    idx = block * batch + jnp.arange(batch, dtype=jnp.int32)
+    mask = idx < n
+    idx = jnp.minimum(idx, n - 1)
+    return idx, mask, new_state
 
 
 def uniform_index(key, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -35,7 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ciao_tpu.prox import Zero
-from ciao_tpu.sampling import Sweep, SweepState, init_sweep, next_block, num_blocks
+from ciao_tpu.sampling import (
+    Sweep,
+    SweepState,
+    init_sweep,
+    next_block,
+    next_block_id,
+    num_blocks,
+)
 from ciao_tpu.solvers.base import (
     SolverIterable,
     Status,
@@ -54,6 +61,7 @@ class FinitoCfg(NamedTuple):
     alpha: float
     tol_b: float = 1e-9
     cyclic_pos0: int = 1  # basic starts its cyclic sweep at block 2 (see sampling)
+    fused: bool = False   # Pallas one-pass table refresh (TPU, f32)
 
 
 class FinitoBasicState(NamedTuple):
@@ -68,6 +76,29 @@ class FinitoBasicState(NamedTuple):
 
     @property
     def solution(self):  # reference: solution(state) = state.z
+        return self.z
+
+
+class FinitoCoeffState(NamedTuple):
+    """Coefficient-compressed Finito-basic state (rank-1 row gradients):
+    the (N, n) table s_i = z_b − (γ_i/N)·c_i·a_i is reconstructed from
+    the (N,) coefficients ``c`` and the per-block eval points ``zb``
+    (d, n) — an EXACT re-parameterization of the basic variant under
+    contiguous block sweeps, with 1/n the memory and half the traffic."""
+
+    c: jnp.ndarray          # (N,) gradient coefficients
+    zb: jnp.ndarray         # (d, n) eval point of each block's last update
+    invg: jnp.ndarray       # (d,) per-block Σ 1/γ_i
+    gamma: jnp.ndarray      # (N,)
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    sweep: SweepState
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
         return self.z
 
 
@@ -126,24 +157,106 @@ def finito_basic_init(F, g, x0, gamma, key, cfg: FinitoCfg) -> FinitoBasicState:
     )
 
 
+def _use_contiguous(cfg) -> bool:
+    """Cyclic/shuffled sweeps with evenly-dividing batches pick STATIC
+    CONTIGUOUS blocks (Finito_basic.jl:50-58) — served by dynamic-slice
+    DMAs instead of gather/scatter (the scatter is ~10x off HBM
+    bandwidth on TPU; the slice path is ~4x faster end-to-end)."""
+    return cfg.sweeping != Sweep.RANDOM and cfg.N % cfg.batch == 0
+
+
 def _finito_basic_step(F, g, cfg: FinitoCfg, state: FinitoBasicState) -> FinitoBasicState:
     """Hot step (reference Finito_basic.jl:91-121), batched exactly:
     s_i <- z - (γ_i/N) ∇f_i(z);  av += Σ_i (s_i^new - s_i^old)·hat_γ/γ_i;
     z <- prox_g(av, hat_γ)."""
     N, B = cfg.N, cfg.batch
-    idx, mask, sweep = next_block(state.sweep, N, B, cfg.sweeping)
-    gi = state.gamma[idx]                                 # (B,)
-    G_B = F.grad_batch(state.z, idx)                      # (B, n)
-    s_new = state.z[None, :] - (gi / N)[:, None] * G_B
-    s_old = state.s[idx]
-    delta_rows = jnp.where(mask[:, None], s_new - s_old, 0)
-    av = state.av + jnp.sum(
-        delta_rows * (state.hat_gamma / gi)[:, None], axis=0
-    )
-    # scatter-ADD keeps padded duplicate indices harmless (they add 0)
-    s = state.s.at[idx].add(delta_rows)
+    if _use_contiguous(cfg):
+        block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
+        start = block * B
+        if cfg.fused:
+            # Pallas: gradient + table write + innovation in ONE VMEM pass
+            s, innov = F.fused_finito_block(
+                state.s, state.gamma, state.z, start, B,
+                1.0 / N, state.hat_gamma,
+            )
+            av = state.av + innov
+        else:
+            gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+            G_B = F.grad_block(state.z, start, B)
+            s_new = state.z[None, :] - (gi / N)[:, None] * G_B
+            s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+            av = state.av + jnp.sum(
+                (s_new - s_old) * (state.hat_gamma / gi)[:, None], axis=0
+            )
+            s = jax.lax.dynamic_update_slice_in_dim(state.s, s_new, start, 0)
+    else:
+        idx, mask, sweep = next_block(state.sweep, N, B, cfg.sweeping)
+        gi = state.gamma[idx]                             # (B,)
+        G_B = F.grad_batch(state.z, idx)                  # (B, n)
+        s_new = state.z[None, :] - (gi / N)[:, None] * G_B
+        s_old = state.s[idx]
+        delta_rows = jnp.where(mask[:, None], s_new - s_old, 0)
+        av = state.av + jnp.sum(
+            delta_rows * (state.hat_gamma / gi)[:, None], axis=0
+        )
+        # scatter-ADD keeps padded duplicate indices harmless (they add 0)
+        s = state.s.at[idx].add(delta_rows)
     z = g.prox_only(av, state.hat_gamma)
     return state._replace(s=s, av=av, z=z, sweep=sweep, it=state.it + 1)
+
+
+# ---------------------------------------------------------------------------
+# coefficient-compressed basic variant (rank-1 row-gradient oracles)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def finito_coeff_init(F, g, x0, gamma, key, cfg: FinitoCfg) -> FinitoCoeffState:
+    """Same bootstrap algebra as finito_basic_init (Finito_basic.jl:44-89)
+    in the compressed parameterization: s_i = x0 − (γ_i/N)c_i·a_i, so
+    av = hat_γ·(Σ1/γ_i)·x0 − (hat_γ/N)·Σ c_i a_i."""
+    N, B = cfg.N, cfg.batch
+    d = N // B
+    c = F.coeff_all(x0)
+    inv_gamma = 1.0 / gamma
+    hat_gamma = 1.0 / jnp.sum(inv_gamma)
+    av = hat_gamma * jnp.sum(inv_gamma) * x0 - (hat_gamma / N) * F.apply_all(c)
+    z = g.prox_only(av, hat_gamma)
+    invg = jnp.sum(inv_gamma.reshape(d, B), axis=1)
+    zb = jnp.broadcast_to(x0, (d,) + x0.shape)
+    sweep = init_sweep(key, N, B, cfg.sweeping)
+    if cfg.sweeping == Sweep.CYCLIC:
+        sweep = sweep._replace(pos=jnp.asarray(cfg.cyclic_pos0, jnp.int32))
+    return FinitoCoeffState(
+        c=c, zb=zb, invg=invg, gamma=gamma, hat_gamma=hat_gamma, av=av, z=z,
+        sweep=sweep, it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _finito_coeff_step(F, g, cfg: FinitoCfg, state: FinitoCoeffState):
+    """Exact re-parameterization of the basic hot step over a contiguous
+    block (Finito_basic.jl:110-118):
+
+        Σ_B (s_new−s_old)·hat_γ/γ_i
+          = hat_γ·(Σ_B 1/γ_i)(z − z_b) − (hat_γ/N)·Σ_B (c_new−c_old)·a_i
+
+    — two matvecs over the SAME oracle rows, zero table IO."""
+    N, B = cfg.N, cfg.batch
+    hat = state.hat_gamma
+    block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
+    start = block * B
+    c_new = F.coeff_block(state.z, start, B)
+    c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    z_b = state.zb[block]
+    innov = hat * state.invg[block] * (state.z - z_b) - (hat / N) * (
+        F.apply_rows_block(c_new - c_old, start, B)
+    )
+    av = state.av + innov
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, c_new, start, 0)
+    zb = state.zb.at[block].set(state.z)
+    z = g.prox_only(av, hat)
+    return state._replace(
+        c=c, zb=zb, av=av, z=z, sweep=sweep, it=state.it + 1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -195,11 +308,18 @@ def _lfinito_step(F, g, cfg: FinitoCfg, state: LFinitoState) -> LFinitoState:
     def block_body(carry, j):
         av, z = carry
         z = g.prox_only(av, hat)
-        idx = j * B + lane
-        mask = idx < N
-        idx = jnp.minimum(idx, N - 1)
-        diff = F.grad_sum_diff(z_full, z, idx, mask)
-        inv_g = jnp.sum(jnp.where(mask, 1.0 / state.gamma[idx], 0))
+        if N % B == 0:  # contiguous fast path (see _use_contiguous)
+            start = j * B
+            diff = F.grad_sum_diff_block(z_full, z, start, B)
+            inv_g = jnp.sum(
+                1.0 / jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+            )
+        else:
+            idx = j * B + lane
+            mask = idx < N
+            idx = jnp.minimum(idx, N - 1)
+            diff = F.grad_sum_diff(z_full, z, idx, mask)
+            inv_g = jnp.sum(jnp.where(mask, 1.0 / state.gamma[idx], 0))
         av = av + (hat / N) * diff + hat * inv_g * (z - z_full)
         return (av, z), None
 
@@ -381,6 +501,7 @@ def _guarded(step_fn):
 
 _STEPS = {
     "basic": _finito_basic_step,
+    "basic_coeff": _finito_coeff_step,
     "lfinito": _lfinito_step,
     "adaptive": _finito_adaptive_step,
 }
@@ -430,6 +551,7 @@ class Finito:
     alpha: float = 0.999
     tol: float = 1e-8
     tol_b: float = 1e-9
+    table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     seed: int = 0
 
     def __post_init__(self):
@@ -462,27 +584,54 @@ class Finito:
         if g is None:
             g = Zero()
         rdt = real_dtype_of(x0)
+        fused = False
+        if (
+            self._variant == "basic"
+            and self.sweeping != Sweep.RANDOM
+            and N % self.minibatch[1] == 0
+            and hasattr(F, "fused_finito_block")
+        ):
+            from ciao_tpu.ops import fused_block_available
+
+            fused = x0.dtype == jnp.float32 and fused_block_available(
+                N, x0.size, self.minibatch[1], x0.dtype
+            )
         cfg = FinitoCfg(
             N=N,
             batch=self.minibatch[1],
             sweeping=self.sweeping,
             alpha=float(self.alpha),
             tol_b=float(self.tol_b),
+            fused=fused,
         )
         key = jax.random.PRNGKey(self.seed)
-        if self._variant == "adaptive":
+        variant = self._variant
+        if variant == "adaptive":
             init = lambda: finito_adaptive_init(F, g, x0, key, cfg)
         else:
             gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
-            if self._variant == "basic":
-                init = lambda: finito_basic_init(F, g, x0, gamma, key, cfg)
+            if variant == "basic":
+                coeff_ok = (
+                    self.sweeping != Sweep.RANDOM
+                    and N % cfg.batch == 0
+                    and getattr(F, "supports_coeff", False)
+                )
+                if self.table == "coeff" and not coeff_ok:
+                    raise ValueError(
+                        "Finito table='coeff' needs a rank-1 oracle and "
+                        "cyclic/shuffled sweeping with N divisible by batch"
+                    )
+                if self.table in ("auto", "coeff") and coeff_ok:
+                    variant = "basic_coeff"
+                    init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg)
+                else:
+                    init = lambda: finito_basic_init(F, g, x0, gamma, key, cfg)
             else:
                 init = lambda: lfinito_init(F, g, x0, gamma, key, cfg)
-        return x0, F, g, cfg, init
+        return x0, F, g, cfg, init, variant
 
     def __call__(self, x0, F=None, g=None, L=None, N=None):
-        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
-        variant = self._variant
+        x0, F, g, cfg, init, variant = self._setup(x0, F, g, L, N)
 
         def run_chunk(state, n):
             return finito_run(F, g, state, cfg, variant, n)
@@ -497,8 +646,7 @@ class Finito:
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
-        variant = self._variant
+        x0, F, g, cfg, init, variant = self._setup(x0, F, g, L, N)
         step = lambda s: finito_step(F, g, s, cfg, variant)
         it = SolverIterable(x0_orig, init, step)
         return it

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ciao_tpu.prox import Zero
-from ciao_tpu.sampling import Sweep, SweepState, init_sweep, next_block
+from ciao_tpu.sampling import Sweep, SweepState, init_sweep, next_block, next_block_id
 from ciao_tpu.solvers.base import (
     SolverIterable,
     real_dtype_of,
@@ -91,15 +91,27 @@ def proshi_init(F, g, x0, gamma, key, cfg: ProshiCfg) -> ProshiState:
 def _proshi_step(F, g, cfg: ProshiCfg, state: ProshiState) -> ProshiState:
     """Reference ProShI_basic.jl:93-125, batched."""
     N, B = cfg.N, cfg.batch
-    idx, mask, sweep = next_block(state.sweep, N, B, cfg.sweeping)
-    gi = state.gamma[idx]                             # (B,)
-    s_old = state.s[idx]                              # (B, n)
-    s_tmp = s_old + gi[:, None] * state.z[None, :]
-    G_B = F.grad_pointwise(s_tmp, idx)                # per-block eval points
-    s_new = s_tmp - (gi / N)[:, None] * G_B
-    delta_rows = jnp.where(mask[:, None], s_new - s_old, 0)
-    av = state.av + jnp.sum(delta_rows, axis=0)
-    s = state.s.at[idx].add(delta_rows)
+    if cfg.sweeping != Sweep.RANDOM and N % B == 0:
+        # contiguous fast path (dynamic-slice DMAs; see finito.py note)
+        block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
+        start = block * B
+        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise_block(s_tmp, start, B)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        av = state.av + jnp.sum(s_new - s_old, axis=0)
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, s_new, start, 0)
+    else:
+        idx, mask, sweep = next_block(state.sweep, N, B, cfg.sweeping)
+        gi = state.gamma[idx]                         # (B,)
+        s_old = state.s[idx]                          # (B, n)
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise(s_tmp, idx)            # per-block eval points
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        delta_rows = jnp.where(mask[:, None], s_new - s_old, 0)
+        av = state.av + jnp.sum(delta_rows, axis=0)
+        s = state.s.at[idx].add(delta_rows)
     z = _coupling(g, av, state.hat_gamma)
     return state._replace(s=s, av=av, z=z, sweep=sweep, it=state.it + 1)
 

@@ -42,6 +42,9 @@ class SAGACfg(NamedTuple):
     N: int
     sag: bool
     batch: int = 1
+    block: bool = False  # uniform CONTIGUOUS block instead of iid subset
+    fused: bool = False  # Pallas one-pass table refresh (TPU, f32)
+    coeff: bool = False  # (N,) coefficient table instead of (N, n) rows
 
 
 class SAGAState(NamedTuple):
@@ -60,8 +63,15 @@ class SAGAState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def saga_init(F, g, x0, gamma, key, cfg: SAGACfg) -> SAGAState:
-    s = F.grad_all(x0)
-    av = jnp.mean(s, axis=0)
+    """Reference SAGA_basic.jl:41-48. In coeff mode the gradient table
+    s_i = ∇f_i(x0) = c_i·a_i is stored as the EXACT (N,) coefficient
+    vector (rank-1 row gradients; oracles with ``supports_coeff``)."""
+    if cfg.coeff:
+        s = F.coeff_all(x0)
+        av = F.apply_all(s) / cfg.N
+    else:
+        s = F.grad_all(x0)
+        av = jnp.mean(s, axis=0)
     z = g.prox_only((1 - gamma) * x0, gamma)
     return SAGAState(
         s=s, gamma=gamma, av=av, z=z, key=key,
@@ -69,9 +79,83 @@ def saga_init(F, g, x0, gamma, key, cfg: SAGACfg) -> SAGAState:
     )
 
 
-def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
+def _saga_direction(cfg, state, innov, B):
+    """The SAG (biased, average first) / SAGA (unbiased) update-order
+    quirk (SAGA_basic.jl:57-62), shared by all table layouts.
+    ``innov`` = Σ_B (∇f_i(z) − s_i_old)."""
+    N = cfg.N
+    diff = innov / B
+    if cfg.sag:
+        av = state.av + innov / N
+        w = state.z - state.gamma * av
+    else:
+        w = state.z - state.gamma * (diff + state.av)
+        av = state.av + innov / N
+    return av, w
+
+
+def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
+    """Coefficient-table step: no (N, n) table IO at all — the innovation
+    Σ (c_new − c_old)·a_i is one extra matvec over the SAME oracle rows
+    the gradient evaluation already reads."""
     N, B = cfg.N, cfg.batch
     key, sub = jax.random.split(state.key)
+    if cfg.block:
+        j = jax.random.randint(sub, (), 0, N // B, dtype=jnp.int32)
+        start = j * B
+        c_new = F.coeff_block(state.z, start, B)
+        c_old = jax.lax.dynamic_slice_in_dim(state.s, start, B)
+        innov = F.apply_rows_block(c_new - c_old, start, B)
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, c_new, start, 0)
+    else:
+        if B == 1:
+            idx = jax.random.randint(sub, (1,), 0, N, dtype=jnp.int32)
+        else:
+            idx = jax.random.choice(sub, N, (B,), replace=False).astype(jnp.int32)
+        c_new = F.coeff_batch(state.z, idx)
+        c_old = state.s[idx]
+        innov = F.apply_rows(c_new - c_old, idx)
+        s = state.s.at[idx].set(c_new)
+    av, w = _saga_direction(cfg, state, innov, B)
+    z = g.prox_only(w, state.gamma)
+    return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
+
+
+def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
+    if cfg.coeff:
+        return _saga_step_coeff(F, g, cfg, state)
+    N, B = cfg.N, cfg.batch
+    key, sub = jax.random.split(state.key)
+    if cfg.block:
+        # TPU fast path: a uniformly-drawn CONTIGUOUS block (partition-
+        # stratified minibatch SAGA) — dynamic-slice DMAs instead of the
+        # row gather/scatter, which is ~10x off HBM bandwidth on TPU.
+        j = jax.random.randint(sub, (), 0, N // B, dtype=jnp.int32)
+        start = j * B
+        if cfg.fused:
+            # Pallas: gradient + table write + innovation in ONE VMEM pass
+            s, innov = F.fused_saga_block(state.s, state.z, start, B)
+            diff = innov / B
+            if cfg.sag:
+                av = state.av + innov / N
+                w = state.z - state.gamma * av
+            else:
+                w = state.z - state.gamma * (diff + state.av)
+                av = state.av + innov / N
+            z = g.prox_only(w, state.gamma)
+            return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
+        G_B = F.grad_block(state.z, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        diff = jnp.mean(G_B - s_old, axis=0)
+        if cfg.sag:
+            av = state.av + diff * (B / N)
+            w = state.z - state.gamma * av
+        else:
+            w = state.z - state.gamma * (diff + state.av)
+            av = state.av + diff * (B / N)
+        z = g.prox_only(w, state.gamma)
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
+        return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
     if B == 1:
         idx = jax.random.randint(sub, (1,), 0, N, dtype=jnp.int32)
     else:
@@ -114,6 +198,8 @@ class SAGA:
     freq: int = 1000
     SAG_flag: bool = False
     batch: int = 1
+    block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
+    table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     seed: int = 0
 
     def __post_init__(self):
@@ -141,7 +227,29 @@ class SAGA:
                 raise ValueError("SAGA: smoothness parameter absent — provide L or γ")
             L_max = jnp.max(jnp.asarray(L, rdt))
             gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
-        cfg = SAGACfg(N=N, sag=self.SAG_flag, batch=self.batch)
+        if self.block_sampling and N % self.batch != 0:
+            raise ValueError("SAGA block_sampling needs N divisible by batch")
+        assert self.table in ("auto", "full", "coeff")
+        coeff = (
+            getattr(F, "supports_coeff", False)
+            if self.table == "auto"
+            else self.table == "coeff"
+        )
+        fused = False
+        if (
+            not coeff
+            and self.block_sampling
+            and hasattr(F, "fused_saga_block")
+        ):
+            from ciao_tpu.ops import fused_block_available
+
+            fused = x0.dtype == jnp.float32 and fused_block_available(
+                N, x0.size, self.batch, x0.dtype
+            )
+        cfg = SAGACfg(
+            N=N, sag=self.SAG_flag, batch=self.batch,
+            block=self.block_sampling, fused=fused, coeff=coeff,
+        )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: saga_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init
