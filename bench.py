@@ -91,10 +91,13 @@ def tpu_samples_per_s() -> float:
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
     L_max = jnp.max(jnp.sum(A * A, axis=1)) * N
     gamma = (1.0 / (3.0 * L_max)).astype(jnp.float32)
-    # block sampling + coefficient-compressed table: the TPU-native fast
-    # path (trajectory exactly equals the full-table variant; see
-    # tests/test_ops.py equivalence suite)
-    cfg = SAGACfg(N=N, sag=False, batch=BATCH, block=True, coeff=True)
+    # block sampling + coefficient-compressed table + K-steps-per-launch
+    # fused Pallas kernel: the TPU-native fast path (trajectory exactly
+    # equals the full-table variant; tests/test_ops.py equivalence suite)
+    from ciao_tpu.ops import coeff_multistep_available
+
+    fused = coeff_multistep_available(N, n, BATCH, jnp.float32)
+    cfg = SAGACfg(N=N, sag=False, batch=BATCH, block=True, coeff=True, fused=fused)
 
     state = saga_init(F, g, jnp.zeros(n, jnp.float32), gamma, key, cfg)
     jax.block_until_ready(state)
@@ -108,14 +111,13 @@ def tpu_samples_per_s() -> float:
     jax.block_until_ready(state)
     log(f"compile+first epoch: {time.perf_counter() - t_compile:.1f}s")
 
-    for _ in range(WARMUP_EPOCHS - 1):
-        state = saga_run(F, g, state, cfg, STEPS_PER_EPOCH)
-    jax.block_until_ready(state)
+    timed_steps = TIMED_EPOCHS * STEPS_PER_EPOCH
+    state = saga_run(F, g, state, cfg, timed_steps)  # compile timed shape
+    _ = float(state.z[0])                            # hard sync (tunnel-safe)
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_EPOCHS):
-        state = saga_run(F, g, state, cfg, STEPS_PER_EPOCH)
-    jax.block_until_ready(state)
+    state = saga_run(F, g, state, cfg, timed_steps)
+    _ = float(state.z[0])
     dt = time.perf_counter() - t0
 
     obj1 = float(

@@ -11,13 +11,21 @@ s-tile — one pass at speed-of-light HBM traffic.
 """
 
 from ciao_tpu.ops.fused_block import (
+    MODE_LOGISTIC,
+    MODE_LSQ,
+    coeff_multistep_available,
     finito_block_update,
     fused_block_available,
     saga_block_update,
+    saga_coeff_multistep,
 )
 
 __all__ = [
+    "coeff_multistep_available",
+    "MODE_LOGISTIC",
+    "MODE_LSQ",
     "finito_block_update",
     "fused_block_available",
     "saga_block_update",
+    "saga_coeff_multistep",
 ]

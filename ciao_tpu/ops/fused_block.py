@@ -98,7 +98,7 @@ def _col_spec(TILE):
 
 
 def _bcast_spec(shape):
-    return pl.BlockSpec(shape, lambda i, st: (0, 0))
+    return pl.BlockSpec(shape, lambda *_: (0, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
@@ -138,6 +138,170 @@ def saga_block_update(A, b2, s, z2, start, scale2, B: int):
         input_output_aliases={3: 0},  # s -> s_new (in-place table)
     )(jnp.reshape(start, (1,)).astype(jnp.int32), A, b2, s, z2, scale2)
     return s_new, jnp.sum(innov[:num_tiles], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# multi-step fused kernel (coefficient tables)
+# ---------------------------------------------------------------------------
+#
+# Per-launch fixed cost on this backend is ~0.1 ms — comparable to the
+# whole step once tables are coefficient-compressed. This kernel runs K
+# SOLVER STEPS per launch: grid (K, tiles-per-block), with av/z carried
+# in VMEM scratch across grid steps (TPU grids execute sequentially) and
+# the prox applied IN-KERNEL at each block boundary. Traffic per step is
+# exactly one pass over the block's oracle rows.
+
+MODE_LSQ = 0       # c = scale·(a_i·z − b_i)        (least-squares rows)
+MODE_LOGISTIC = 1  # c = −y_i·σ(−y_i·a_i·z)          (logistic rows)
+
+
+def _coeff_formula(mode, r, b_t, scale):
+    c_lsq = scale * (r - b_t)
+    c_log = -b_t * jax.nn.sigmoid(-b_t * r)
+    return jnp.where(mode == MODE_LSQ, c_lsq, c_log)
+
+
+SLAB_ROWS = 8  # coefficient slab layout: (8, N/8), c_i at (i·8//N, i mod N/8)
+
+
+def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
+    """Gate for the K-step fused kernel: the coefficient vector lives in
+    an (8, N/8) VMEM scratch for the whole launch (hazard-free block
+    revisits, zero per-step table traffic); blocks must tile the slab
+    rows evenly and the slab must fit VMEM."""
+    return (
+        fused_block_available(N, n, B, dtype)
+        and N % (SLAB_ROWS * B) == 0
+        and _pick_tile(B, N, n) >= 128   # lane-aligned (1, TILE) slices
+        and 4 * N <= 4 * 1024 * 1024     # c slab ≤ 4 MB (N ≤ 1M rows)
+    )
+
+
+def _saga_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, z_in_ref,
+                             av_in_ref, sc_ref, c_out_ref, z_out_ref,
+                             av_out_ref, c_vm, av_vm, z_vm, innov_vm):
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
+    invB = sc_ref[0, 3]
+    invN = sc_ref[0, 4]
+    sag = sc_ref[0, 5]
+    mode = sc_ref[0, 6]
+    TILE = A_ref.shape[0]
+    ncols = c_vm.shape[1]    # N / 8
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        c_vm[...] = c_in_ref[...]
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    # r as a LANE-major (1, TILE) row: z·A_tᵀ — no transposes/reshapes
+    r = jax.lax.dot_general(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, TILE)
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    off = pl.multiple_of(abs_start % ncols, 128)
+    # b block carries all 8 slab rows at this lane offset (sublane-rule
+    # compliant); select the row of this block dynamically
+    b_t = b_ref[pl.ds(row, 1), :]                   # (1, TILE)
+    c_new = _coeff_formula(mode, r, b_t, scale)
+    # the coefficient slab stays in VMEM for the whole launch — block
+    # revisits within a launch are hazard-free (no in/out DMA race)
+    c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]   # (1, TILE)
+    dc = c_new - c_old
+    c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
+    innov_vm[...] += jax.lax.dot_general(
+        dc, A_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, n)
+
+    @pl.when(t == T - 1)
+    def _():
+        innov = innov_vm[...]
+        av, z = av_vm[...], z_vm[...]
+        av_new = av + innov * invN
+        # SAG refreshes the average BEFORE the direction (biased),
+        # SAGA after (unbiased) — SAGA_basic.jl:57-62
+        w = jnp.where(
+            sag > 0, z - gamma * av_new, z - gamma * (innov * invB + av)
+        )
+        av_vm[...] = av_new
+        z_vm[...] = jnp.sign(w) * jnp.maximum(jnp.abs(w) - thr, 0.0)
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        c_out_ref[...] = c_vm[...]
+        z_out_ref[...] = z_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(3,))
+def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int):
+    """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
+    kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
+    (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
+    ``scalars`` is the (1, 7) row [scale, γ, γλ, 1/B, 1/N, sag, mode].
+    Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
+    g=Zero) runs in-kernel at each block boundary."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets (all rows)
+            _bcast_spec((SLAB_ROWS, ncols)),          # c slab (whole)
+            _bcast_spec((1, n)),                      # z in
+            _bcast_spec((1, n)),                      # av in
+            pl.BlockSpec((1, 7), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((SLAB_ROWS, ncols)),          # c slab out
+            _bcast_spec((1, n)),                      # z out
+            _bcast_spec((1, n)),                      # av out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLAB_ROWS, ncols), jnp.float32),  # c carry
+            pltpu.VMEM((1, n), jnp.float32),          # av carry
+            pltpu.VMEM((1, n), jnp.float32),          # z carry
+            pltpu.VMEM((1, n), jnp.float32),          # innovation accum
+        ],
+    )
+    c_new, z_new, av_new = pl.pallas_call(
+        _saga_coeff_multi_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3: 0},  # c slab in -> out
+    )(starts.astype(jnp.int32), A, b8, c8, z2, av2, scalars)
+    return c_new, z_new, av_new
 
 
 @functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))

@@ -122,6 +122,11 @@ class LeastSquaresRows(SmoothOracle):
     supports_coeff: bool = dataclasses.field(
         default=True, metadata={"static": True}
     )
+    coeff_mode = 0  # ops.fused_block.MODE_LSQ
+
+    def coeff_rows_data(self):
+        """(rows, offsets) consumed by the fused multi-step kernel."""
+        return self.A, self.b
 
     def coeff_batch(self, x, idx):
         """c_i(x) for i in idx."""

@@ -100,6 +100,11 @@ class LogisticRows(SmoothOracle):
     supports_coeff: bool = dataclasses.field(
         default=True, metadata={"static": True}
     )
+    coeff_mode = 1  # ops.fused_block.MODE_LOGISTIC
+
+    def coeff_rows_data(self):
+        """(rows, labels) consumed by the fused multi-step kernel."""
+        return self.X, self.y
 
     def coeff_batch(self, x, idx):
         X_B = self.X[idx]

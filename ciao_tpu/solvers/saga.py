@@ -174,8 +174,81 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
 
 
+def _gen_block_starts(key, cfg: SAGACfg, k: int):
+    """K block starts with EXACTLY the per-step key discipline of
+    _saga_step_coeff (split-then-randint), so the fused multi-step path
+    reproduces the stepwise trajectory bit-for-bit in its sampling."""
+
+    def body(kk, _):
+        kk, sub = jax.random.split(kk)
+        j = jax.random.randint(sub, (), 0, cfg.N // cfg.batch, dtype=jnp.int32)
+        return kk, j * cfg.batch
+
+    return jax.lax.scan(body, key, None, length=k)
+
+
+def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
+    """Fused multi-step driver: K block steps per Pallas launch
+    (ops.saga_coeff_multistep), amortizing the per-launch overhead that
+    otherwise rivals the whole coefficient-mode step."""
+    from ciao_tpu.ops import saga_coeff_multistep
+
+    B = cfg.batch
+    K = min(64, steps)
+    L = steps // K
+    rem = steps - L * K
+    rows, offs = F.coeff_rows_data()
+    lam = getattr(g, "lam", 0.0)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+            jnp.asarray(state.gamma, jnp.float32),
+            jnp.asarray(state.gamma * lam, jnp.float32),
+            jnp.asarray(1.0 / B, jnp.float32),
+            jnp.asarray(1.0 / cfg.N, jnp.float32),
+            jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
+            jnp.asarray(float(F.coeff_mode), jnp.float32),
+        ]
+    )[None, :]
+
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+
+    def body(carry, _):
+        c8, z2, av2, key = carry
+        key, starts = _gen_block_starts(key, cfg, K)
+        c8, z2, av2 = saga_coeff_multistep(
+            rows, b8, starts, c8, z2, av2, scalars, B
+        )
+        return (c8, z2, av2, key), None
+
+    (c8, z2, av2, key), _ = jax.lax.scan(
+        body,
+        (
+            state.s.reshape(slab),
+            state.z[None, :],
+            state.av[None, :],
+            state.key,
+        ),
+        None,
+        length=L,
+    )
+    state = state._replace(
+        s=c8.reshape(cfg.N), z=z2[0], av=av2[0], key=key,
+        it=state.it + jnp.asarray(L * K, jnp.int32),
+    )
+    for _ in range(rem):
+        state = _saga_step(F, g, cfg, state)
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def saga_run(F, g, state, cfg: SAGACfg, steps: int):
+    if cfg.coeff and cfg.fused and steps >= 8:
+        return _saga_run_fused(F, g, state, cfg, steps)
+
     def body(s, _):
         return _saga_step(F, g, cfg, s), None
 
@@ -236,16 +309,22 @@ class SAGA:
             else self.table == "coeff"
         )
         fused = False
-        if (
-            not coeff
-            and self.block_sampling
-            and hasattr(F, "fused_saga_block")
-        ):
-            from ciao_tpu.ops import fused_block_available
+        if self.block_sampling and x0.dtype == jnp.float32:
+            from ciao_tpu.ops import coeff_multistep_available, fused_block_available
+            from ciao_tpu.prox import NormL1, Zero
 
-            fused = x0.dtype == jnp.float32 and fused_block_available(
-                N, x0.size, self.batch, x0.dtype
-            )
+            if coeff:
+                # multi-step fused kernel: needs the rank-1 row data and
+                # an in-kernel prox (L1 soft-threshold; Zero = thr 0)
+                fused = (
+                    coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
+                    and hasattr(F, "coeff_rows_data")
+                    and isinstance(g, (NormL1, Zero))
+                )
+            else:
+                fused = fused_block_available(
+                    N, x0.size, self.batch, x0.dtype
+                ) and hasattr(F, "fused_saga_block")
         cfg = SAGACfg(
             N=N, sag=self.SAG_flag, batch=self.batch,
             block=self.block_sampling, fused=fused, coeff=coeff,

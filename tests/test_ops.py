@@ -165,3 +165,65 @@ def test_finito_coeff_bad_config_raises():
         Finito(maxit=10, sweeping=1, table="coeff")(
             jnp.zeros(8), F=F, g=NormL1(lam=jnp.asarray(1.0)), L=prob.L
         )
+
+
+def test_saga_fused_multistep_matches_stepwise():
+    """The K-steps-per-launch fused kernel must reproduce the stepwise
+    coeff path: identical sampling stream (split/randint parity) and the
+    same math, so trajectories agree to matmul precision."""
+    from ciao_tpu.solvers.saga import SAGA, SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg_step = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st = saga_init(F, g, x0, gamma, key, cfg_step)
+    st_step = saga_run(F, g, st, cfg_step, 96)
+
+    cfg_fused = cfg_step._replace(fused=True)
+    st2 = saga_init(F, g, x0, gamma, key, cfg_fused)
+    with pltpu.force_tpu_interpret_mode():
+        st_fused = saga_run(F, g, st2, cfg_fused, 96)
+
+    assert int(st_fused.it) == int(st_step.it)
+    np.testing.assert_allclose(np.asarray(st_fused.z), np.asarray(st_step.z),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.av), np.asarray(st_step.av),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_fused.s), np.asarray(st_step.s),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_saga_fused_multistep_logistic_mode():
+    """Logistic coefficient mode (MODE_LOGISTIC) through the same kernel."""
+    from ciao_tpu.oracles import LogisticRows
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.utils.problems import make_logistic_l1
+
+    rng = np.random.default_rng(0)
+    Np, npix, Bp = 1024, 128, 128
+    X = rng.standard_normal((Np, npix)).astype(np.float32)
+    y = np.sign(rng.standard_normal(Np)).astype(np.float32)
+    F = LogisticRows(X=jnp.asarray(X), y=jnp.asarray(y))
+    g = NormL1(lam=jnp.asarray(0.01, jnp.float32))
+    gamma = jnp.asarray(0.01, jnp.float32)
+    key = jax.random.PRNGKey(1)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg_step = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st_step = saga_run(F, g, saga_init(F, g, x0, gamma, key, cfg_step),
+                       cfg_step, 64)
+    cfg_fused = cfg_step._replace(fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st_fused = saga_run(F, g, saga_init(F, g, x0, gamma, key, cfg_fused),
+                            cfg_fused, 64)
+    np.testing.assert_allclose(np.asarray(st_fused.z), np.asarray(st_step.z),
+                               rtol=1e-4, atol=1e-6)
