@@ -112,6 +112,7 @@ class DPCfg(NamedTuple):
     sag: bool = False
     plus: bool = False
     block: bool = False  # contiguous-block sampling (TPU fast path)
+    coeff: bool = False  # (N,) coefficient table (rank-1 oracles)
     variant: str = "basic"
 
     @property
@@ -197,10 +198,12 @@ class DPProshiState(NamedTuple):
 _SHARDED_FIELDS = {"s": P(DATA_AXIS, None), "gamma": P(DATA_AXIS)}
 
 
-def _state_specs(state_cls, scalar_gamma=False):
+def _state_specs(state_cls, scalar_gamma=False, coeff=False):
     specs = {}
     for f in state_cls._fields:
-        if f in _SHARDED_FIELDS and not (f == "gamma" and scalar_gamma):
+        if f == "s" and coeff:
+            specs[f] = P(DATA_AXIS)  # (N,) coefficient table
+        elif f in _SHARDED_FIELDS and not (f == "gamma" and scalar_gamma):
             specs[f] = _SHARDED_FIELDS[f]
         else:
             specs[f] = P()
@@ -306,9 +309,15 @@ def _lfinito_step_local(F, g, cfg: DPCfg, state: DPLFinitoState):
 
 
 def _saga_init_local(F, g, x0, gamma, key, cfg: DPCfg):
-    """Sharded SAGA bootstrap (reference SAGA_basic.jl:41-48)."""
-    s = _rows(F, x0, cfg.n_loc)
-    av = _psum(jnp.sum(s, axis=0)) / cfg.N
+    """Sharded SAGA bootstrap (reference SAGA_basic.jl:41-48). In coeff
+    mode the local table is the (n_loc,) coefficient shard and the mean
+    is one apply + psum."""
+    if cfg.coeff:
+        s = F.coeff_all(x0)                      # local rows' coefficients
+        av = _psum(F.apply_all(s)) / cfg.N
+    else:
+        s = _rows(F, x0, cfg.n_loc)
+        av = _psum(jnp.sum(s, axis=0)) / cfg.N
     z = g.prox_only((1 - gamma) * x0, gamma)
     return DPSAGAState(
         s=s, gamma=gamma, av=av, z=z, key=key,
@@ -328,10 +337,18 @@ def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
         k = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
         j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
         start = j * B
-        G_B = F.grad_block(state.z, start, B)
-        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
-        innov = _psum(jnp.sum(G_B - s_old, axis=0))
-        s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
+        if cfg.coeff:
+            # coefficient shard: the innovation is one extra matvec over
+            # the same local rows + the x-sized psum — zero table IO
+            c_new = F.coeff_block(state.z, start, B)
+            c_old = jax.lax.dynamic_slice_in_dim(state.s, start, B)
+            innov = _psum(F.apply_rows_block(c_new - c_old, start, B))
+            s = jax.lax.dynamic_update_slice_in_dim(state.s, c_new, start, 0)
+        else:
+            G_B = F.grad_block(state.z, start, B)
+            s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+            innov = _psum(jnp.sum(G_B - s_old, axis=0))
+            s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
     else:
         idx = local_indices(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
         G_B = F.grad_batch(state.z, idx)
@@ -462,7 +479,7 @@ def _compiled(family: str, mesh, f_treedef, f_specs_leaves, g_treedef,
     g_specs_tree = jax.tree_util.tree_unflatten(
         g_treedef, [P()] * g_treedef.num_leaves
     )
-    st_specs = _state_specs(state_cls, scalar_gamma=scalar_gamma)
+    st_specs = _state_specs(state_cls, scalar_gamma=scalar_gamma, coeff=cfg.coeff)
     gamma_spec = P() if scalar_gamma else P(DATA_AXIS)
     init_in = (f_specs, g_specs_tree, P(), gamma_spec) + (P(),) * (
         1 + extra_init_scalars
@@ -611,6 +628,7 @@ class DPSAGA:
     freq: int = 1000
     SAG_flag: bool = False
     block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
+    table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -632,9 +650,16 @@ class DPSAGA:
             gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
         if self.block_sampling and (N // D) % b_loc != 0:
             raise ValueError("DPSAGA block_sampling needs N/D divisible by batch/D")
+        coeff = (
+            getattr(F, "supports_coeff", False) and self.block_sampling
+            if self.table == "auto"
+            else self.table == "coeff"
+        )
+        if coeff and not self.block_sampling:
+            raise ValueError("DPSAGA table='coeff' requires block_sampling")
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
-            sag=self.SAG_flag, block=self.block_sampling,
+            sag=self.SAG_flag, block=self.block_sampling, coeff=coeff,
         )
         init_c, step_c, run_c = build_dp_functions("saga", mesh, F, g, cfg)
         key = jax.random.PRNGKey(self.seed)

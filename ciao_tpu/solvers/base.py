@@ -102,6 +102,17 @@ def loop(iterable):
     return last
 
 
+def halt(iterable, stop):
+    """Yield states until ``stop(state)`` is true, yielding the stopping
+    state last (the reference's ``IterationTools.halt``; its solvers
+    always pass ``stop ≡ false`` — ``Finito.jl:74`` — but the tool is
+    part of the public iteration surface)."""
+    for state in iterable:
+        yield state
+        if stop(state):
+            return
+
+
 def run_solver_loop(
     init_fn,
     run_chunk,

@@ -204,3 +204,26 @@ def test_dp_proshi_converges(mesh, sharing):
     np.testing.assert_allclose(got, sum_ref, atol=2e-2)
     # the coupling constraint g = IndBox(-inf, 1) must hold
     assert np.all(got <= 1.0 + 1e-6)
+
+
+def test_dp_saga_coeff_matches_full(mesh, lasso):
+    """DP coefficient table == DP full table exactly (same sampling
+    stream, algebraic compression), sharded P('data')."""
+    prob, F, g = lasso
+    a, _ = DPSAGA(mesh=mesh, maxit=500, batch=16, block_sampling=True,
+                  table="full", seed=3)(x0(prob), F=F, g=g, L=prob.L)
+    solver = DPSAGA(mesh=mesh, maxit=500, batch=16, block_sampling=True,
+                    table="coeff", seed=3)
+    b, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.s.shape == (N,)
+    assert st.s.sharding.spec == P(DATA_AXIS)
+
+
+def test_dp_saga_coeff_converges(mesh, lasso):
+    prob, F, g = lasso
+    x, _ = DPSAGA(mesh=mesh, maxit=3000, batch=8, block_sampling=True)(
+        x0(prob), F=F, g=g, L=prob.L
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
