@@ -5,7 +5,7 @@ from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.logistic import LogisticRows
 from ciao_tpu.oracles.quadratic import DiagQuadratic, DenseQuadratic, SqrDistBox
-from ciao_tpu.oracles.compose import SumOracle, ZeroOracle, CustomOracle
+from ciao_tpu.oracles.compose import SumOracle, ZeroOracle, CustomOracle, Precompose
 
 __all__ = [
     "SmoothOracle",
@@ -19,4 +19,5 @@ __all__ = [
     "SumOracle",
     "ZeroOracle",
     "CustomOracle",
+    "Precompose",
 ]

@@ -96,6 +96,36 @@ class ZeroOracle(SmoothOracle):
 
 @register_oracle
 @dataclasses.dataclass(frozen=True)
+class Precompose(SmoothOracle):
+    """f_i(x) = base_i(L_i x + t_i) — ProximalOperators' ``Precompose``
+    in stacked-operator form (the reference's tests use the row case
+    ``Precompose(LogisticLoss, a_i^T, 1.0)``, test_logistic_l1.jl:36,
+    which :class:`~ciao_tpu.oracles.LogisticRows` folds directly; this
+    class covers general per-term linear maps).
+
+    ``Lmat`` is (N, m, n); ``shift`` is (N, m) or None. Gradients follow
+    the chain rule ∇f_i(x) = L_iᴴ ∇base_i(L_i x + t_i).
+    """
+
+    base: SmoothOracle
+    Lmat: jnp.ndarray
+    shift: Any = None
+
+    @property
+    def num_terms(self) -> int:
+        return self.Lmat.shape[0]
+
+    def value_and_grad_i(self, x, i):
+        y = self.Lmat[i] @ x
+        if self.shift is not None:
+            y = y + self.shift[i]
+        val, gy = self.base.value_and_grad_i(y, i)
+        grad = jnp.conj(self.Lmat[i]).T @ gy
+        return val, grad
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
 class CustomOracle(SmoothOracle):
     """User-defined smooth family: ``fun(x, data_i) -> scalar``.
 

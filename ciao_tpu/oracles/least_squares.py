@@ -151,6 +151,23 @@ class LeastSquaresRows(SmoothOracle):
     def apply_all(self, w):
         return w @ self._conjA()
 
+    # margin/coeff split for tensor-parallel column sharding: the row
+    # product A_B·x is computed on partial columns (then psum'd by the
+    # caller) BEFORE the affine/scale part of the coefficient.
+    def margin_block(self, x, start, size: int):
+        A_B, _ = self._slice(start, size)
+        return A_B @ x
+
+    def margin_all(self, x):
+        return self.A @ x
+
+    def coeff_from_margin(self, r, start, size: int):
+        _, b_B = self._slice(start, size)
+        return self.scale * (r - b_B)
+
+    def coeff_from_margin_all(self, r):
+        return self.scale * (r - self.b)
+
     # ---- fused Pallas table-refresh kernels (TPU, f32) ---------------
     # One streaming VMEM pass per block: row gradients + table write +
     # aggregate innovation (ciao_tpu.ops.fused_block). Callers gate on

@@ -130,6 +130,21 @@ class LogisticRows(SmoothOracle):
     def apply_all(self, w):
         return w @ self.X
 
+    # margin/coeff split for tensor-parallel column sharding
+    def margin_block(self, x, start, size: int):
+        X_B, _ = self._slice(start, size)
+        return X_B @ x
+
+    def margin_all(self, x):
+        return self.X @ x
+
+    def coeff_from_margin(self, r, start, size: int):
+        _, y_B = self._slice(start, size)
+        return -y_B * jax.nn.sigmoid(-y_B * r)
+
+    def coeff_from_margin_all(self, r):
+        return -self.y * jax.nn.sigmoid(-self.y * r)
+
     # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
     def _slice(self, start, size):
         X_B = jax.lax.dynamic_slice_in_dim(self.X, start, size, 0)

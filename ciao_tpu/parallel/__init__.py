@@ -16,6 +16,11 @@ from ciao_tpu.parallel.mesh import (
     replicated_specs,
     shard_finite_sum,
 )
+from ciao_tpu.parallel.tp import (
+    TPSAGA,
+    data_model_specs,
+    shard_finite_sum_2d,
+)
 from ciao_tpu.parallel.dp import (
     DPCfg,
     DPFinito,
@@ -44,4 +49,7 @@ __all__ = [
     "DPSVRG",
     "build_dp_functions",
     "local_indices",
+    "TPSAGA",
+    "data_model_specs",
+    "shard_finite_sum_2d",
 ]

@@ -32,6 +32,12 @@ def static_field(**kwargs):
 
 
 class ProxOperator(abc.ABC):
+    #: True when prox_only acts coordinatewise — such operators are safe
+    #: to apply on a COORDINATE-SHARDED x (tensor-parallel "model" axis)
+    #: with no collective. Norm-coupled proxes (NormL2, IndBallL2,
+    #: IndSimplex, NormNuclear) override to False.
+    separable: bool = True
+
     @abc.abstractmethod
     def value(self, x: jax.Array) -> jax.Array:
         ...

@@ -62,6 +62,8 @@ class NormL1(ProxOperator):
 class NormL2(ProxOperator):
     """g(x) = lam * ||x||_2 (not squared); prox = block soft-threshold."""
 
+    separable = False
+
     lam: jnp.ndarray = 1.0
 
     def value(self, x):
@@ -133,6 +135,8 @@ class IndBox(ProxOperator):
 class IndBallL2(ProxOperator):
     """Indicator of {x : ||x|| <= r}; prox = radial projection."""
 
+    separable = False
+
     r: jnp.ndarray = 1.0
 
     def value(self, x):
@@ -154,6 +158,8 @@ class IndBallL2(ProxOperator):
 @dataclasses.dataclass(frozen=True)
 class IndSimplex(ProxOperator):
     """Indicator of the probability simplex {x >= 0, sum x = a}."""
+
+    separable = False
 
     a: jnp.ndarray = 1.0
 
@@ -182,6 +188,8 @@ class IndSimplex(ProxOperator):
 @dataclasses.dataclass(frozen=True)
 class NormNuclear(ProxOperator):
     """g(X) = lam * ||X||_* on matrices; prox = singular-value soft-threshold."""
+
+    separable = False
 
     lam: jnp.ndarray = 1.0
 

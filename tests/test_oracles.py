@@ -172,3 +172,32 @@ def test_oracles_are_pytrees():
         return o.grad_sum_all(x)
 
     np.testing.assert_allclose(f(orc, jnp.ones(2)), orc.grad_sum_all(jnp.ones(2)))
+
+
+def test_precompose_matches_folded_logistic():
+    """Precompose(scalar logistic, a_i^T rows) == LogisticRows — the
+    reference's construction (test_logistic_l1.jl:36) through the
+    general combinator."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ciao_tpu.oracles import CustomOracle, LogisticRows, Precompose
+
+    rng = np.random.default_rng(0)
+    N, n = 6, 4
+    X = rng.standard_normal((N, n))
+    y = np.sign(rng.standard_normal(N))
+    # base: scalar logistic loss on the 1-d precomposed value
+    base = CustomOracle(
+        data={"y": jnp.asarray(y)},
+        fun=lambda v, d: jnp.logaddexp(0.0, -d["y"] * v[0]),
+    )
+    pre = Precompose(base=base, Lmat=jnp.asarray(X)[:, None, :])
+    folded = LogisticRows(X=jnp.asarray(X), y=jnp.asarray(y))
+    x = jnp.asarray(rng.standard_normal(n))
+    for i in range(N):
+        v1, g1 = pre.value_and_grad_i(x, i)
+        v2, g2 = folded.value_and_grad_i(x, i)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)

@@ -227,3 +227,43 @@ def test_dp_saga_coeff_converges(mesh, lasso):
         x0(prob), F=F, g=g, L=prob.L
     )
     assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel (coordinate-sharded) path — 2-D ("data", "model") mesh
+# ---------------------------------------------------------------------------
+
+def test_tp_saga_converges_and_shards():
+    """TPSAGA on a (4 data x 2 model) mesh: z/av sharded by coordinate,
+    coefficient table by sample block; converges to the planted optimum."""
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS  # noqa
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    assert F.A.sharding.spec == P(DATA_AXIS, MODEL_AXIS)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = TPSAGA(mesh=mesh2, maxit=3000, batch=4)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.z.sharding.spec == P(MODEL_AXIS)
+    assert st.av.sharding.spec == P(MODEL_AXIS)
+    assert st.s.sharding.spec == P(DATA_AXIS)
+
+
+def test_tp_saga_rejects_nonseparable_prox():
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d
+    from ciao_tpu.prox import NormL2
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    with pytest.raises(ValueError, match="separable"):
+        TPSAGA(mesh=mesh2)(x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L)
