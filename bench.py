@@ -137,7 +137,12 @@ def tpu_samples_per_s() -> float:
 
 
 def main():
-    tpu = tpu_samples_per_s()
+    # the TPU tunnel occasionally drops the first connection — retry once
+    try:
+        tpu = tpu_samples_per_s()
+    except Exception as e:  # noqa: BLE001
+        log(f"TPU run failed ({type(e).__name__}: {e}); retrying once")
+        tpu = tpu_samples_per_s()
     cpu = cpu_baseline_samples_per_s()
     log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
     print(

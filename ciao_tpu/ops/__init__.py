@@ -18,6 +18,8 @@ from ciao_tpu.ops.fused_block import (
     fused_block_available,
     saga_block_update,
     saga_coeff_multistep,
+    finito_coeff_multistep,
+    finito_multistep_available,
 )
 
 __all__ = [
@@ -28,4 +30,6 @@ __all__ = [
     "fused_block_available",
     "saga_block_update",
     "saga_coeff_multistep",
+    "finito_coeff_multistep",
+    "finito_multistep_available",
 ]

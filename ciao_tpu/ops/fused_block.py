@@ -340,3 +340,154 @@ def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int):
         input_output_aliases={3: 0},
     )(jnp.reshape(start, (1,)).astype(jnp.int32), A, b2, s, gamma2, z2, scalars)
     return s_new, jnp.sum(innov[:num_tiles], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# multi-step fused Finito kernel (coefficient tables + per-block anchors)
+# ---------------------------------------------------------------------------
+
+def finito_multistep_available(N: int, n: int, B: int, dtype) -> bool:
+    """Finito variant additionally carries the (d, n) per-block anchor
+    slab (d = N/B) in VMEM and the (1, d) inverse-stepsize sums in SMEM."""
+    d = N // B if B else 0
+    return (
+        coeff_multistep_available(N, n, B, dtype)
+        and d >= 1
+        and d * n * 4 <= 2 * 1024 * 1024   # zb slab ≤ 2 MB
+        and d <= 1024                       # invg row fits SMEM
+    )
+
+
+def _finito_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, zb_in_ref,
+                               invg_ref, z_in_ref, av_in_ref, sc_ref,
+                               c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
+                               c_vm, zb_vm, av_vm, z_vm, innov_vm):
+    """K Finito-basic coefficient steps per launch (exact algebra of
+    solvers.finito._finito_coeff_step, reference Finito_basic.jl:110-118):
+
+        innov = hat·invg_j·(z − zb_j) − (hat/N)·Σ_B (Δc)·a_i
+        av += innov;  zb_j ← z;  z ← soft-threshold(av, hat·λ)
+    """
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    inv_n = sc_ref[0, 1]    # 1/N
+    hat = sc_ref[0, 2]      # hat_γ
+    thr = sc_ref[0, 3]      # hat_γ·λ (0 for g = Zero)
+    mode = sc_ref[0, 4]
+    B = sc_ref[0, 5]        # block size as f32-safe int in SMEM row
+    TILE = A_ref.shape[0]
+    ncols = c_vm.shape[1]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        c_vm[...] = c_in_ref[...]
+        zb_vm[...] = zb_in_ref[...]
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = jax.lax.dot_general(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    off = pl.multiple_of(abs_start % ncols, 128)
+    b_t = b_ref[pl.ds(row, 1), :]
+    c_new = _coeff_formula(mode, r, b_t, scale)
+    c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
+    dc = c_new - c_old
+    c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
+    innov_vm[...] += jax.lax.dot_general(
+        dc, A_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(t == T - 1)
+    def _():
+        j = starts_ref[k] // (T * TILE)     # block id
+        invg_j = invg_ref[0, j]
+        zb_j = zb_vm[pl.ds(j, 1), :]        # (1, n)
+        z = z_vm[...]
+        innov = hat * invg_j * (z - zb_j) - (hat * inv_n) * innov_vm[...]
+        av = av_vm[...] + innov
+        av_vm[...] = av
+        zb_vm[pl.ds(j, 1), :] = z
+        z_vm[...] = jnp.sign(av) * jnp.maximum(jnp.abs(av) - thr, 0.0)
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        c_out_ref[...] = c_vm[...]
+        zb_out_ref[...] = zb_vm[...]
+        z_out_ref[...] = z_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(3, 4))
+def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
+                           B: int):
+    """K = len(starts) coefficient-mode Finito-basic block steps in one
+    launch. ``c8``/``b8`` use the (8, N/8) slab layout; ``zb`` is the
+    (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
+    Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B]."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    T = B // TILE
+    K = starts.shape[0]
+    d = N // B
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),
+            _bcast_spec((SLAB_ROWS, ncols)),          # c slab
+            _bcast_spec((d, n)),                      # zb anchors
+            pl.BlockSpec((1, d), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),    # invg
+            _bcast_spec((1, n)),                      # z in
+            _bcast_spec((1, n)),                      # av in
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((SLAB_ROWS, ncols)),
+            _bcast_spec((d, n)),
+            _bcast_spec((1, n)),
+            _bcast_spec((1, n)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLAB_ROWS, ncols), jnp.float32),
+            pltpu.VMEM((d, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
+        ],
+    )
+    c_new, zb_new, z_new, av_new = pl.pallas_call(
+        _finito_coeff_multi_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((d, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3: 0, 4: 1},  # c slab, zb anchors in-place
+    )(starts.astype(jnp.int32), A, b8, c8, zb, invg2, z2, av2, scalars)
+    return c_new, zb_new, z_new, av_new

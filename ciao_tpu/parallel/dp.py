@@ -604,10 +604,10 @@ class DPFinito:
         run = lambda s, n: run_c(F, g, s, n)
         return x0, F, g, init, step, run
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
-        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
@@ -668,10 +668,10 @@ class DPSAGA:
         run = lambda s, n: run_c(F, g, s, n)
         return x0, F, g, init, step, run
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
-        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
@@ -731,11 +731,11 @@ class DPSVRG:
     def _effective_maxit(self):
         return min(self.maxit, 25) if self.plus else self.maxit
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(
-            init, run, self._effective_maxit(), self.verbose, self.freq, disp
+            init, run, self._effective_maxit(), self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 
@@ -781,10 +781,10 @@ class DPProshi:
         run = lambda s, n: run_c(F, g, s, n)
         return x0, F, g, init, step, run
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
-        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):

@@ -243,10 +243,10 @@ class TPSAGA:
         run = lambda s, k: run_c(F, g, s, k)
         return x0, F, g, init, step, run
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
-        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp)
+        state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):

@@ -120,19 +120,27 @@ def run_solver_loop(
     verbose: bool,
     freq: int,
     disp: Callable[[int, Any], None],
+    observe: Callable[[int, Any], None] = None,
 ):
     """Reference run loop (``Finito.jl:118-133``): init counts as
     iteration 1, then maxit-1 steps; progress printed every ``freq``.
 
     ``run_chunk(state, num_steps)`` must advance up to ``num_steps``
     steps (no-ops once aborted) and is expected to be jit-compiled.
+    ``observe(it, state)``, when given, is called on the init state and
+    then every ``freq`` iterations (and on the final state) — the
+    monitoring hook the reference lacks (its main path computes NO
+    convergence metric; ``Finito.jl:74``); pair it with
+    :func:`ciao_tpu.monitor.observer`.
     Returns ``(final_state, num_iters)`` where num_iters counts yielded
     states (init + completed steps), matching the enumerate() count.
     """
     state = init_fn()
     it = 1
+    if observe is not None:
+        observe(it, state)
     remaining = maxit - 1
-    chunk = freq if verbose else max(remaining, 1)
+    chunk = freq if (verbose or observe is not None) else max(remaining, 1)
     while remaining > 0:
         n = min(chunk, remaining)
         state = run_chunk(state, n)
@@ -140,6 +148,8 @@ def run_solver_loop(
         done = int(state.it)  # states carry their own yield count
         if verbose and done % freq == 0:
             disp(done, state)
+        if observe is not None:
+            observe(done, state)
         it = done
         if int(state.status) != Status.RUNNING:
             break

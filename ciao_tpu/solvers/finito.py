@@ -507,8 +507,75 @@ _STEPS = {
 }
 
 
+def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
+    """Fused multi-step driver for the coefficient variant: K block
+    steps per Pallas launch (ops.finito_coeff_multistep), with the
+    sweep schedule advanced by the SAME next_block_id stream as the
+    stepwise path (exact trajectory parity)."""
+    from ciao_tpu.ops import finito_coeff_multistep
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    N, B = cfg.N, cfg.batch
+    K = min(64, steps)
+    L = steps // K
+    rem = steps - L * K
+    rows, offs = F.coeff_rows_data()
+    slab = (SLAB_ROWS, N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    lam = getattr(g, "lam", 0.0)
+    hat = state.hat_gamma
+    scalars = jnp.stack(
+        [
+            jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+            jnp.asarray(1.0 / N, jnp.float32),
+            jnp.asarray(hat, jnp.float32),
+            jnp.asarray(hat * lam, jnp.float32),
+            jnp.asarray(float(F.coeff_mode), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]
+    )[None, :]
+    invg2 = state.invg[None, :].astype(jnp.float32)
+
+    def gen_starts(sweep, k):
+        def body(sw, _):
+            blk, sw = next_block_id(sw, N, B, cfg.sweeping)
+            return sw, blk * B
+
+        return jax.lax.scan(body, sweep, None, length=k)
+
+    def body(carry, _):
+        c8, zb, z2, av2, sweep = carry
+        sweep, starts = gen_starts(sweep, K)
+        c8, zb, z2, av2 = finito_coeff_multistep(
+            rows, b8, starts, c8, zb, invg2, z2, av2, scalars, B
+        )
+        return (c8, zb, z2, av2, sweep), None
+
+    (c8, zb, z2, av2, sweep), _ = jax.lax.scan(
+        body,
+        (
+            state.c.reshape(slab),
+            state.zb,
+            state.z[None, :],
+            state.av[None, :],
+            state.sweep,
+        ),
+        None,
+        length=L,
+    )
+    state = state._replace(
+        c=c8.reshape(N), zb=zb, z=z2[0], av=av2[0], sweep=sweep,
+        it=state.it + jnp.asarray(L * K, jnp.int32),
+    )
+    for _ in range(rem):
+        state = _finito_coeff_step(F, g, cfg, state)
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg", "variant", "steps"))
 def finito_run(F, g, state, cfg: FinitoCfg, variant: str, steps: int):
+    if variant == "basic_coeff" and cfg.fused and steps >= 8:
+        return _finito_run_fused(F, g, state, cfg, steps)
     step = _guarded(_STEPS[variant])
 
     def body(s, _):
@@ -623,14 +690,29 @@ class Finito:
                     )
                 if self.table in ("auto", "coeff") and coeff_ok:
                     variant = "basic_coeff"
-                    init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg)
+                    # K-steps-per-launch fused kernel (TPU, f32, L1/Zero)
+                    from ciao_tpu.ops import finito_multistep_available
+                    from ciao_tpu.prox import NormL1
+
+                    cfg = cfg._replace(
+                        fused=(
+                            x0.dtype == jnp.float32
+                            and hasattr(F, "coeff_rows_data")
+                            and isinstance(g, (NormL1, Zero))
+                            and finito_multistep_available(
+                                N, x0.size, cfg.batch, x0.dtype
+                            )
+                        )
+                    )
+                    cfg_c = cfg
+                    init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg_c)
                 else:
                     init = lambda: finito_basic_init(F, g, x0, gamma, key, cfg)
             else:
                 init = lambda: lfinito_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init, variant
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, cfg, init, variant = self._setup(x0, F, g, L, N)
 
         def run_chunk(state, n):
@@ -640,7 +722,7 @@ class Finito:
             print(f"{it:5d} | {float(state.hat_gamma):.3e}")
 
         state, it = run_solver_loop(
-            init, run_chunk, self.maxit, self.verbose, self.freq, disp
+            init, run_chunk, self.maxit, self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 

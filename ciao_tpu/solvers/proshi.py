@@ -170,7 +170,7 @@ class Proshi:
         init = lambda: proshi_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
 
         def run_chunk(state, n):
@@ -180,7 +180,7 @@ class Proshi:
             print(f"{it:5d} | {float(state.hat_gamma):.3e}")
 
         state, it = run_solver_loop(
-            init, run_chunk, self.maxit, self.verbose, self.freq, disp
+            init, run_chunk, self.maxit, self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 

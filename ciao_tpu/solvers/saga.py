@@ -333,7 +333,7 @@ class SAGA:
         init = lambda: saga_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init
 
-    def __call__(self, x0, F=None, g=None, L=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
 
         def run_chunk(state, n):
@@ -343,7 +343,7 @@ class SAGA:
             print(f"{it:5d} | {float(state.gamma):.3e}")
 
         state, it = run_solver_loop(
-            init, run_chunk, self.maxit, self.verbose, self.freq, disp
+            init, run_chunk, self.maxit, self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 

@@ -180,7 +180,7 @@ class SVRG:
         init = lambda: svrg_init(F, g, x0, gamma, m, key, cfg)
         return x0, F, g, cfg, init
 
-    def __call__(self, x0, F=None, g=None, L=None, mu=None, N=None):
+    def __call__(self, x0, F=None, g=None, L=None, mu=None, N=None, observe=None):
         x0, F, g, cfg, init = self._setup(x0, F, g, L, mu, N)
 
         def run_chunk(state, n):
@@ -190,7 +190,7 @@ class SVRG:
             print(f"{it:5d} | {float(state.gamma):.3e}")
 
         state, it = run_solver_loop(
-            init, run_chunk, self._effective_maxit(), self.verbose, self.freq, disp
+            init, run_chunk, self._effective_maxit(), self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 

@@ -157,3 +157,20 @@ def test_status_enum_surfaces_abort():
             jnp.zeros(3), F=F, g=g
         )
     assert it < 2000
+
+
+def test_observe_hook(lasso):
+    """The facades' observe= hook fires on init and every freq steps,
+    and monitor.observer logs decreasing objective + residual."""
+    prob, F, g = lasso
+    tr = monitor.Trace()
+    x, it = ciao_tpu.SAGA(maxit=500, freq=100)(
+        jnp.zeros(4), F=F, g=g, L=prob.L, observe=monitor.observer(F, g, tr)
+    )
+    its = [r["it"] for r in tr.records]
+    assert its[0] == 1 and its[-1] == 500 and len(its) >= 5
+    objs = [r["obj"] for r in tr.records]
+    assert objs[-1] < objs[0]
+    assert "residual" in tr.records[-1]
+    # sanity: logged objective matches the external cost
+    assert abs(objs[-1] - prob.cost(np.asarray(x))) < 1e-8

@@ -227,3 +227,40 @@ def test_saga_fused_multistep_logistic_mode():
                             cfg_fused, 64)
     np.testing.assert_allclose(np.asarray(st_fused.z), np.asarray(st_step.z),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_finito_fused_multistep_matches_stepwise():
+    """K-steps-per-launch fused Finito kernel == stepwise coeff variant
+    (same next_block_id schedule, same algebra)."""
+    from ciao_tpu.solvers.finito import (
+        FinitoCfg, _finito_run_fused, finito_coeff_init, finito_run,
+    )
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+
+    for sweeping in (2, 3):
+        cfg = FinitoCfg(N=Np, batch=Bp, sweeping=sweeping, alpha=0.999)
+        st = finito_coeff_init(F, g, x0v, gamma, key, cfg)
+        st_step = finito_run(F, g, st, cfg, "basic_coeff", 96)
+
+        cfg_f = cfg._replace(fused=True)
+        st2 = finito_coeff_init(F, g, x0v, gamma, key, cfg_f)
+        with pltpu.force_tpu_interpret_mode():
+            st_fused = finito_run(F, g, st2, cfg_f, "basic_coeff", 96)
+
+        assert int(st_fused.it) == int(st_step.it)
+        np.testing.assert_allclose(np.asarray(st_fused.z), np.asarray(st_step.z),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_fused.zb), np.asarray(st_step.zb),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_fused.c), np.asarray(st_step.c),
+                                   rtol=1e-3, atol=1e-3)
