@@ -135,6 +135,26 @@ class DPFinitoState(NamedTuple):
         return self.z
 
 
+class DPFinitoCoeffState(NamedTuple):
+    """Coefficient-compressed sharded Finito state (see
+    solvers.finito.FinitoCoeffState): (N,) coefficients, per-block
+    anchors and Σ1/γ sums all sharded by index block."""
+
+    c: jnp.ndarray          # (N,) sharded coefficients
+    zb: jnp.ndarray         # (D·d_loc, n) sharded per-block anchors
+    invg: jnp.ndarray       # (D·d_loc,) sharded Σ 1/γ_i per block
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
 class DPLFinitoState(NamedTuple):
     gamma: jnp.ndarray
     hat_gamma: jnp.ndarray
@@ -195,7 +215,13 @@ class DPProshiState(NamedTuple):
         return self.s + self.gamma[:, None] * self.z[None, :]
 
 
-_SHARDED_FIELDS = {"s": P(DATA_AXIS, None), "gamma": P(DATA_AXIS)}
+_SHARDED_FIELDS = {
+    "s": P(DATA_AXIS, None),
+    "gamma": P(DATA_AXIS),
+    "c": P(DATA_AXIS),
+    "zb": P(DATA_AXIS, None),
+    "invg": P(DATA_AXIS),
+}
 
 
 def _state_specs(state_cls, scalar_gamma=False, coeff=False):
@@ -260,6 +286,47 @@ def _finito_step_local(F, g, cfg: DPCfg, state: DPFinitoState):
     )
     z = g.prox_only(av, state.hat_gamma)
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
+
+
+def _finito_coeff_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded coefficient-Finito bootstrap (same algebra as
+    solvers.finito.finito_coeff_init, with the sums turned into psums;
+    hat_γ·Σ(1/γ) = 1 simplifies av to x0 − (hat/N)·Σ cᵢaᵢ)."""
+    n_loc, N, B = cfg.n_loc, cfg.N, cfg.b_loc
+    d_loc = n_loc // B
+    c = F.coeff_all(x0)
+    inv_gamma = 1.0 / gamma
+    hat_gamma = 1.0 / _psum(jnp.sum(inv_gamma))
+    av = x0 - (hat_gamma / N) * _psum(F.apply_all(c))
+    z = g.prox_only(av, hat_gamma)
+    invg = jnp.sum(inv_gamma.reshape(d_loc, B), axis=1)
+    zb = jnp.broadcast_to(x0, (d_loc,) + x0.shape)
+    return DPFinitoCoeffState(
+        c=c, zb=zb, invg=invg, hat_gamma=hat_gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _finito_coeff_step_local(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
+    """Sharded coefficient-Finito step: each device refreshes ONE of its
+    blocks against the shared z; one x-sized psum of the combined
+    anchor + coefficient innovation (cf. solvers.finito._finito_coeff_step)."""
+    N, B = cfg.N, cfg.b_loc
+    hat = state.hat_gamma
+    start = local_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+    j = start // B
+    c_new = F.coeff_block(state.z, start, B)
+    c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    z_b = state.zb[j]
+    innov = _psum(
+        hat * state.invg[j] * (state.z - z_b)
+        - (hat / N) * F.apply_rows_block(c_new - c_old, start, B)
+    )
+    av = state.av + innov
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, c_new, start, 0)
+    zb = state.zb.at[j].set(state.z)
+    z = g.prox_only(av, hat)
+    return state._replace(c=c, zb=zb, av=av, z=z, it=state.it + 1)
 
 
 def _lfinito_init_local(F, g, x0, gamma, key, cfg: DPCfg):
@@ -390,7 +457,7 @@ def _svrg_step_local(F, g, cfg: DPCfg, state: DPSVRGState):
         w, zsum = carry
         kk = jax.random.fold_in(jax.random.fold_in(kstep, k), ax)
         i = jax.random.randint(kk, (cfg.b_loc,), 0, cfg.n_loc, dtype=jnp.int32)
-        d = F.grad_sum_batch(state.z_full, i) - F.grad_sum_batch(w, i)
+        d = F.grad_sum_diff(state.z_full, w, i)  # one row read, fused diff
         d = _psum(d) / (cfg.b_loc * cfg.D)
         w = g.prox_only(w + gamma * (d - av), gamma)
         return w, zsum + w
@@ -455,6 +522,10 @@ def _proshi_step_local(F, g, cfg: DPCfg, state: DPProshiState):
 
 _FAMILY = {
     "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False),
+    "finito_coeff": (
+        _finito_coeff_init_local, _finito_coeff_step_local,
+        DPFinitoCoeffState, False,
+    ),
     "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState, False),
     "saga": (_saga_init_local, _saga_step_local, DPSAGAState, True),
     "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True),
@@ -578,6 +649,7 @@ class DPFinito:
     verbose: bool = False
     freq: int = 10000
     alpha: float = 0.999
+    table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -591,12 +663,26 @@ class DPFinito:
         batch = self.batch or mesh.shape[DATA_AXIS]
         D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPFinito")
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
+        coeff_ok = (
+            not self.LFinito
+            and self.sweeping != Sweep.RANDOM
+            and getattr(F, "supports_coeff", False)
+        )
+        if self.table == "coeff" and not coeff_ok:
+            raise ValueError(
+                "DPFinito table='coeff' needs a rank-1 oracle, cyclic/"
+                "shuffled sweeping and the basic (non-LFinito) variant"
+            )
+        coeff = self.table in ("auto", "coeff") and coeff_ok
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
-            alpha=float(self.alpha),
+            alpha=float(self.alpha), coeff=coeff,
             variant="lfinito" if self.LFinito else "basic",
         )
-        family = "lfinito" if self.LFinito else "finito"
+        if self.LFinito:
+            family = "lfinito"
+        else:
+            family = "finito_coeff" if coeff else "finito"
         init_c, step_c, run_c = build_dp_functions(family, mesh, F, g, cfg)
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)

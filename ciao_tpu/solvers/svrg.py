@@ -80,10 +80,12 @@ def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
     def inner(k, carry):
         w, zsum, key = carry
         key, ik = jax.random.split(key)
-        i = jax.random.randint(ik, (), 0, N, dtype=jnp.int32)
-        g_anchor = F.grad_i(state.z_full, i)
-        g_live = F.grad_i(w, i)
-        w = g.prox_only(w + gamma * (g_anchor - g_live - av), gamma)
+        i = jax.random.randint(ik, (1,), 0, N, dtype=jnp.int32)
+        # anchor-minus-live in ONE oracle-row read (grad_sum_diff fuses
+        # the two gradients; for linear-gradient oracles it is a single
+        # matvec pair over the same gathered row)
+        d = F.grad_sum_diff(state.z_full, w, i)
+        w = g.prox_only(w + gamma * (d - av), gamma)
         return w, zsum + w, key
 
     w, zsum, _ = jax.lax.fori_loop(

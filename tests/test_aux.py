@@ -174,3 +174,16 @@ def test_observe_hook(lasso):
     assert "residual" in tr.records[-1]
     # sanity: logged objective matches the external cost
     assert abs(objs[-1] - prob.cost(np.asarray(x))) < 1e-8
+
+
+def test_checkpoint_async_orbax(tmp_path, lasso):
+    """Orbax async per-shard checkpointing round-trips a solver state."""
+    prob, F, g = lasso
+    state = loop(take(iter(ciao_tpu.SAGA(maxit=30).iterator(
+        jnp.zeros(4), F=F, g=g, L=prob.L)), 10))
+    mgr = checkpoint.save_async(tmp_path / "ck", state)
+    mgr.wait_until_finished()
+    restored = checkpoint.load_orbax(tmp_path / "ck", state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

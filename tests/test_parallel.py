@@ -267,3 +267,19 @@ def test_tp_saga_rejects_nonseparable_prox():
     )
     with pytest.raises(ValueError, match="separable"):
         TPSAGA(mesh=mesh2)(x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L)
+
+
+def test_dp_finito_coeff_matches_full(mesh, lasso):
+    """DP Finito coefficient mode == full-table mode exactly (same
+    schedule, algebraic compression), with sharded anchors."""
+    prob, F, g = lasso
+    a, _ = DPFinito(mesh=mesh, maxit=500, batch=16, sweeping=3,
+                    table="full", seed=2)(x0(prob), F=F, g=g, L=prob.L)
+    solver = DPFinito(mesh=mesh, maxit=500, batch=16, sweeping=3,
+                      table="coeff", seed=2)
+    b, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-11)
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.c.shape == (N,)
+    assert st.c.sharding.spec == P(DATA_AXIS)
+    assert st.zb.sharding.spec == P(DATA_AXIS, None)
