@@ -36,7 +36,10 @@ N, n = 262_144, 1_024
 BATCH = 4_096
 STEPS_PER_EPOCH = N // BATCH
 WARMUP_EPOCHS = 2
-TIMED_EPOCHS = 8
+# Through the axon tunnel one dispatch costs ~2-30 ms; time enough work
+# (~8k steps ≈ 350 ms on-device) that the headline reflects step time,
+# not dispatch amortization.
+TIMED_EPOCHS = 128
 
 # CPU baseline gets a smaller N (same n) and extrapolates per-sample time.
 N_CPU, CPU_STEPS = 16_384, 20_000
