@@ -20,6 +20,8 @@ from ciao_tpu.ops.fused_block import (
     saga_coeff_multistep,
     finito_coeff_multistep,
     finito_multistep_available,
+    svrg_coeff_multistep,
+    svrg_multistep_available,
 )
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "saga_coeff_multistep",
     "finito_coeff_multistep",
     "finito_multistep_available",
+    "svrg_coeff_multistep",
+    "svrg_multistep_available",
 ]

@@ -304,6 +304,210 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int):
     return c_new, z_new, av_new
 
 
+# ---------------------------------------------------------------------------
+# multi-step fused SVRG inner loop (coefficient anchor)
+# ---------------------------------------------------------------------------
+#
+# SVRG's inner update (SVRG_basic.jl:74-81) reads TWO gradients per index
+# — the anchor ∇f_i(z_full) and the live ∇f_i(w). For rank-1 row
+# gradients the anchor compresses to the (N,) coefficient vector
+# c_anchor = c(z_full), precomputed ONCE per outer step; the inner
+# update then needs only ONE pass over the block's oracle rows:
+#
+#     d      = (1/B)·Σ_B (c_anchor_i − c_i(w))·a_i
+#     w      ← prox_g(w + γ(d − av), γ)
+#     zsum   += w
+#
+# Unlike the SAGA slab, c_anchor is READ-ONLY within a launch, so it
+# streams from HBM tile-by-tile — no VMEM residency cap on N.
+
+def svrg_multistep_available(N: int, n: int, B: int, dtype) -> bool:
+    """Gate for the K-inner-steps-per-launch SVRG kernel: block starts
+    must tile the (8, N/8) slab rows evenly and tiles must be
+    lane-aligned; the anchor streams, so N is otherwise unbounded."""
+    return (
+        fused_block_available(N, n, B, dtype)
+        and N % (SLAB_ROWS * B) == 0
+        and _pick_tile(B, N, n) >= 128
+    )
+
+
+def _svrg_coeff_multi_kernel(ncols, starts_ref, A_ref, b_ref, canch_ref,
+                             w_in_ref, zs_in_ref, av_ref, sc_ref, w_out_ref,
+                             zs_out_ref, w_vm, zs_vm, innov_vm):
+    """``ncols`` = N/8 is bound statically by the caller (the slab-row
+    index of a block is start // ncols)."""
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
+    invB = sc_ref[0, 3]
+    mode = sc_ref[0, 4]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        w_vm[...] = w_in_ref[...]
+        zs_vm[...] = zs_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = jax.lax.dot_general(
+        w_vm[...], A_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, TILE)
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]                 # (1, TILE)
+    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
+    dc = c_anch - c_live
+    innov_vm[...] += jax.lax.dot_general(
+        dc, A_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, n)
+
+    @pl.when(t == T - 1)
+    def _():
+        d = innov_vm[...] * invB
+        wv = w_vm[...] + gamma * (d - av_ref[...])
+        w_new = jnp.sign(wv) * jnp.maximum(jnp.abs(wv) - thr, 0.0)
+        w_vm[...] = w_new
+        zs_vm[...] += w_new
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        w_out_ref[...] = w_vm[...]
+        zs_out_ref[...] = zs_vm[...]
+
+
+def _coeff_apply_kernel(A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
+                        acc_vm):
+    """One streaming pass: per row-tile compute the coefficient
+    c_i = c(z)_i and accumulate the partial Σ c_i·a_i — the full
+    gradient sum — without a second read of A."""
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    scale = sc_ref[0, 0]
+    mode = sc_ref[0, 1]
+
+    @pl.when(i == 0)
+    def _():
+        acc_vm[...] = jnp.zeros_like(acc_vm)
+
+    A_t = A_ref[:]
+    r = jax.lax.dot_general(
+        z_ref[...], A_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, TILE)
+    c = _coeff_formula(mode, r, b_ref[...], scale)
+    c_ref[...] = c
+    acc_vm[...] += jax.lax.dot_general(
+        c, A_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, n)
+
+    @pl.when(i == T - 1)
+    def _():
+        av_ref[...] = acc_vm[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def coeff_apply_all(A, b1, z2, scalars, tile: int):
+    """Anchor refresh in ONE pass over A: returns ``(c1, gsum2)`` where
+    c1 is the (1, N) coefficient row c(z) and gsum2 the (1, n) full
+    gradient sum Σ c_i·a_i (caller divides by N and reshapes c as
+    needed). Replaces coeff_all + apply_all / grad_sum_all, which cost
+    2-3 passes over A. ``b1`` is the (1, N) offset row."""
+    N, n = A.shape
+    T = N // tile
+
+    c1, gsum = pl.pallas_call(
+        _coeff_apply_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0)),   # A row tile
+            pl.BlockSpec((1, tile), lambda i: (0, i)),   # b tile
+            pl.BlockSpec((1, n), lambda i: (0, 0)),      # z
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i)),   # c tile
+            pl.BlockSpec((1, n), lambda i: (0, 0)),      # gradient sum
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+    )(A, b1, z2, scalars)
+    return c1, gsum
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
+                         B: int):
+    """K = len(starts) SVRG inner block steps in one kernel launch.
+    ``b8``/``canch8`` are the offsets/anchor coefficients in the
+    (8, N/8) slab layout; ``w2``/``zs2``/``av2`` are (1, n); ``scalars``
+    the (1, 5) row [scale, γ, γλ, 1/B, mode]. Returns (w2, zs2) after
+    the K prox steps (L1 soft-threshold in-kernel; γλ=0 for g=Zero)."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    kernel = functools.partial(_svrg_coeff_multi_kernel, ncols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
+            _bcast_spec((1, n)),                        # w in
+            _bcast_spec((1, n)),                        # zsum in
+            _bcast_spec((1, n)),                        # av (read-only)
+            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((1, n)),                        # w out
+            _bcast_spec((1, n)),                        # zsum out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # w carry
+            pltpu.VMEM((1, n), jnp.float32),            # zsum carry
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    w_new, zs_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+    )(starts.astype(jnp.int32), A, b8, canch8, w2, zs2, av2, scalars)
+    return w_new, zs_new
+
+
 @functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
 def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int):
     """Finito table refresh on rows [start, start+B): returns

@@ -36,6 +36,10 @@ from ciao_tpu.solvers.base import (
 class SVRGCfg(NamedTuple):
     N: int
     plus: bool
+    batch: int = 1      # inner-loop minibatch size (reference is 1)
+    block: bool = False  # uniform CONTIGUOUS block per inner step
+    fused: bool = False  # Pallas K-inner-steps-per-launch kernel
+    m_fused: int = 0     # static inner length for the fused path
 
 
 class SVRGState(NamedTuple):
@@ -48,6 +52,10 @@ class SVRGState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # fused mode only: anchor coefficient slab c(z_full) in (8, N/8)
+    # layout, refreshed with av in ONE pass over the oracle rows
+    # (ops.coeff_apply_all); (0, 0)-shaped placeholder otherwise.
+    canch: jnp.ndarray = jnp.zeros((0, 0), jnp.float32)
 
     @property
     def solution(self):  # reference: solution(state) = state.z_full
@@ -56,7 +64,15 @@ class SVRGState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def svrg_init(F, g, x0, gamma, m, key, cfg: SVRGCfg) -> SVRGState:
-    av = F.grad_sum_all(x0) / cfg.N
+    if cfg.fused:
+        from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+        c = F.coeff_all(x0)
+        av = F.apply_all(c) / cfg.N
+        canch = c.reshape(SLAB_ROWS, cfg.N // SLAB_ROWS)
+    else:
+        av = F.grad_sum_all(x0) / cfg.N
+        canch = jnp.zeros((0, 0), jnp.float32)
     return SVRGState(
         gamma=gamma,
         m=jnp.asarray(m, jnp.int32),
@@ -67,6 +83,100 @@ def svrg_init(F, g, x0, gamma, m, key, cfg: SVRGCfg) -> SVRGState:
         key=key,
         it=jnp.ones((), jnp.int32),
         status=jnp.zeros((), jnp.int32),
+        canch=canch,
+    )
+
+
+def _svrg_inner_block(F, g, cfg: SVRGCfg, z_full, av, gamma, w, zsum, key,
+                      steps):
+    """``steps`` inner iterations on uniformly-drawn CONTIGUOUS blocks
+    of ``cfg.batch`` samples (dynamic-slice DMAs, minibatch-averaged
+    variance-reduced direction). Key discipline is split-then-draw per
+    step — mirrored exactly by ``_gen_block_starts`` for the fused
+    kernel (sampling parity)."""
+    B = cfg.batch
+
+    def inner(k, carry):
+        w, zsum, key = carry
+        key, ik = jax.random.split(key)
+        j = jax.random.randint(ik, (), 0, cfg.N // B, dtype=jnp.int32)
+        d = F.grad_sum_diff_block(z_full, w, j * B, B) / B
+        w = g.prox_only(w + gamma * (d - av), gamma)
+        return w, zsum + w, key
+
+    return jax.lax.fori_loop(0, steps, inner, (w, zsum, key))
+
+
+def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
+                     key) -> SVRGState:
+    """Fused outer iterate: the ``m_fused`` inner steps run as
+    K-steps-per-launch Pallas kernels streaming only the sampled blocks'
+    oracle rows (the anchor gradient is the carried coefficient slab
+    ``state.canch``, so each inner block costs ONE row pass), then the
+    anchor refresh computes c(z_full_next) AND the full gradient sum in
+    one further pass (ops.coeff_apply_all) — two full-A-equivalents per
+    epoch total, vs four for the unfused path."""
+    from ciao_tpu.ops import svrg_coeff_multistep
+    from ciao_tpu.ops.fused_block import SLAB_ROWS, _pick_tile, coeff_apply_all
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, m = cfg.batch, cfg.m_fused
+    K = min(64, m)
+    Lq = m // K
+    rem = m - Lq * K
+    rows, offs = F.coeff_rows_data()
+    lam = getattr(g, "lam", 0.0)
+    gamma, av = state.gamma, state.av
+    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+    mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+    scalars = jnp.stack(
+        [
+            scale,
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(gamma * lam, jnp.float32),
+            jnp.asarray(1.0 / B, jnp.float32),
+            mode,
+        ]
+    )[None, :]
+    slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    av2 = av[None, :]
+    # _gen_block_starts draws with the same split-then-randint stream as
+    # _svrg_inner_block; SAGACfg/SVRGCfg share the (N, batch) fields.
+
+    def body(carry, _):
+        w2, zs2, key = carry
+        key, starts = _gen_block_starts(key, cfg, K)
+        w2, zs2 = svrg_coeff_multistep(
+            rows, b8, state.canch, starts, w2, zs2, av2, scalars, B
+        )
+        return (w2, zs2, key), None
+
+    (w2, zs2, key), _ = jax.lax.scan(
+        body, (state.w[None, :], state.z[None, :], key), None, length=Lq
+    )
+    w, zsum = w2[0], zs2[0]
+    if rem:
+        w, zsum, key = _svrg_inner_block(
+            F, g, cfg, state.z_full, av, gamma, w, zsum, key, rem
+        )
+    z_full = zsum / jnp.asarray(m, zsum.dtype)
+    # anchor refresh: coefficients + gradient sum in one streaming pass
+    tile = _pick_tile(B, cfg.N, z_full.size)
+    c1, gsum = coeff_apply_all(
+        rows, offs[None, :], z_full[None, :],
+        jnp.stack([scale, mode])[None, :], tile,
+    )
+    canch = c1.reshape(slab)
+    # state.key was already advanced by the caller (the sub-chain used
+    # for inner sampling is discarded, as in the stepwise paths)
+    return state._replace(
+        av=gsum[0] / cfg.N,
+        z=jnp.zeros_like(zsum),
+        z_full=z_full,
+        w=z_full,
+        it=state.it + 1,
+        canch=canch,
     )
 
 
@@ -77,21 +187,35 @@ def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
     gamma, av = state.gamma, state.av
     key, sub = jax.random.split(state.key)
 
-    def inner(k, carry):
-        w, zsum, key = carry
-        key, ik = jax.random.split(key)
-        i = jax.random.randint(ik, (1,), 0, N, dtype=jnp.int32)
-        # anchor-minus-live in ONE oracle-row read (grad_sum_diff fuses
-        # the two gradients; for linear-gradient oracles it is a single
-        # matvec pair over the same gathered row)
-        d = F.grad_sum_diff(state.z_full, w, i)
-        w = g.prox_only(w + gamma * (d - av), gamma)
-        return w, zsum + w, key
+    if cfg.fused:
+        # note: the fused path manages its own anchor/key flow; the
+        # inner sampling stream (split-then-draw from ``sub``) is
+        # identical to the block path below.
+        return _svrg_step_fused(F, g, cfg, state._replace(key=key), sub)
+    if cfg.block and cfg.batch > 1:
+        w, zsum, _ = _svrg_inner_block(
+            F, g, cfg, state.z_full, av, gamma, state.w, state.z, sub,
+            state.m,
+        )
+        m_val = state.m
+    else:
 
-    w, zsum, _ = jax.lax.fori_loop(
-        0, state.m, inner, (state.w, state.z, sub)
-    )
-    z_full = zsum / state.m.astype(jnp.real(zsum).dtype)
+        def inner(k, carry):
+            w, zsum, key = carry
+            key, ik = jax.random.split(key)
+            i = jax.random.randint(ik, (1,), 0, N, dtype=jnp.int32)
+            # anchor-minus-live in ONE oracle-row read (grad_sum_diff
+            # fuses the two gradients; for linear-gradient oracles it is
+            # a single matvec pair over the same gathered row)
+            d = F.grad_sum_diff(state.z_full, w, i)
+            w = g.prox_only(w + gamma * (d - av), gamma)
+            return w, zsum + w, key
+
+        w, zsum, _ = jax.lax.fori_loop(
+            0, state.m, inner, (state.w, state.z, sub)
+        )
+        m_val = state.m
+    z_full = zsum / m_val.astype(jnp.real(zsum).dtype)
     w_next = w if cfg.plus else z_full
     av_next = F.grad_sum_all(z_full) / N
     m_next = state.m * 2 if cfg.plus else state.m
@@ -130,12 +254,15 @@ class SVRG:
     freq: int = 1000
     m: Optional[int] = None
     plus: bool = False
+    batch: int = 1       # inner-loop minibatch (beyond the reference)
+    block_sampling: bool = False  # contiguous inner blocks (TPU fast path)
     seed: int = 0
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0
         assert self.freq > 0
+        assert self.batch >= 1
 
     def _effective_maxit(self):
         if self.plus and self.maxit > 25:
@@ -177,7 +304,29 @@ class SVRG:
             if rho >= 1:
                 warnings.warn("convergence condition violated...provide a stepsize!")
             gamma = jnp.asarray(gam, rdt)
-        cfg = SVRGCfg(N=N, plus=self.plus)
+        if self.block_sampling and N % self.batch != 0:
+            raise ValueError("SVRG block_sampling needs N divisible by batch")
+        fused = False
+        if (
+            self.block_sampling
+            and self.batch > 1
+            and not self.plus
+            and x0.dtype == jnp.float32
+        ):
+            from ciao_tpu.ops import svrg_multistep_available
+            from ciao_tpu.prox import NormL1, Zero as _Zero
+
+            fused = (
+                svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
+                and hasattr(F, "coeff_rows_data")
+                and getattr(F, "supports_coeff", False)
+                and isinstance(g, (NormL1, _Zero))
+            )
+        cfg = SVRGCfg(
+            N=N, plus=self.plus, batch=self.batch,
+            block=self.block_sampling, fused=fused,
+            m_fused=m if fused else 0,
+        )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: svrg_init(F, g, x0, gamma, m, key, cfg)
         return x0, F, g, cfg, init

@@ -264,3 +264,82 @@ def test_finito_fused_multistep_matches_stepwise():
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(st_fused.c), np.asarray(st_step.c),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_coeff_apply_all_single_pass_anchor():
+    """The one-pass anchor kernel == coeff_all + grad_sum_all."""
+    from ciao_tpu.ops.fused_block import _pick_tile, coeff_apply_all
+
+    Np, npix = 1024, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=7, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    z = jax.random.normal(jax.random.PRNGKey(3), (npix,), jnp.float32)
+    tile = _pick_tile(128, Np, npix)
+    scalars = jnp.asarray([[float(Np), 0.0]], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        c1, gsum = coeff_apply_all(F.A, F.b[None, :], z[None, :], scalars, tile)
+    np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(F.coeff_all(z)),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gsum[0]), np.asarray(F.grad_sum_all(z)),
+                               rtol=1e-3, atol=1e-1)
+
+
+def test_svrg_fused_multistep_matches_stepwise():
+    """The K-inner-steps-per-launch fused SVRG kernel (anchor coefficient
+    slab + in-kernel prox + one-pass anchor refresh) must reproduce the
+    stepwise block-sampled inner loop: same sampling stream, same math."""
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    m = 24  # not a multiple of K -> exercises the stepwise remainder too
+
+    cfg_step = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
+    st_step = svrg_run(
+        F, g, svrg_init(F, g, x0, gamma, m, key, cfg_step), cfg_step, 3
+    )
+    cfg_fused = cfg_step._replace(fused=True, m_fused=m)
+    with pltpu.force_tpu_interpret_mode():
+        st_fused = svrg_run(
+            F, g, svrg_init(F, g, x0, gamma, m, key, cfg_fused), cfg_fused, 3
+        )
+    assert int(st_fused.it) == int(st_step.it)
+    np.testing.assert_allclose(np.asarray(st_fused.z_full),
+                               np.asarray(st_step.z_full),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.w), np.asarray(st_step.w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_fused.av), np.asarray(st_step.av),
+                               rtol=1e-3, atol=1e-4)
+    # key chains must coincide (split-then-draw parity)
+    assert np.array_equal(np.asarray(st_fused.key), np.asarray(st_step.key))
+
+
+def test_svrg_block_minibatch_converges():
+    """The batched contiguous-block inner loop (TPU fast path, beyond
+    the reference's batch-1 inner loop) still solves the planted Lasso."""
+    from ciao_tpu.solvers.svrg import SVRG
+
+    Np, npix = 64, 16
+    prob = make_lasso(N=Np, n=npix, p=4, seed=0)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(Np)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    x, _ = SVRG(gamma=float(1.0 / (10.0 * np.max(prob.L))), maxit=400,
+                batch=8, block_sampling=True)(
+        jnp.zeros(npix), F=F, g=g, L=prob.L
+    )
+    assert float(prob.cost(x) - prob.f_star) < 1e-4
