@@ -17,6 +17,7 @@ from ciao_tpu.parallel.mesh import (
     shard_finite_sum,
 )
 from ciao_tpu.parallel.tp import (
+    TPFinito,
     TPSAGA,
     data_model_specs,
     shard_finite_sum_2d,
@@ -49,6 +50,7 @@ __all__ = [
     "DPSVRG",
     "build_dp_functions",
     "local_indices",
+    "TPFinito",
     "TPSAGA",
     "data_model_specs",
     "shard_finite_sum_2d",

@@ -186,6 +186,224 @@ def _compiled_tp(mesh, f_treedef, f_specs_leaves, g_treedef, cfg: TPCfg):
     return init_fn, step_fn, run_fn
 
 
+# ---------------------------------------------------------------------------
+# tensor-parallel Finito (coefficient mode)
+# ---------------------------------------------------------------------------
+
+class TPFinitoState(NamedTuple):
+    """Coefficient-mode Finito sharded over ("data", "model"): the (N,)
+    coefficients/stepsizes by sample, the per-block anchors by BOTH
+    axes, the iterate/average/prox by coordinate."""
+
+    c: jnp.ndarray          # (N,) coefficient table, P("data")
+    zb: jnp.ndarray         # (D·d_loc, n) per-block anchors, P("data","model")
+    invg: jnp.ndarray       # (D·d_loc,) Σ 1/γ_i per block, P("data")
+    hat_gamma: jnp.ndarray  # scalar (harmonic over ALL N)
+    av: jnp.ndarray         # (n,) P("model")
+    z: jnp.ndarray          # (n,) P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class TPFinitoCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    sweeping: int
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_block_start(key, it, n_loc: int, b_loc: int, sweeping: int):
+    """Per-data-row contiguous-block schedule, identical across the
+    row's model group (folds only the DATA axis index)."""
+    from ciao_tpu.sampling import Sweep
+
+    ax = jax.lax.axis_index(DATA_AXIS)
+    d_loc = n_loc // b_loc
+    if sweeping == Sweep.RANDOM:
+        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
+        return jax.random.randint(k, (), 0, d_loc, dtype=jnp.int32) * b_loc
+    if sweeping == Sweep.CYCLIC:
+        return ((it - 1) % d_loc) * b_loc
+    epoch = (it - 1) // d_loc
+    pos = (it - 1) % d_loc
+    ke = jax.random.fold_in(jax.random.fold_in(key, epoch), ax)
+    order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    return order[pos] * b_loc
+
+
+def _tp_finito_init(F, g, x0, gamma, key, cfg: TPFinitoCfg):
+    """2-D-sharded coefficient-Finito bootstrap (cf.
+    parallel.dp._finito_coeff_init_local, plus the "model" margin psum;
+    hat_γ·Σ(1/γ) = 1 simplifies av to x0 − (hat/N)·Σ cᵢaᵢ)."""
+    n_loc, N, B = cfg.n_loc, cfg.N, cfg.b_loc
+    d_loc = n_loc // B
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    inv_gamma = 1.0 / gamma
+    hat_gamma = 1.0 / _psum_d(jnp.sum(inv_gamma))
+    av = x0 - (hat_gamma / N) * _psum_d(F.apply_all(c))
+    z = g.prox_only(av, hat_gamma)
+    invg = jnp.sum(inv_gamma.reshape(d_loc, B), axis=1)
+    zb = jnp.broadcast_to(x0, (d_loc,) + x0.shape)
+    return TPFinitoState(
+        c=c, zb=zb, invg=invg, hat_gamma=hat_gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_finito_step(F, g, cfg: TPFinitoCfg, state: TPFinitoState):
+    """One block step. Collectives: a (B,)-sized margin psum over
+    "model" and one x-shard-sized psum over "data" of the combined
+    anchor + coefficient innovation (cf. dp._finito_coeff_step_local)."""
+    N, B = cfg.N, cfg.b_loc
+    hat = state.hat_gamma
+    start = _tp_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+    j = start // B
+    r = _psum_m(F.margin_block(state.z, start, B))
+    c_new = F.coeff_from_margin(r, start, B)
+    c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    z_b = state.zb[j]
+    innov = _psum_d(
+        hat * state.invg[j] * (state.z - z_b)
+        - (hat / N) * F.apply_rows_block(c_new - c_old, start, B)
+    )
+    av = state.av + innov
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, c_new, start, 0)
+    zb = state.zb.at[j].set(state.z)
+    z = g.prox_only(av, hat)          # separable: local coordinates
+    return state._replace(c=c, zb=zb, av=av, z=z, it=state.it + 1)
+
+
+_FIN_ST_SPECS = TPFinitoState(
+    c=P(DATA_AXIS), zb=P(DATA_AXIS, MODEL_AXIS), invg=P(DATA_AXIS),
+    hat_gamma=P(), av=P(MODEL_AXIS), z=P(MODEL_AXIS),
+    key=P(), it=P(), status=P(),
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_tp_finito(mesh, f_treedef, f_specs_leaves, g_treedef,
+                        cfg: TPFinitoCfg):
+    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
+    g_specs = jax.tree_util.tree_unflatten(
+        g_treedef, [P()] * g_treedef.num_leaves
+    )
+
+    init_fn = jax.jit(jax.shard_map(
+        lambda F, g, x0, gamma, key: _tp_finito_init(F, g, x0, gamma, key, cfg),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(DATA_AXIS), P()),
+        out_specs=_FIN_ST_SPECS, check_vma=False,
+    ))
+
+    step_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: _tp_finito_step(F, g, cfg, state),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
+        out_specs=_FIN_ST_SPECS, check_vma=False,
+    ))
+
+    def run_body(F, g, state, steps):
+        def body(s, _):
+            return _tp_finito_step(F, g, cfg, s), None
+
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    run_fn = jax.jit(
+        lambda F, g, state, steps: jax.shard_map(
+            functools.partial(run_body, steps=steps), mesh=mesh,
+            in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
+            out_specs=_FIN_ST_SPECS, check_vma=False,
+        )(F, g, state),
+        static_argnames=("steps",),
+    )
+    return init_fn, step_fn, run_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class TPFinito:
+    """Coefficient-mode Finito/MISO on a ("data", "model") mesh —
+    samples AND coordinates sharded (reference Finito_basic.jl re-laid
+    for 2-D sharding; the reference itself is single-process). Requires
+    a rank-1 oracle and a separable prox; ``batch`` is the per-data-row
+    contiguous block size; sweeping ∈ {1 random, 2 cyclic, 3 shuffled}
+    runs per data row over its local blocks."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 1
+    sweeping: int = 1
+    alpha: float = 0.999
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        from ciao_tpu.solvers.base import resolve_gamma_array
+
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPFinito needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPFinito shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPFinito needs a rank-1 (coefficient) oracle")
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError("TPFinito: need N divisible by D and N/D by batch")
+        if x0.size % M != 0:
+            raise ValueError("TPFinito: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
+        cfg = TPFinitoCfg(N=N, D=D, M=M, b_loc=self.batch,
+                          sweeping=self.sweeping)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_treedef = jax.tree_util.tree_structure(g)
+        init_c, step_c, run_c = _compiled_tp_finito(
+            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        return x0, F, g, init, step, run
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step)
+
+
 @dataclasses.dataclass(frozen=True)
 class TPSAGA:
     """Coefficient-mode SAGA/SAG on a ("data", "model") mesh — samples

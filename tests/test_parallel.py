@@ -283,3 +283,43 @@ def test_dp_finito_coeff_matches_full(mesh, lasso):
     assert st.c.shape == (N,)
     assert st.c.sharding.spec == P(DATA_AXIS)
     assert st.zb.sharding.spec == P(DATA_AXIS, None)
+
+
+def test_tp_finito_converges_and_shards():
+    """TPFinito on a (4 data x 2 model) mesh: coefficient table and
+    stepsize sums by sample block, anchors by both axes, z/av by
+    coordinate; converges to the planted optimum for all 3 sweeps."""
+    from ciao_tpu.parallel import TPFinito, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    for sweeping in (1, 2, 3):
+        solver = TPFinito(mesh=mesh2, maxit=800, batch=4, sweeping=sweeping)
+        x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, sweeping
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.z.sharding.spec == P(MODEL_AXIS)
+    assert st.c.sharding.spec == P(DATA_AXIS)
+    assert st.zb.sharding.spec == P(DATA_AXIS, MODEL_AXIS)
+    assert st.invg.sharding.spec == P(DATA_AXIS)
+
+
+def test_tp_finito_rejects_nonseparable_prox():
+    from ciao_tpu.parallel import TPFinito, make_mesh_2d
+    from ciao_tpu.prox import NormL2
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    with pytest.raises(ValueError, match="separable"):
+        TPFinito(mesh=mesh2)(
+            x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
+        )
