@@ -58,31 +58,42 @@ def fused_block_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _row_grad(A_t, b_t, z_t, scale):
+# MXU precision of the in-kernel dots. "highest" = exact f32 (6 MXU
+# passes per dot on v5e — the kernels are then COMPUTE-bound, not HBM-
+# bound); "default" = bf16 multiplies with f32 accumulation (1 pass),
+# matching what plain jnp.dot already does on TPU in the XLA stepwise
+# paths. Facades expose this as ``fused_precision``.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _row_grad(A_t, b_t, z_t, scale, prec):
     """Least-squares row gradients of one tile on the MXU:
-    G = scale·(A_t z − b)·A_t, full-f32 precision."""
+    G = scale·(A_t z − b)·A_t."""
     r = jnp.dot(
         A_t,
         z_t[0, :][:, None],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (TILE, 1)
     return (scale * (r - b_t)) * A_t
 
 
-def _saga_kernel(start_ref, A_ref, b_ref, s_ref, z_ref, sc_ref,
+def _saga_kernel(prec, start_ref, A_ref, b_ref, s_ref, z_ref, sc_ref,
                  s_out_ref, innov_ref):
     i = pl.program_id(0)
-    G = _row_grad(A_ref[:], b_ref[:], z_ref, sc_ref[0, 0])
+    G = _row_grad(A_ref[:], b_ref[:], z_ref, sc_ref[0, 0], prec)
     innov_ref[i, :] = jnp.sum(G - s_ref[:], axis=0)
     s_out_ref[:] = G
 
 
-def _finito_kernel(start_ref, A_ref, b_ref, s_ref, g_ref, z_ref, sc_ref,
-                   s_out_ref, innov_ref):
+def _finito_kernel(prec, start_ref, A_ref, b_ref, s_ref, g_ref, z_ref,
+                   sc_ref, s_out_ref, innov_ref):
     i = pl.program_id(0)
     scale, inv_n, hat = sc_ref[0, 0], sc_ref[0, 1], sc_ref[0, 2]
-    G = _row_grad(A_ref[:], b_ref[:], z_ref, scale)
+    G = _row_grad(A_ref[:], b_ref[:], z_ref, scale, prec)
     gi = g_ref[:]                                     # (TILE, 1)
     s_new = z_ref[0, :][None, :] - (gi * inv_n) * G
     innov_ref[i, :] = jnp.sum((s_new - s_ref[:]) * (hat / gi), axis=0)
@@ -101,8 +112,11 @@ def _bcast_spec(shape):
     return pl.BlockSpec(shape, lambda *_: (0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
-def saga_block_update(A, b2, s, z2, start, scale2, B: int):
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision"), donate_argnums=(2,)
+)
+def saga_block_update(A, b2, s, z2, start, scale2, B: int,
+                      precision: str = "highest"):
     """SAGA table refresh on rows [start, start+B): returns
     ``(s_updated, Σ_B (∇f_i(z) − s_i_old))`` with s updated IN PLACE
     (donate s). ``b2`` is b[:, None]; ``z2`` is z[None, :]; ``scale2``
@@ -129,7 +143,7 @@ def saga_block_update(A, b2, s, z2, start, scale2, B: int):
         ],
     )
     s_new, innov = pl.pallas_call(
-        _saga_kernel,
+        functools.partial(_saga_kernel, _PRECISIONS[precision]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, n), s.dtype),
@@ -177,9 +191,10 @@ def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _saga_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, z_in_ref,
-                             av_in_ref, sc_ref, c_out_ref, z_out_ref,
-                             av_out_ref, c_vm, av_vm, z_vm, innov_vm):
+def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
+                             z_in_ref, av_in_ref, sc_ref, c_out_ref,
+                             z_out_ref, av_out_ref, c_vm, av_vm, z_vm,
+                             innov_vm):
     k = pl.program_id(0)
     t = pl.program_id(1)
     K = pl.num_programs(0)
@@ -209,7 +224,7 @@ def _saga_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, z_in_ref,
     r = jax.lax.dot_general(
         z_vm[...], A_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, TILE)
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -226,7 +241,7 @@ def _saga_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, z_in_ref,
     innov_vm[...] += jax.lax.dot_general(
         dc, A_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -249,8 +264,11 @@ def _saga_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, z_in_ref,
         av_out_ref[...] = av_vm[...]
 
 
-@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(3,))
-def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int):
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision"), donate_argnums=(3,)
+)
+def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
+                         precision: str = "highest"):
     """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
     kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
     (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
@@ -292,7 +310,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int):
         ],
     )
     c_new, z_new, av_new = pl.pallas_call(
-        _saga_coeff_multi_kernel,
+        functools.partial(_saga_coeff_multi_kernel, _PRECISIONS[precision]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
@@ -332,9 +350,9 @@ def svrg_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _svrg_coeff_multi_kernel(ncols, starts_ref, A_ref, b_ref, canch_ref,
-                             w_in_ref, zs_in_ref, av_ref, sc_ref, w_out_ref,
-                             zs_out_ref, w_vm, zs_vm, innov_vm):
+def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
+                             canch_ref, w_in_ref, zs_in_ref, av_ref, sc_ref,
+                             w_out_ref, zs_out_ref, w_vm, zs_vm, innov_vm):
     """``ncols`` = N/8 is bound statically by the caller (the slab-row
     index of a block is start // ncols)."""
     k = pl.program_id(0)
@@ -361,7 +379,7 @@ def _svrg_coeff_multi_kernel(ncols, starts_ref, A_ref, b_ref, canch_ref,
     r = jax.lax.dot_general(
         w_vm[...], A_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, TILE)
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -372,7 +390,7 @@ def _svrg_coeff_multi_kernel(ncols, starts_ref, A_ref, b_ref, canch_ref,
     innov_vm[...] += jax.lax.dot_general(
         dc, A_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -389,7 +407,7 @@ def _svrg_coeff_multi_kernel(ncols, starts_ref, A_ref, b_ref, canch_ref,
         zs_out_ref[...] = zs_vm[...]
 
 
-def _coeff_apply_kernel(A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
+def _coeff_apply_kernel(prec, A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
                         acc_vm):
     """One streaming pass: per row-tile compute the coefficient
     c_i = c(z)_i and accumulate the partial Σ c_i·a_i — the full
@@ -407,14 +425,14 @@ def _coeff_apply_kernel(A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
     r = jax.lax.dot_general(
         z_ref[...], A_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, TILE)
     c = _coeff_formula(mode, r, b_ref[...], scale)
     c_ref[...] = c
     acc_vm[...] += jax.lax.dot_general(
         c, A_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (1, n)
 
     @pl.when(i == T - 1)
@@ -422,8 +440,9 @@ def _coeff_apply_kernel(A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
         av_ref[...] = acc_vm[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def coeff_apply_all(A, b1, z2, scalars, tile: int):
+@functools.partial(jax.jit, static_argnames=("tile", "precision"))
+def coeff_apply_all(A, b1, z2, scalars, tile: int,
+                    precision: str = "highest"):
     """Anchor refresh in ONE pass over A: returns ``(c1, gsum2)`` where
     c1 is the (1, N) coefficient row c(z) and gsum2 the (1, n) full
     gradient sum Σ c_i·a_i (caller divides by N and reshapes c as
@@ -433,7 +452,7 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int):
     T = N // tile
 
     c1, gsum = pl.pallas_call(
-        _coeff_apply_kernel,
+        functools.partial(_coeff_apply_kernel, _PRECISIONS[precision]),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((tile, n), lambda i: (i, 0)),   # A row tile
@@ -455,9 +474,9 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int):
     return c1, gsum
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
+@functools.partial(jax.jit, static_argnames=("B", "precision"))
 def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
-                         B: int):
+                         B: int, precision: str = "highest"):
     """K = len(starts) SVRG inner block steps in one kernel launch.
     ``b8``/``canch8`` are the offsets/anchor coefficients in the
     (8, N/8) slab layout; ``w2``/``zs2``/``av2`` are (1, n); ``scalars``
@@ -473,7 +492,9 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
-    kernel = functools.partial(_svrg_coeff_multi_kernel, ncols)
+    kernel = functools.partial(
+        _svrg_coeff_multi_kernel, ncols, _PRECISIONS[precision]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K, T),
@@ -508,8 +529,11 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
     return w_new, zs_new
 
 
-@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(2,))
-def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int):
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision"), donate_argnums=(2,)
+)
+def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int,
+                        precision: str = "highest"):
     """Finito table refresh on rows [start, start+B): returns
     ``(s_updated, Σ_B (s_new − s_old)·hat_γ/γ_i)``. ``gamma2`` is
     gamma[:, None]; ``scalars`` is the (1,3) row [scale, 1/N, hat_γ]."""
@@ -535,7 +559,7 @@ def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int):
         ],
     )
     s_new, innov = pl.pallas_call(
-        _finito_kernel,
+        functools.partial(_finito_kernel, _PRECISIONS[precision]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((N, n), s.dtype),
@@ -562,10 +586,11 @@ def finito_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _finito_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, zb_in_ref,
-                               invg_ref, z_in_ref, av_in_ref, sc_ref,
-                               c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
-                               c_vm, zb_vm, av_vm, z_vm, innov_vm):
+def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
+                               zb_in_ref, invg_ref, z_in_ref, av_in_ref,
+                               sc_ref, c_out_ref, zb_out_ref, z_out_ref,
+                               av_out_ref, c_vm, zb_vm, av_vm, z_vm,
+                               innov_vm):
     """K Finito-basic coefficient steps per launch (exact algebra of
     solvers.finito._finito_coeff_step, reference Finito_basic.jl:110-118):
 
@@ -600,7 +625,7 @@ def _finito_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, zb_in_ref,
     r = jax.lax.dot_general(
         z_vm[...], A_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -613,7 +638,7 @@ def _finito_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, zb_in_ref,
     innov_vm[...] += jax.lax.dot_general(
         dc, A_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
     @pl.when(t == T - 1)
@@ -636,9 +661,11 @@ def _finito_coeff_multi_kernel(starts_ref, A_ref, b_ref, c_in_ref, zb_in_ref,
         av_out_ref[...] = av_vm[...]
 
 
-@functools.partial(jax.jit, static_argnames=("B",), donate_argnums=(3, 4))
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision"), donate_argnums=(3, 4)
+)
 def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
-                           B: int):
+                           B: int, precision: str = "highest"):
     """K = len(starts) coefficient-mode Finito-basic block steps in one
     launch. ``c8``/``b8`` use the (8, N/8) slab layout; ``zb`` is the
     (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
@@ -684,7 +711,7 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
         ],
     )
     c_new, zb_new, z_new, av_new = pl.pallas_call(
-        _finito_coeff_multi_kernel,
+        functools.partial(_finito_coeff_multi_kernel, _PRECISIONS[precision]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),

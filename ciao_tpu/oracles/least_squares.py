@@ -173,16 +173,19 @@ class LeastSquaresRows(SmoothOracle):
     # aggregate innovation (ciao_tpu.ops.fused_block). Callers gate on
     # ``ops.fused_block_available``.
 
-    def fused_saga_block(self, s, z, start, size: int):
+    def fused_saga_block(self, s, z, start, size: int,
+                         precision: str = "highest"):
         """(s_updated, Σ_B (∇f_i(z) − s_i_old)) on rows [start, start+size)."""
         from ciao_tpu.ops import saga_block_update
 
         scale2 = jnp.reshape(self.scale, (1, 1)).astype(jnp.float32)
         return saga_block_update(
-            self.A, self.b[:, None], s, z[None, :], start, scale2, size
+            self.A, self.b[:, None], s, z[None, :], start, scale2, size,
+            precision=precision,
         )
 
-    def fused_finito_block(self, s, gamma, z, start, size: int, inv_N, hat_gamma):
+    def fused_finito_block(self, s, gamma, z, start, size: int, inv_N,
+                           hat_gamma, precision: str = "highest"):
         """(s_updated, Σ_B (s_new − s_old)·hat_γ/γ_i) with
         s_new = z − γ_i·inv_N·∇f_i(z) on rows [start, start+size)."""
         from ciao_tpu.ops import finito_block_update
@@ -196,7 +199,7 @@ class LeastSquaresRows(SmoothOracle):
         )[None, :]
         return finito_block_update(
             self.A, self.b[:, None], s, gamma[:, None], z[None, :], start,
-            scalars, size,
+            scalars, size, precision=precision,
         )
 
     def value_and_grad_pointwise(self, xs, idx):

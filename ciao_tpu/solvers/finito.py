@@ -62,6 +62,7 @@ class FinitoCfg(NamedTuple):
     tol_b: float = 1e-9
     cyclic_pos0: int = 1  # basic starts its cyclic sweep at block 2 (see sampling)
     fused: bool = False   # Pallas one-pass table refresh (TPU, f32)
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class FinitoBasicState(NamedTuple):
@@ -178,6 +179,7 @@ def _finito_basic_step(F, g, cfg: FinitoCfg, state: FinitoBasicState) -> FinitoB
             s, innov = F.fused_finito_block(
                 state.s, state.gamma, state.z, start, B,
                 1.0 / N, state.hat_gamma,
+                precision=cfg.fused_precision,
             )
             av = state.av + innov
         else:
@@ -547,7 +549,8 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
         c8, zb, z2, av2, sweep = carry
         sweep, starts = gen_starts(sweep, K)
         c8, zb, z2, av2 = finito_coeff_multistep(
-            rows, b8, starts, c8, zb, invg2, z2, av2, scalars, B
+            rows, b8, starts, c8, zb, invg2, z2, av2, scalars, B,
+            precision=cfg.fused_precision,
         )
         return (c8, zb, z2, av2, sweep), None
 
@@ -619,9 +622,11 @@ class Finito:
     tol: float = 1e-8
     tol_b: float = 1e-9
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
+        assert self.fused_precision in ("highest", "default")
         if self.gamma is not None:
             gmin = np.min(np.asarray(self.gamma))
             assert gmin > 0, "γ must be positive"
@@ -670,6 +675,7 @@ class Finito:
             alpha=float(self.alpha),
             tol_b=float(self.tol_b),
             fused=fused,
+            fused_precision=self.fused_precision,
         )
         key = jax.random.PRNGKey(self.seed)
         variant = self._variant

@@ -45,6 +45,7 @@ class SAGACfg(NamedTuple):
     block: bool = False  # uniform CONTIGUOUS block instead of iid subset
     fused: bool = False  # Pallas one-pass table refresh (TPU, f32)
     coeff: bool = False  # (N,) coefficient table instead of (N, n) rows
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class SAGAState(NamedTuple):
@@ -134,7 +135,9 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
         start = j * B
         if cfg.fused:
             # Pallas: gradient + table write + innovation in ONE VMEM pass
-            s, innov = F.fused_saga_block(state.s, state.z, start, B)
+            s, innov = F.fused_saga_block(
+                state.s, state.z, start, B, precision=cfg.fused_precision
+            )
             diff = innov / B
             if cfg.sag:
                 av = state.av + innov / N
@@ -220,7 +223,8 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
         c8, z2, av2, key = carry
         key, starts = _gen_block_starts(key, cfg, K)
         c8, z2, av2 = saga_coeff_multistep(
-            rows, b8, starts, c8, z2, av2, scalars, B
+            rows, b8, starts, c8, z2, av2, scalars, B,
+            precision=cfg.fused_precision,
         )
         return (c8, z2, av2, key), None
 
@@ -273,6 +277,9 @@ class SAGA:
     batch: int = 1
     block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
+    fused_precision: str = "highest"  # "highest" = exact-f32 MXU dots;
+    # "default" = bf16-multiply/f32-accumulate (1 MXU pass — what plain
+    # jnp.dot already does on TPU), ~2x faster fused kernels
     seed: int = 0
 
     def __post_init__(self):
@@ -280,6 +287,7 @@ class SAGA:
         assert self.maxit > 0
         assert self.freq > 0
         assert self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
 
     def _setup(self, x0, F, g, L, N):
         x0 = jnp.asarray(x0)
@@ -328,6 +336,7 @@ class SAGA:
         cfg = SAGACfg(
             N=N, sag=self.SAG_flag, batch=self.batch,
             block=self.block_sampling, fused=fused, coeff=coeff,
+            fused_precision=self.fused_precision,
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: saga_init(F, g, x0, gamma, key, cfg)

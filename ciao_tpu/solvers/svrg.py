@@ -40,6 +40,7 @@ class SVRGCfg(NamedTuple):
     block: bool = False  # uniform CONTIGUOUS block per inner step
     fused: bool = False  # Pallas K-inner-steps-per-launch kernel
     m_fused: int = 0     # static inner length for the fused path
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class SVRGState(NamedTuple):
@@ -148,7 +149,8 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         w2, zs2, key = carry
         key, starts = _gen_block_starts(key, cfg, K)
         w2, zs2 = svrg_coeff_multistep(
-            rows, b8, state.canch, starts, w2, zs2, av2, scalars, B
+            rows, b8, state.canch, starts, w2, zs2, av2, scalars, B,
+            precision=cfg.fused_precision,
         )
         return (w2, zs2, key), None
 
@@ -166,6 +168,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
+        precision=cfg.fused_precision,
     )
     canch = c1.reshape(slab)
     # state.key was already advanced by the caller (the sub-chain used
@@ -256,6 +259,7 @@ class SVRG:
     plus: bool = False
     batch: int = 1       # inner-loop minibatch (beyond the reference)
     block_sampling: bool = False  # contiguous inner blocks (TPU fast path)
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
@@ -263,6 +267,7 @@ class SVRG:
         assert self.maxit > 0
         assert self.freq > 0
         assert self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
 
     def _effective_maxit(self):
         if self.plus and self.maxit > 25:
@@ -326,6 +331,7 @@ class SVRG:
             N=N, plus=self.plus, batch=self.batch,
             block=self.block_sampling, fused=fused,
             m_fused=m if fused else 0,
+            fused_precision=self.fused_precision,
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: svrg_init(F, g, x0, gamma, m, key, cfg)

@@ -343,3 +343,30 @@ def test_svrg_block_minibatch_converges():
         jnp.zeros(npix), F=F, g=g, L=prob.L
     )
     assert float(prob.cost(x) - prob.f_star) < 1e-4
+
+
+def test_fused_precision_default_plumbing():
+    """fused_precision="default" (bf16-multiply MXU dots) threads through
+    every fused wrapper; on CPU interpret mode the dots stay f32, so the
+    trajectory matches "highest" exactly — this checks the plumbing."""
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    outs = {}
+    for precision in ("highest", "default"):
+        cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True,
+                      fused=True, fused_precision=precision)
+        st = saga_init(F, g, x0, gamma, key, cfg)
+        with pltpu.force_tpu_interpret_mode():
+            outs[precision] = saga_run(F, g, st, cfg, 32)
+    np.testing.assert_array_equal(np.asarray(outs["highest"].z),
+                                  np.asarray(outs["default"].z))
