@@ -22,6 +22,9 @@ from ciao_tpu.ops.fused_block import (
     finito_multistep_available,
     svrg_coeff_multistep,
     svrg_multistep_available,
+    lfinito_sweep_multistep,
+    lfinito_sweep_available,
+    coeff_apply_all,
 )
 
 __all__ = [
@@ -36,4 +39,7 @@ __all__ = [
     "finito_multistep_available",
     "svrg_coeff_multistep",
     "svrg_multistep_available",
+    "lfinito_sweep_multistep",
+    "lfinito_sweep_available",
+    "coeff_apply_all",
 ]

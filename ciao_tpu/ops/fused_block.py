@@ -571,6 +571,152 @@ def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int,
 
 
 # ---------------------------------------------------------------------------
+# fused LFinito block sweep (low-memory variant, coefficient anchor)
+# ---------------------------------------------------------------------------
+#
+# One LFinito epoch (Finito_LFinito.jl:77-103) = a full-gradient refresh
+# at z_full plus a sweep over all blocks:
+#
+#     z   = prox_g(av, hat_γ)                       (block start)
+#     av += (hat_γ/N)·Σ_B (c(z_full)_i − c(z)_i)·a_i
+#           + hat_γ·(Σ_B 1/γ_i)·(z − z_full)        (block end)
+#
+# The anchor coefficients c(z_full) come from the one-pass
+# ``coeff_apply_all`` refresh; this kernel runs the whole sweep (K
+# blocks, any visit order via scalar-prefetched starts) in one launch
+# with av/z carried in VMEM — ONE pass over A per sweep, so an epoch
+# costs two passes total (the XLA path costs four).
+
+def lfinito_sweep_available(N: int, n: int, B: int, dtype) -> bool:
+    """Gate for the one-launch LFinito sweep: anchor streams like the
+    SVRG kernel; additionally the (1, d) per-block 1/γ sums and the
+    (d,) visit order live in SMEM."""
+    d = N // B if B else 0
+    return (
+        fused_block_available(N, n, B, dtype)
+        and N % (SLAB_ROWS * B) == 0
+        and _pick_tile(B, N, n) >= 128
+        and 1 <= d <= 1024
+    )
+
+
+def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
+                          zf_ref, av_in_ref, z_in_ref, invg_ref, sc_ref,
+                          av_out_ref, z_out_ref, av_vm, z_vm, innov_vm):
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    hat = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # hat_γ·λ (0 disables the prox: g = Zero)
+    invN = sc_ref[0, 3]
+    mode = sc_ref[0, 4]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        # block start: z = prox_g(av, hat_γ) (Finito_LFinito.jl:92)
+        av = av_vm[...]
+        z_vm[...] = jnp.sign(av) * jnp.maximum(jnp.abs(av) - thr, 0.0)
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = jax.lax.dot_general(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (1, TILE)
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]
+    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_anch = canch_ref[pl.ds(row, 1), :]
+    innov_vm[...] += jax.lax.dot_general(
+        c_anch - c_live, A_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (1, n)
+
+    @pl.when(t == T - 1)
+    def _():
+        j = starts_ref[k] // (T * TILE)     # block id
+        invg_j = invg_ref[0, j]
+        z = z_vm[...]
+        av_vm[...] += (hat * invN) * innov_vm[...] + (hat * invg_j) * (
+            z - zf_ref[...]
+        )
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        av_out_ref[...] = av_vm[...]
+        z_out_ref[...] = z_vm[...]
+
+
+@functools.partial(jax.jit, static_argnames=("B", "precision"))
+def lfinito_sweep_multistep(A, b8, canch8, starts, av2, z2, zf2, invg2,
+                            scalars, B: int, precision: str = "highest"):
+    """K = len(starts) LFinito block steps in one launch. ``b8``/
+    ``canch8`` are the offsets/anchor coefficients in the (8, N/8) slab
+    layout; ``av2``/``z2``/``zf2`` are (1, n); ``invg2`` the (1, d)
+    per-block Σ 1/γ_i; ``scalars`` the (1, 5) row
+    [scale, hat_γ, hat_γ·λ, 1/N, mode]. Returns (av2, z2)."""
+    N, n = A.shape
+    TILE = _pick_tile(B, N, n)
+    T = B // TILE
+    K = starts.shape[0]
+    d = invg2.shape[1]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    kernel = functools.partial(
+        _lfinito_sweep_kernel, ncols, _PRECISIONS[precision]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
+            _bcast_spec((1, n)),                        # z_full
+            _bcast_spec((1, n)),                        # av in
+            _bcast_spec((1, n)),                        # z in
+            pl.BlockSpec((1, d), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),      # invg
+            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((1, n)),                        # av out
+            _bcast_spec((1, n)),                        # z out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # av carry
+            pltpu.VMEM((1, n), jnp.float32),            # z carry
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    av_new, z_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+    )(starts.astype(jnp.int32), A, b8, canch8, zf2, av2, z2, invg2, scalars)
+    return av_new, z_new
+
+
+# ---------------------------------------------------------------------------
 # multi-step fused Finito kernel (coefficient tables + per-block anchors)
 # ---------------------------------------------------------------------------
 

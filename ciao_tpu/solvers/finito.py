@@ -289,6 +289,8 @@ def _lfinito_step(F, g, cfg: FinitoCfg, state: LFinitoState) -> LFinitoState:
 
     — the bracketed sum is ``grad_sum_diff`` (a fused matmul pair for
     linear-gradient oracles)."""
+    if cfg.fused:
+        return _lfinito_step_fused(F, g, cfg, state)
     N, B = cfg.N, cfg.batch
     d = num_blocks(N, B)
     hat = state.hat_gamma
@@ -327,6 +329,64 @@ def _lfinito_step(F, g, cfg: FinitoCfg, state: LFinitoState) -> LFinitoState:
 
     (av, z), _ = jax.lax.scan(block_body, (av, state.z), order)
     return state._replace(av=av, z=z, z_full=z_full, sweep=sweep, it=state.it + 1)
+
+
+def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
+    """One LFinito epoch as TWO kernel launches: the anchor refresh
+    (coefficients + full gradient sum in one pass, ops.coeff_apply_all)
+    and the whole block sweep with av/z carried in VMEM
+    (ops.lfinito_sweep_multistep) — two passes over the oracle rows per
+    epoch where the XLA path needs four. Visit order and RNG flow are
+    identical to ``_lfinito_step``."""
+    from ciao_tpu.ops import lfinito_sweep_multistep
+    from ciao_tpu.ops.fused_block import _pick_tile, coeff_apply_all
+
+    N, B = cfg.N, cfg.batch
+    d = num_blocks(N, B)
+    hat = state.hat_gamma
+    lam = getattr(g, "lam", 0.0)
+    rows, offs = F.coeff_rows_data()
+    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+    mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+
+    z_full = g.prox_only(state.av, hat)
+    tile = _pick_tile(B, N, z_full.size)
+    c1, gsum = coeff_apply_all(
+        rows, offs[None, :], z_full[None, :],
+        jnp.stack([scale, mode])[None, :], tile,
+        precision=cfg.fused_precision,
+    )
+    av = z_full - (hat / N) * gsum[0]
+
+    if cfg.sweeping == Sweep.SHUFFLED:
+        key, sub = jax.random.split(state.sweep.key)
+        order = jax.random.permutation(sub, d).astype(jnp.int32)
+        sweep = state.sweep._replace(key=key, order=order)
+    else:
+        order = state.sweep.order
+        sweep = state.sweep
+
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    slab = (SLAB_ROWS, N // SLAB_ROWS)
+    invg2 = jnp.sum((1.0 / state.gamma).reshape(d, B), axis=1)[None, :]
+    scalars = jnp.stack(
+        [
+            scale,
+            jnp.asarray(hat, jnp.float32),
+            jnp.asarray(hat * lam, jnp.float32),
+            jnp.asarray(1.0 / N, jnp.float32),
+            mode,
+        ]
+    )[None, :]
+    av2, z2 = lfinito_sweep_multistep(
+        rows, offs.reshape(slab), c1.reshape(slab), order * B,
+        av[None, :], state.z[None, :], z_full[None, :], invg2, scalars, B,
+        precision=cfg.fused_precision,
+    )
+    return state._replace(
+        av=av2[0], z=z2[0], z_full=z_full, sweep=sweep, it=state.it + 1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -667,6 +727,24 @@ class Finito:
 
             fused = x0.dtype == jnp.float32 and fused_block_available(
                 N, x0.size, self.minibatch[1], x0.dtype
+            )
+        elif (
+            self._variant == "lfinito"
+            and N % self.minibatch[1] == 0
+            and getattr(F, "supports_coeff", False)
+            and hasattr(F, "coeff_rows_data")
+        ):
+            # whole-epoch fused sweep (anchor coefficients + in-kernel
+            # prox); needs an L1/Zero prox for the in-kernel threshold
+            from ciao_tpu.ops import lfinito_sweep_available
+            from ciao_tpu.prox import NormL1
+
+            fused = (
+                x0.dtype == jnp.float32
+                and lfinito_sweep_available(
+                    N, x0.size, self.minibatch[1], x0.dtype
+                )
+                and isinstance(g, (NormL1, Zero))
             )
         cfg = FinitoCfg(
             N=N,

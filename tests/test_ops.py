@@ -370,3 +370,41 @@ def test_fused_precision_default_plumbing():
             outs[precision] = saga_run(F, g, st, cfg, 32)
     np.testing.assert_array_equal(np.asarray(outs["highest"].z),
                                   np.asarray(outs["default"].z))
+
+
+def test_lfinito_fused_sweep_matches_stepwise():
+    """The whole-epoch fused LFinito sweep (anchor refresh + one-launch
+    block sweep with in-kernel prox) must reproduce the stepwise epoch:
+    same visit order, same RNG chain, same algebra."""
+    from ciao_tpu.solvers.finito import FinitoCfg, finito_run, lfinito_init
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+
+    for sweeping in (2, 3):
+        cfg = FinitoCfg(N=Np, batch=Bp, sweeping=sweeping, alpha=0.999)
+        st_step = finito_run(
+            F, g, lfinito_init(F, g, x0v, gamma, key, cfg), cfg, "lfinito", 6
+        )
+        cfg_f = cfg._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_fused = finito_run(
+                F, g, lfinito_init(F, g, x0v, gamma, key, cfg_f), cfg_f,
+                "lfinito", 6,
+            )
+        assert int(st_fused.it) == int(st_step.it)
+        for fld in ("z", "z_full", "av"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_fused, fld)),
+                np.asarray(getattr(st_step, fld)), rtol=1e-4, atol=1e-5,
+            )
+        assert np.array_equal(np.asarray(st_fused.sweep.key),
+                              np.asarray(st_step.sweep.key))
