@@ -203,6 +203,38 @@ def bench_secondary():
     log(f"svrg fused: {dt / EP * 1e3:.2f} ms/outer "
         f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
 
+    # time-to-1e-6 suboptimality on a planted-optimum Lasso (BASELINE.md)
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npx = 65_536, 1_024
+    prob = make_lasso(N=Np, n=npx, p=64, seed=0, dtype=jnp.float32)
+    Ap = jnp.asarray(prob.A, jnp.float32)
+    bp = jnp.asarray(prob.b, jnp.float32)
+    Fp = LeastSquaresRows(A=Ap, b=bp, scale=jnp.asarray(float(Np), jnp.float32))
+    gp = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gam = (1.0 / (3.0 * jnp.max(jnp.asarray(prob.L, jnp.float32)))).astype(
+        jnp.float32
+    )
+    cfgp = SAGACfg(N=Np, sag=False, batch=BATCH, block=True, coeff=True,
+                   fused=True)
+    stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
+    chunk = 4 * (Np // BATCH)
+    stp = saga_run(Fp, gp, stp, cfgp, chunk)   # compile
+    _ = float(stp.z[0])
+    stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
+    target = prob.f_star + 1e-6 * max(1.0, abs(prob.f_star))
+    t0 = time.perf_counter()
+    for rounds in range(1, 201):
+        stp = saga_run(Fp, gp, stp, cfgp, chunk)
+        cost = float(0.5 * jnp.sum((Ap @ stp.z - bp) ** 2)
+                     + prob.lam * jnp.sum(jnp.abs(stp.z)))
+        if cost <= target:
+            break
+    dt = time.perf_counter() - t0
+    log(f"time-to-1e-6 (rel) suboptimality, {Np}x{npx} Lasso: "
+        f"{dt:.2f}s ({rounds * chunk} steps, {rounds * 4} epochs)")
+
 
 def main():
     # the TPU tunnel occasionally drops the first connection — retry once
