@@ -38,6 +38,7 @@ from ciao_tpu.prox import Zero
 from ciao_tpu.sampling import (
     Sweep,
     SweepState,
+    gen_block_ids,
     init_sweep,
     next_block,
     next_block_id,
@@ -599,11 +600,8 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     invg2 = state.invg[None, :].astype(jnp.float32)
 
     def gen_starts(sweep, k):
-        def body(sw, _):
-            blk, sw = next_block_id(sw, N, B, cfg.sweeping)
-            return sw, blk * B
-
-        return jax.lax.scan(body, sweep, None, length=k)
+        blocks, sweep = gen_block_ids(sweep, k, N, B, cfg.sweeping)
+        return sweep, blocks * B
 
     def body(carry, _):
         c8, zb, z2, av2, sweep = carry

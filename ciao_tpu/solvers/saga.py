@@ -95,20 +95,30 @@ def _saga_direction(cfg, state, innov, B):
     return av, w
 
 
+def _block_start(key, it, N: int, B: int):
+    """Stateless uniform block start for step ``it``: deterministic in
+    (key, it), so the fused driver can draw K steps' starts in ONE
+    vectorized pass (a sequential split-chain costs ~64 scalar threefry
+    rounds per launch — measurably ~0.006 ms/step)."""
+    k = jax.random.fold_in(key, it)
+    return jax.random.randint(k, (), 0, N // B, dtype=jnp.int32) * B
+
+
 def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     """Coefficient-table step: no (N, n) table IO at all — the innovation
     Σ (c_new − c_old)·a_i is one extra matvec over the SAME oracle rows
     the gradient evaluation already reads."""
     N, B = cfg.N, cfg.batch
-    key, sub = jax.random.split(state.key)
     if cfg.block:
-        j = jax.random.randint(sub, (), 0, N // B, dtype=jnp.int32)
-        start = j * B
+        # stateless schedule: key constant, it advances
+        key = state.key
+        start = _block_start(key, state.it, N, B)
         c_new = F.coeff_block(state.z, start, B)
         c_old = jax.lax.dynamic_slice_in_dim(state.s, start, B)
         innov = F.apply_rows_block(c_new - c_old, start, B)
         s = jax.lax.dynamic_update_slice_in_dim(state.s, c_new, start, 0)
     else:
+        key, sub = jax.random.split(state.key)
         if B == 1:
             idx = jax.random.randint(sub, (1,), 0, N, dtype=jnp.int32)
         else:
@@ -126,13 +136,13 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     if cfg.coeff:
         return _saga_step_coeff(F, g, cfg, state)
     N, B = cfg.N, cfg.batch
-    key, sub = jax.random.split(state.key)
     if cfg.block:
         # TPU fast path: a uniformly-drawn CONTIGUOUS block (partition-
         # stratified minibatch SAGA) — dynamic-slice DMAs instead of the
         # row gather/scatter, which is ~10x off HBM bandwidth on TPU.
-        j = jax.random.randint(sub, (), 0, N // B, dtype=jnp.int32)
-        start = j * B
+        # Stateless (key, it) schedule; key is not advanced.
+        key = state.key
+        start = _block_start(key, state.it, N, B)
         if cfg.fused:
             # Pallas: gradient + table write + innovation in ONE VMEM pass
             s, innov = F.fused_saga_block(
@@ -159,6 +169,7 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
         z = g.prox_only(w, state.gamma)
         s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
         return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
+    key, sub = jax.random.split(state.key)
     if B == 1:
         idx = jax.random.randint(sub, (1,), 0, N, dtype=jnp.int32)
     else:
@@ -177,17 +188,18 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
 
 
-def _gen_block_starts(key, cfg: SAGACfg, k: int):
-    """K block starts with EXACTLY the per-step key discipline of
-    _saga_step_coeff (split-then-randint), so the fused multi-step path
-    reproduces the stepwise trajectory bit-for-bit in its sampling."""
-
-    def body(kk, _):
-        kk, sub = jax.random.split(kk)
-        j = jax.random.randint(sub, (), 0, cfg.N // cfg.batch, dtype=jnp.int32)
-        return kk, j * cfg.batch
-
-    return jax.lax.scan(body, key, None, length=k)
+def _gen_block_starts(key, it0, cfg, k: int):
+    """The K starts of steps it0..it0+k-1 under the stateless (key, it)
+    schedule of ``_block_start`` — ONE vectorized fold-in/draw pass, so
+    the fused multi-step path reproduces the stepwise sampling stream
+    bit-for-bit without a sequential split chain."""
+    its = it0 + jnp.arange(k, dtype=jnp.int32)
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(its)
+    d = cfg.N // cfg.batch
+    js = jax.vmap(
+        lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
+    )(keys)
+    return js * cfg.batch
 
 
 def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
@@ -219,28 +231,27 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
 
-    def body(carry, _):
-        c8, z2, av2, key = carry
-        key, starts = _gen_block_starts(key, cfg, K)
+    def body(carry, it0):
+        c8, z2, av2 = carry
+        starts = _gen_block_starts(state.key, it0, cfg, K)
         c8, z2, av2 = saga_coeff_multistep(
             rows, b8, starts, c8, z2, av2, scalars, B,
             precision=cfg.fused_precision,
         )
-        return (c8, z2, av2, key), None
+        return (c8, z2, av2), None
 
-    (c8, z2, av2, key), _ = jax.lax.scan(
+    its0 = state.it + K * jnp.arange(L, dtype=jnp.int32)
+    (c8, z2, av2), _ = jax.lax.scan(
         body,
         (
             state.s.reshape(slab),
             state.z[None, :],
             state.av[None, :],
-            state.key,
         ),
-        None,
-        length=L,
+        its0,
     )
     state = state._replace(
-        s=c8.reshape(cfg.N), z=z2[0], av=av2[0], key=key,
+        s=c8.reshape(cfg.N), z=z2[0], av=av2[0],
         it=state.it + jnp.asarray(L * K, jnp.int32),
     )
     for _ in range(rem):

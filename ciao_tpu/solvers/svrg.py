@@ -89,23 +89,26 @@ def svrg_init(F, g, x0, gamma, m, key, cfg: SVRGCfg) -> SVRGState:
 
 
 def _svrg_inner_block(F, g, cfg: SVRGCfg, z_full, av, gamma, w, zsum, key,
-                      steps):
+                      steps, k0=0):
     """``steps`` inner iterations on uniformly-drawn CONTIGUOUS blocks
     of ``cfg.batch`` samples (dynamic-slice DMAs, minibatch-averaged
-    variance-reduced direction). Key discipline is split-then-draw per
-    step — mirrored exactly by ``_gen_block_starts`` for the fused
-    kernel (sampling parity)."""
+    variance-reduced direction). The inner index is drawn by the
+    stateless (key, k0+k) schedule of saga._block_start — mirrored
+    exactly (and vectorized) by ``_gen_block_starts`` in the fused
+    kernel driver (sampling parity)."""
+    from ciao_tpu.solvers.saga import _block_start
+
     B = cfg.batch
 
     def inner(k, carry):
-        w, zsum, key = carry
-        key, ik = jax.random.split(key)
-        j = jax.random.randint(ik, (), 0, cfg.N // B, dtype=jnp.int32)
-        d = F.grad_sum_diff_block(z_full, w, j * B, B) / B
+        w, zsum = carry
+        start = _block_start(key, k0 + k, cfg.N, B)
+        d = F.grad_sum_diff_block(z_full, w, start, B) / B
         w = g.prox_only(w + gamma * (d - av), gamma)
-        return w, zsum + w, key
+        return w, zsum + w
 
-    return jax.lax.fori_loop(0, steps, inner, (w, zsum, key))
+    w, zsum = jax.lax.fori_loop(0, steps, inner, (w, zsum))
+    return w, zsum, key
 
 
 def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
@@ -142,25 +145,27 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
     av2 = av[None, :]
-    # _gen_block_starts draws with the same split-then-randint stream as
-    # _svrg_inner_block; SAGACfg/SVRGCfg share the (N, batch) fields.
+    # _gen_block_starts draws with the same stateless (key, inner-index)
+    # stream as _svrg_inner_block; SAGACfg/SVRGCfg share (N, batch).
 
-    def body(carry, _):
-        w2, zs2, key = carry
-        key, starts = _gen_block_starts(key, cfg, K)
+    def body(carry, k0):
+        w2, zs2 = carry
+        starts = _gen_block_starts(key, k0, cfg, K)
         w2, zs2 = svrg_coeff_multistep(
             rows, b8, state.canch, starts, w2, zs2, av2, scalars, B,
             precision=cfg.fused_precision,
         )
-        return (w2, zs2, key), None
+        return (w2, zs2), None
 
-    (w2, zs2, key), _ = jax.lax.scan(
-        body, (state.w[None, :], state.z[None, :], key), None, length=Lq
+    k0s = K * jnp.arange(Lq, dtype=jnp.int32)
+    (w2, zs2), _ = jax.lax.scan(
+        body, (state.w[None, :], state.z[None, :]), k0s
     )
     w, zsum = w2[0], zs2[0]
     if rem:
-        w, zsum, key = _svrg_inner_block(
-            F, g, cfg, state.z_full, av, gamma, w, zsum, key, rem
+        w, zsum, _ = _svrg_inner_block(
+            F, g, cfg, state.z_full, av, gamma, w, zsum, key, rem,
+            k0=Lq * K,
         )
     z_full = zsum / jnp.asarray(m, zsum.dtype)
     # anchor refresh: coefficients + gradient sum in one streaming pass
