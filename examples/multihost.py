@@ -31,8 +31,8 @@ from ciao_tpu.utils.problems import make_lasso  # noqa: E402
 
 def main():
     D = len(jax.devices())                    # GLOBAL device count
-    N, n = 512 * D, 256
-    prob = make_lasso(N=N, n=n, p=16, seed=0)
+    N, n = 128 * D, 64
+    prob = make_lasso(N=N, n=n, p=8, seed=0)
 
     mesh = make_mesh()                        # all global devices on "data"
     F = shard_finite_sum(
@@ -44,7 +44,7 @@ def main():
     )
     g = NormL1(lam=jnp.asarray(prob.lam))
 
-    solver = DPSAGA(mesh=mesh, batch=D * 8, block_sampling=True, maxit=20000)
+    solver = DPSAGA(mesh=mesh, batch=D * 8, block_sampling=True, maxit=30000)
     x, iters = solver(jnp.zeros(n), F=F, g=g, L=prob.L)
 
     if jax.process_index() == 0:
