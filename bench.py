@@ -224,16 +224,27 @@ def bench_secondary():
     _ = float(stp.z[0])
     stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
     target = prob.f_star + 1e-6 * max(1.0, abs(prob.f_star))
+    # exact-f32 cost: a default-precision TPU matmul (bf16 multiplies)
+    # cannot resolve a 1e-6 relative band
+    @jax.jit
+    def cost_fn(z):
+        r = jnp.dot(Ap, z, precision=jax.lax.Precision.HIGHEST) - bp
+        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
+    MAX_ROUNDS = 200
+    converged = False
     t0 = time.perf_counter()
-    for rounds in range(1, 201):
+    for rounds in range(1, MAX_ROUNDS + 1):
         stp = saga_run(Fp, gp, stp, cfgp, chunk)
-        cost = float(0.5 * jnp.sum((Ap @ stp.z - bp) ** 2)
-                     + prob.lam * jnp.sum(jnp.abs(stp.z)))
-        if cost <= target:
+        if float(cost_fn(stp.z)) <= target:
+            converged = True
             break
     dt = time.perf_counter() - t0
-    log(f"time-to-1e-6 (rel) suboptimality, {Np}x{npx} Lasso: "
-        f"{dt:.2f}s ({rounds * chunk} steps, {rounds * 4} epochs)")
+    if converged:
+        log(f"time-to-1e-6 (rel) suboptimality, {Np}x{npx} Lasso: "
+            f"{dt:.2f}s ({rounds * chunk} steps, {rounds * 4} epochs)")
+    else:
+        log(f"time-to-1e-6: NOT reached within {MAX_ROUNDS * chunk} steps "
+            f"({dt:.2f}s) — do not quote as a convergence time")
 
 
 def main():

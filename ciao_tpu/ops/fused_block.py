@@ -601,7 +601,7 @@ def lfinito_sweep_available(N: int, n: int, B: int, dtype) -> bool:
 
 
 def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
-                          zf_ref, av_in_ref, z_in_ref, invg_ref, sc_ref,
+                          zf_ref, av_in_ref, invg_ref, sc_ref,
                           av_out_ref, z_out_ref, av_vm, z_vm, innov_vm):
     k = pl.program_id(0)
     t = pl.program_id(1)
@@ -617,11 +617,12 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
     @pl.when((k == 0) & (t == 0))
     def _():
         av_vm[...] = av_in_ref[...]
-        z_vm[...] = z_in_ref[...]
 
     @pl.when(t == 0)
     def _():
         # block start: z = prox_g(av, hat_γ) (Finito_LFinito.jl:92)
+        # (the stepwise path likewise ignores the incoming z: every
+        # block overwrites it before use, Finito_LFinito.jl:92)
         av = av_vm[...]
         z_vm[...] = jnp.sign(av) * jnp.maximum(jnp.abs(av) - thr, 0.0)
         innov_vm[...] = jnp.zeros_like(innov_vm)
@@ -659,13 +660,14 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("B", "precision"))
-def lfinito_sweep_multistep(A, b8, canch8, starts, av2, z2, zf2, invg2,
+def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
                             scalars, B: int, precision: str = "highest"):
     """K = len(starts) LFinito block steps in one launch. ``b8``/
     ``canch8`` are the offsets/anchor coefficients in the (8, N/8) slab
-    layout; ``av2``/``z2``/``zf2`` are (1, n); ``invg2`` the (1, d)
-    per-block Σ 1/γ_i; ``scalars`` the (1, 5) row
-    [scale, hat_γ, hat_γ·λ, 1/N, mode]. Returns (av2, z2)."""
+    layout; ``av2``/``zf2`` are (1, n); ``invg2`` the (1, d) per-block
+    Σ 1/γ_i; ``scalars`` the (1, 5) row [scale, hat_γ, hat_γ·λ, 1/N,
+    mode]. Returns (av2, z2) — z is the last block's prox point (no z
+    input: each block recomputes z = prox(av) before use)."""
     N, n = A.shape
     TILE = _pick_tile(B, N, n)
     T = B // TILE
@@ -689,7 +691,6 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, z2, zf2, invg2,
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
             _bcast_spec((1, n)),                        # z_full
             _bcast_spec((1, n)),                        # av in
-            _bcast_spec((1, n)),                        # z in
             pl.BlockSpec((1, d), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),      # invg
             pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
@@ -712,7 +713,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, z2, zf2, invg2,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-    )(starts.astype(jnp.int32), A, b8, canch8, zf2, av2, z2, invg2, scalars)
+    )(starts.astype(jnp.int32), A, b8, canch8, zf2, av2, invg2, scalars)
     return av_new, z_new
 
 

@@ -74,10 +74,15 @@ def local_indices(key, it, n_loc: int, b_loc: int, sweeping: int):
 
 def local_block_start(key, it, n_loc: int, b_loc: int, sweeping: int):
     """Contiguous-block schedule: the device's dynamic-slice START for
-    step ``it`` (cyclic / per-epoch-shuffled sub-blocks — the TPU fast
-    path; XLA's row scatter is ~10x off HBM bandwidth)."""
+    step ``it`` (random / cyclic / per-epoch-shuffled sub-blocks — the
+    TPU fast path; XLA's row scatter is ~10x off HBM bandwidth).
+    Identical across a data row's model group when used on a 2-D mesh
+    (folds only the DATA axis index)."""
     ax = jax.lax.axis_index(DATA_AXIS)
     d_loc = n_loc // b_loc
+    if sweeping == Sweep.RANDOM:
+        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
+        return jax.random.randint(k, (), 0, d_loc, dtype=jnp.int32) * b_loc
     if sweeping == Sweep.CYCLIC:
         return ((it - 1) % d_loc) * b_loc
     epoch = (it - 1) // d_loc

@@ -222,25 +222,6 @@ class TPFinitoCfg(NamedTuple):
         return self.N // self.D
 
 
-def _tp_block_start(key, it, n_loc: int, b_loc: int, sweeping: int):
-    """Per-data-row contiguous-block schedule, identical across the
-    row's model group (folds only the DATA axis index)."""
-    from ciao_tpu.sampling import Sweep
-
-    ax = jax.lax.axis_index(DATA_AXIS)
-    d_loc = n_loc // b_loc
-    if sweeping == Sweep.RANDOM:
-        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
-        return jax.random.randint(k, (), 0, d_loc, dtype=jnp.int32) * b_loc
-    if sweeping == Sweep.CYCLIC:
-        return ((it - 1) % d_loc) * b_loc
-    epoch = (it - 1) // d_loc
-    pos = (it - 1) % d_loc
-    ke = jax.random.fold_in(jax.random.fold_in(key, epoch), ax)
-    order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
-    return order[pos] * b_loc
-
-
 def _tp_finito_init(F, g, x0, gamma, key, cfg: TPFinitoCfg):
     """2-D-sharded coefficient-Finito bootstrap (cf.
     parallel.dp._finito_coeff_init_local, plus the "model" margin psum;
@@ -267,7 +248,9 @@ def _tp_finito_step(F, g, cfg: TPFinitoCfg, state: TPFinitoState):
     anchor + coefficient innovation (cf. dp._finito_coeff_step_local)."""
     N, B = cfg.N, cfg.b_loc
     hat = state.hat_gamma
-    start = _tp_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+    from ciao_tpu.parallel.dp import local_block_start
+
+    start = local_block_start(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
     j = start // B
     r = _psum_m(F.margin_block(state.z, start, B))
     c_new = F.coeff_from_margin(r, start, B)
@@ -370,6 +353,8 @@ class TPFinito:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPFinito needs a rank-1 (coefficient) oracle")
+        if self.sweeping not in (1, 2, 3):
+            raise ValueError(f"sweeping must be 1, 2 or 3; got {self.sweeping}")
         if N % D != 0 or (N // D) % self.batch != 0:
             raise ValueError("TPFinito: need N divisible by D and N/D by batch")
         if x0.size % M != 0:

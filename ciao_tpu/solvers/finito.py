@@ -382,7 +382,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     )[None, :]
     av2, z2 = lfinito_sweep_multistep(
         rows, offs.reshape(slab), c1.reshape(slab), order * B,
-        av[None, :], state.z[None, :], z_full[None, :], invg2, scalars, B,
+        av[None, :], z_full[None, :], invg2, scalars, B,
         precision=cfg.fused_precision,
     )
     return state._replace(

@@ -55,8 +55,9 @@ class SVRGState(NamedTuple):
     status: jnp.ndarray
     # fused mode only: anchor coefficient slab c(z_full) in (8, N/8)
     # layout, refreshed with av in ONE pass over the oracle rows
-    # (ops.coeff_apply_all); (0, 0)-shaped placeholder otherwise.
-    canch: jnp.ndarray = jnp.zeros((0, 0), jnp.float32)
+    # (ops.coeff_apply_all); None otherwise (a leafless pytree node --
+    # an array default here would commit a device buffer at import).
+    canch: object = None
 
     @property
     def solution(self):  # reference: solution(state) = state.z_full
@@ -73,7 +74,7 @@ def svrg_init(F, g, x0, gamma, m, key, cfg: SVRGCfg) -> SVRGState:
         canch = c.reshape(SLAB_ROWS, cfg.N // SLAB_ROWS)
     else:
         av = F.grad_sum_all(x0) / cfg.N
-        canch = jnp.zeros((0, 0), jnp.float32)
+        canch = None
     return SVRGState(
         gamma=gamma,
         m=jnp.asarray(m, jnp.int32),
@@ -200,7 +201,7 @@ def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
         # inner sampling stream (split-then-draw from ``sub``) is
         # identical to the block path below.
         return _svrg_step_fused(F, g, cfg, state._replace(key=key), sub)
-    if cfg.block and cfg.batch > 1:
+    if cfg.block:
         w, zsum, _ = _svrg_inner_block(
             F, g, cfg, state.z_full, av, gamma, state.w, state.z, sub,
             state.m,

@@ -303,27 +303,32 @@ def test_svrg_fused_multistep_matches_stepwise():
     gamma = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
     key = jax.random.PRNGKey(5)
     x0 = jnp.zeros(npix, jnp.float32)
-    m = 24  # not a multiple of K -> exercises the stepwise remainder too
-
-    cfg_step = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
-    st_step = svrg_run(
-        F, g, svrg_init(F, g, x0, gamma, m, key, cfg_step), cfg_step, 3
-    )
-    cfg_fused = cfg_step._replace(fused=True, m_fused=m)
-    with pltpu.force_tpu_interpret_mode():
-        st_fused = svrg_run(
-            F, g, svrg_init(F, g, x0, gamma, m, key, cfg_fused), cfg_fused, 3
+    # m=24 runs a single K=24 launch; m=70 also exercises the stepwise
+    # remainder branch (K=64, Lq=1, rem=6) with its k0 offset
+    for m in (24, 70):
+        cfg_step = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
+        st_step = svrg_run(
+            F, g, svrg_init(F, g, x0, gamma, m, key, cfg_step), cfg_step, 3
         )
-    assert int(st_fused.it) == int(st_step.it)
-    np.testing.assert_allclose(np.asarray(st_fused.z_full),
-                               np.asarray(st_step.z_full),
-                               rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(st_fused.w), np.asarray(st_step.w),
-                               rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(st_fused.av), np.asarray(st_step.av),
-                               rtol=1e-3, atol=1e-4)
-    # key chains must coincide (split-then-draw parity)
-    assert np.array_equal(np.asarray(st_fused.key), np.asarray(st_step.key))
+        cfg_fused = cfg_step._replace(fused=True, m_fused=m)
+        with pltpu.force_tpu_interpret_mode():
+            st_fused = svrg_run(
+                F, g, svrg_init(F, g, x0, gamma, m, key, cfg_fused),
+                cfg_fused, 3,
+            )
+        assert int(st_fused.it) == int(st_step.it)
+        np.testing.assert_allclose(np.asarray(st_fused.z_full),
+                                   np.asarray(st_step.z_full),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_fused.w),
+                                   np.asarray(st_step.w),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_fused.av),
+                                   np.asarray(st_step.av),
+                                   rtol=1e-3, atol=1e-4)
+        # key chains must coincide (sampling-stream parity)
+        assert np.array_equal(np.asarray(st_fused.key),
+                              np.asarray(st_step.key))
 
 
 def test_svrg_block_minibatch_converges():
