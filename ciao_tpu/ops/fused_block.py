@@ -588,15 +588,15 @@ def finito_block_update(A, b2, s, gamma2, z2, start, scalars, B: int,
 # costs two passes total (the XLA path costs four).
 
 def lfinito_sweep_available(N: int, n: int, B: int, dtype) -> bool:
-    """Gate for the one-launch LFinito sweep: anchor streams like the
-    SVRG kernel; additionally the (1, d) per-block 1/γ sums and the
-    (d,) visit order live in SMEM."""
-    d = N // B if B else 0
+    """Gate for the fused LFinito sweep: the anchor streams like the
+    SVRG kernel, and the per-launch scalars (visit order, per-position
+    1/γ sums) are chunked by the driver — no cap on N or the block
+    count d."""
     return (
         fused_block_available(N, n, B, dtype)
         and N % (SLAB_ROWS * B) == 0
         and _pick_tile(B, N, n) >= 128
-        and 1 <= d <= 1024
+        and N // B >= 1
     )
 
 
@@ -646,10 +646,9 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
 
     @pl.when(t == T - 1)
     def _():
-        j = starts_ref[k] // (T * TILE)     # block id
-        invg_j = invg_ref[0, j]
+        invg_k = invg_ref[0, k]             # per-POSITION Σ 1/γ of block k
         z = z_vm[...]
-        av_vm[...] += (hat * invN) * innov_vm[...] + (hat * invg_j) * (
+        av_vm[...] += (hat * invN) * innov_vm[...] + (hat * invg_k) * (
             z - zf_ref[...]
         )
 
@@ -664,15 +663,17 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
                             scalars, B: int, precision: str = "highest"):
     """K = len(starts) LFinito block steps in one launch. ``b8``/
     ``canch8`` are the offsets/anchor coefficients in the (8, N/8) slab
-    layout; ``av2``/``zf2`` are (1, n); ``invg2`` the (1, d) per-block
-    Σ 1/γ_i; ``scalars`` the (1, 5) row [scale, hat_γ, hat_γ·λ, 1/N,
-    mode]. Returns (av2, z2) — z is the last block's prox point (no z
-    input: each block recomputes z = prox(av) before use)."""
+    layout; ``av2``/``zf2`` are (1, n); ``invg2`` is (1, K) — the
+    Σ 1/γ_i of the k'th VISITED block (i.e. already permuted into visit
+    order, so the kernel never needs the global (d,) table and the
+    driver can chunk an epoch into several launches); ``scalars`` the
+    (1, 5) row [scale, hat_γ, hat_γ·λ, 1/N, mode]. Returns (av2, z2) —
+    z is the last block's prox point (no z input: each block recomputes
+    z = prox(av) before use)."""
     N, n = A.shape
     TILE = _pick_tile(B, N, n)
     T = B // TILE
     K = starts.shape[0]
-    d = invg2.shape[1]
     ncols = N // SLAB_ROWS
 
     def slab_idx(k, t, st):
@@ -691,8 +692,8 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
             _bcast_spec((1, n)),                        # z_full
             _bcast_spec((1, n)),                        # av in
-            pl.BlockSpec((1, d), lambda k, t, st: (0, 0),
-                         memory_space=pltpu.SMEM),      # invg
+            pl.BlockSpec((1, K), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),      # invg (visit order)
             pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],

@@ -370,7 +370,11 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     from ciao_tpu.ops.fused_block import SLAB_ROWS
 
     slab = (SLAB_ROWS, N // SLAB_ROWS)
-    invg2 = jnp.sum((1.0 / state.gamma).reshape(d, B), axis=1)[None, :]
+    b8 = offs.reshape(slab)
+    c8 = c1.reshape(slab)
+    invg = jnp.sum((1.0 / state.gamma).reshape(d, B), axis=1)
+    starts = order * B          # (d,) visit order
+    invg_v = invg[order]        # Σ 1/γ of the k'th VISITED block
     scalars = jnp.stack(
         [
             scale,
@@ -380,11 +384,38 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
             mode,
         ]
     )[None, :]
-    av2, z2 = lfinito_sweep_multistep(
-        rows, offs.reshape(slab), c1.reshape(slab), order * B,
-        av[None, :], z_full[None, :], invg2, scalars, B,
-        precision=cfg.fused_precision,
-    )
+    zf2 = z_full[None, :]
+
+    def launch(av2, z2, st_c, ig_c):
+        return lfinito_sweep_multistep(
+            rows, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
+            precision=cfg.fused_precision,
+        )
+
+    # chunk the epoch's d blocks into launches of Kc (the per-launch
+    # scalar-prefetch arrays are (Kc,); av/z carry across launches)
+    Kc = min(512, d)
+    Lc = d // Kc
+    rem = d - Lc * Kc
+    av2, z2 = av[None, :], z_full[None, :]
+    if Lc == 1 and rem == 0:
+        av2, z2 = launch(av2, z2, starts, invg_v)
+    else:
+        def chunk_body(carry, xs):
+            av2, z2 = carry
+            st_c, ig_c = xs
+            return launch(av2, z2, st_c, ig_c), None
+
+        (av2, z2), _ = jax.lax.scan(
+            chunk_body,
+            (av2, z2),
+            (
+                starts[: Lc * Kc].reshape(Lc, Kc),
+                invg_v[: Lc * Kc].reshape(Lc, Kc),
+            ),
+        )
+        if rem:
+            av2, z2 = launch(av2, z2, starts[Lc * Kc:], invg_v[Lc * Kc:])
     return state._replace(
         av=av2[0], z=z2[0], z_full=z_full, sweep=sweep, it=state.it + 1
     )
