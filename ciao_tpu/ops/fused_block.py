@@ -69,9 +69,25 @@ _PRECISIONS = {
 }
 
 
+def _stream_dot(x, A_t, dims, prec):
+    """``dot_general`` against the streamed row tile ``A_t``. When the
+    oracle rows are STORED bf16 (``LeastSquaresRows.with_storage``) the
+    small operand is cast to bf16 too — a single MXU pass with f32
+    accumulation — halving the kernel's HBM traffic; f32 storage keeps
+    the caller's requested precision."""
+    if A_t.dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    return jax.lax.dot_general(
+        x, A_t, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
 def _row_grad(A_t, b_t, z_t, scale, prec):
     """Least-squares row gradients of one tile on the MXU:
     G = scale·(A_t z − b)·A_t."""
+    if A_t.dtype == jnp.bfloat16:
+        A_t = A_t.astype(jnp.float32)
     r = jnp.dot(
         A_t,
         z_t[0, :][:, None],
@@ -221,10 +237,8 @@ def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
 
     A_t = A_ref[:]
     # r as a LANE-major (1, TILE) row: z·A_tᵀ — no transposes/reshapes
-    r = jax.lax.dot_general(
-        z_vm[...], A_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    r = _stream_dot(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
     )  # (1, TILE)
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -238,10 +252,8 @@ def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]   # (1, TILE)
     dc = c_new - c_old
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
-    innov_vm[...] += jax.lax.dot_general(
-        dc, A_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -376,10 +388,8 @@ def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
         innov_vm[...] = jnp.zeros_like(innov_vm)
 
     A_t = A_ref[:]
-    r = jax.lax.dot_general(
-        w_vm[...], A_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    r = _stream_dot(
+        w_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
     )  # (1, TILE)
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -387,10 +397,8 @@ def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
     c_live = _coeff_formula(mode, r, b_t, scale)
     c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
     dc = c_anch - c_live
-    innov_vm[...] += jax.lax.dot_general(
-        dc, A_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -422,17 +430,13 @@ def _coeff_apply_kernel(prec, A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
         acc_vm[...] = jnp.zeros_like(acc_vm)
 
     A_t = A_ref[:]
-    r = jax.lax.dot_general(
-        z_ref[...], A_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    r = _stream_dot(
+        z_ref[...], A_t, (((1,), (1,)), ((), ())), prec,
     )  # (1, TILE)
     c = _coeff_formula(mode, r, b_ref[...], scale)
     c_ref[...] = c
-    acc_vm[...] += jax.lax.dot_general(
-        c, A_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    acc_vm[...] += _stream_dot(
+        c, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(i == T - 1)
@@ -628,20 +632,16 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
         innov_vm[...] = jnp.zeros_like(innov_vm)
 
     A_t = A_ref[:]
-    r = jax.lax.dot_general(
-        z_vm[...], A_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    r = _stream_dot(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
     )  # (1, TILE)
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
     b_t = b_ref[pl.ds(row, 1), :]
     c_live = _coeff_formula(mode, r, b_t, scale)
     c_anch = canch_ref[pl.ds(row, 1), :]
-    innov_vm[...] += jax.lax.dot_general(
-        c_anch - c_live, A_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    innov_vm[...] += _stream_dot(
+        c_anch - c_live, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -770,10 +770,8 @@ def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
         innov_vm[...] = jnp.zeros_like(innov_vm)
 
     A_t = A_ref[:]
-    r = jax.lax.dot_general(
-        z_vm[...], A_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    r = _stream_dot(
+        z_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
     )
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
@@ -783,10 +781,8 @@ def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
     dc = c_new - c_old
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
-    innov_vm[...] += jax.lax.dot_general(
-        dc, A_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
     )
 
     @pl.when(t == T - 1)

@@ -39,6 +39,16 @@ class LeastSquaresRows(SmoothOracle):
     def _conjA(self):
         return jnp.conj(self.A) if jnp.iscomplexobj(self.A) else self.A
 
+    def with_storage(self, dtype=jnp.bfloat16):
+        """Copy with the data rows STORED in ``dtype``. bf16 storage
+        halves HBM traffic in the streaming kernels (the usual
+        bottleneck — PERF.md): the fused paths feed bf16 tiles straight
+        to the MXU with f32 accumulation, and coefficients/iterates
+        stay f32. Gradient accuracy drops to bf16's ~3 decimal digits,
+        so use it when the target suboptimality is ≳1e-3·cost — or for
+        the early epochs of a two-stage f32 finish."""
+        return dataclasses.replace(self, A=self.A.astype(dtype))
+
     def value_and_grad_i(self, x, i):
         a = self.A[i]
         r = jnp.vdot(jnp.conj(a), x) - self.b[i]  # <a, x> - b (no conj on a)

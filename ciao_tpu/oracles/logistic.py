@@ -41,6 +41,12 @@ class LogisticRows(SmoothOracle):
     def dim(self) -> int:
         return self.X.shape[1]
 
+    def with_storage(self, dtype=jnp.bfloat16):
+        """Copy with the feature rows STORED in ``dtype`` (see
+        ``LeastSquaresRows.with_storage`` — bf16 halves the streaming
+        kernels' HBM traffic at ~3-digit gradient accuracy)."""
+        return dataclasses.replace(self, X=self.X.astype(dtype))
+
     def value_and_grad_i(self, x, i):
         a = self.X[i]
         t = -self.y[i] * jnp.dot(a, x)

@@ -413,3 +413,78 @@ def test_lfinito_fused_sweep_matches_stepwise():
             )
         assert np.array_equal(np.asarray(st_fused.sweep.key),
                               np.asarray(st_step.sweep.key))
+
+
+def test_bf16_storage_fused_tracks_f32():
+    """``with_storage(bf16)``: the fused kernel streams bf16 rows
+    straight to the MXU (f32 accumulate). The trajectory must track the
+    f32 one to bf16 resolution (~3 digits) — measured floor on a
+    planted 65k Lasso is rel ~1e-2 vs f32's ~1e-4 (PERF.md)."""
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F16 = F32.with_storage()
+    assert F16.A.dtype == jnp.bfloat16 and F16.b.dtype == jnp.float32
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True,
+                  fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st32 = saga_run(F32, g, saga_init(F32, g, x0, gamma, key, cfg),
+                        cfg, 64)
+        st16 = saga_run(F16, g, saga_init(F16, g, x0, gamma, key, cfg),
+                        cfg, 64)
+    # all-f32 state dtypes, trajectory within bf16 resolution
+    assert st16.z.dtype == jnp.float32 and st16.s.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(st32.z))) + 1e-30
+    err = float(jnp.max(jnp.abs(st16.z - st32.z))) / scale
+    assert err < 3e-2, err
+    assert err > 0.0  # bf16 really was used (identical would be a miss)
+
+
+def test_bf16_storage_stepwise_xla_path():
+    """The non-fused XLA paths must also accept bf16-stored rows (mixed
+    bf16·f32 matmuls promote to f32)."""
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 512, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=1, dtype=np.float32,
+                      well_conditioned=True)
+    F16 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    ).with_storage()
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st = saga_run(F16, g, saga_init(F16, g, jnp.zeros(npix, jnp.float32),
+                                    gamma, jax.random.PRNGKey(0), cfg),
+                  cfg, 32)
+    assert st.z.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(st.z)))
+
+
+def test_make_lasso_well_conditioned_kkt():
+    """The capped variant still plants an exact optimum (KKT: the dual
+    certificate y* = b − A x* satisfies |A_j^T y*| ≤ λ everywhere, = λ
+    with matching sign on the support) and bounds the column spread."""
+    prob = make_lasso(N=256, n=64, p=8, seed=0, dtype=np.float64,
+                      well_conditioned=True)
+    y_star = prob.b - prob.A @ prob.x_star
+    corr = prob.A.T @ y_star
+    sup = prob.x_star != 0
+    assert sup.sum() == 8
+    np.testing.assert_allclose(corr[sup], prob.lam * np.sign(prob.x_star[sup]),
+                               rtol=1e-10)
+    assert np.all(np.abs(corr[~sup]) <= prob.lam * (1 + 1e-12))
+    norms = np.linalg.norm(prob.A, axis=0)
+    assert norms.max() / norms.min() < 3.0
