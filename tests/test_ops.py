@@ -488,3 +488,55 @@ def test_make_lasso_well_conditioned_kkt():
     assert np.all(np.abs(corr[~sup]) <= prob.lam * (1 + 1e-12))
     norms = np.linalg.norm(prob.A, axis=0)
     assert norms.max() / norms.min() < 3.0
+
+
+def test_bf16_storage_other_fused_kernels():
+    """Finito-multistep, SVRG-multistep and the LFinito sweep all stream
+    bf16 rows through the same ``_stream_dot`` helper — each must track
+    its f32 trajectory to bf16 resolution with all-f32 state."""
+    from ciao_tpu.solvers.finito import (
+        FinitoCfg, finito_coeff_init, finito_run, lfinito_init,
+    )
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F16 = F32.with_storage()
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    def rel_err(a, b):
+        s = float(jnp.max(jnp.abs(b))) + 1e-30
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    cfg = FinitoCfg(N=Np, batch=Bp, sweeping=3, alpha=0.999, fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        z32 = finito_run(F32, g, finito_coeff_init(F32, g, x0, gamma, key, cfg),
+                         cfg, "basic_coeff", 48).z
+        z16 = finito_run(F16, g, finito_coeff_init(F16, g, x0, gamma, key, cfg),
+                         cfg, "basic_coeff", 48).z
+    assert z16.dtype == jnp.float32 and 0.0 < rel_err(z16, z32) < 3e-2
+
+    with pltpu.force_tpu_interpret_mode():
+        z32 = finito_run(F32, g, lfinito_init(F32, g, x0, gamma, key, cfg),
+                         cfg, "lfinito", 4).z
+        z16 = finito_run(F16, g, lfinito_init(F16, g, x0, gamma, key, cfg),
+                         cfg, "lfinito", 4).z
+    assert z16.dtype == jnp.float32 and 0.0 < rel_err(z16, z32) < 3e-2
+
+    gam_s = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    scfg = SVRGCfg(N=Np, plus=False, batch=Bp, block=True, fused=True,
+                   m_fused=24)
+    with pltpu.force_tpu_interpret_mode():
+        z32 = svrg_run(F32, g, svrg_init(F32, g, x0, gam_s, 24, key, scfg),
+                       scfg, 2).z_full
+        z16 = svrg_run(F16, g, svrg_init(F16, g, x0, gam_s, 24, key, scfg),
+                       scfg, 2).z_full
+    assert z16.dtype == jnp.float32 and 0.0 < rel_err(z16, z32) < 3e-2

@@ -323,3 +323,25 @@ def test_tp_finito_rejects_nonseparable_prox():
         TPFinito(mesh=mesh2)(
             x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
         )
+
+
+def test_dp_saga_bf16_storage(mesh):
+    """bf16-stored rows shard and solve through the DP path: the
+    sharded dynamic-slice / matmul steps promote bf16·f32 to f32, and
+    the collective traffic (one x-sized psum) is unchanged."""
+    prob = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(N), jnp.float32),
+    ).with_storage()
+    F = shard_finite_sum(F, mesh)
+    assert F.A.dtype == jnp.bfloat16
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    x, _ = DPSAGA(mesh=mesh, maxit=6000, batch=8)(
+        jnp.zeros(n, jnp.float32), F=F, g=g, L=prob.L
+    )
+    assert x.dtype == jnp.float32
+    rel = (prob.cost(np.asarray(x)) - prob.f_star) / abs(prob.f_star)
+    assert rel < 2e-2, rel  # bf16 gradient-resolution floor
