@@ -169,47 +169,48 @@ def bench_secondary():
     kA, kb = jax.random.split(key)
     A = jax.random.normal(kA, (N, n), jnp.float32)
     b = jax.random.normal(kb, (N,), jnp.float32)
-    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
+    F32 = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
     L = jnp.sum(A * A, axis=1) * N
     x0 = jnp.zeros(n, jnp.float32)
-
-    cfg = FinitoCfg(N=N, batch=BATCH, sweeping=3, alpha=0.999, fused=True)
-    st = finito_coeff_init(F, g, x0, 0.999 * N / L, key, cfg)
-    steps = 64 * STEPS_PER_EPOCH
-    st2 = finito_run(F, g, st, cfg, "basic_coeff", steps)
-    _ = float(st2.z[0])
-    t0 = time.perf_counter()
-    st2 = finito_run(F, g, st, cfg, "basic_coeff", steps)
-    _ = float(st2.z[0])
-    dt = time.perf_counter() - t0
-    log(f"finito fused: {steps * BATCH / dt / 1e6:.1f} M samples/s "
-        f"({dt / steps * 1e3:.4f} ms/step)")
     EP = 60
-
-    st = lfinito_init(F, g, x0, 0.999 * N / L, key, cfg)
-    st2 = finito_run(F, g, st, cfg, "lfinito", EP)
-    _ = float(st2.z[0])
-    t0 = time.perf_counter()
-    st2 = finito_run(F, g, st, cfg, "lfinito", EP)
-    _ = float(st2.z[0])
-    dt = time.perf_counter() - t0
-    log(f"lfinito fused: {dt / EP * 1e3:.2f} ms/epoch "
-        f"({EP * 2 * N / dt / 1e6:.1f} M grad-evals/s)")
-
     m = STEPS_PER_EPOCH
-    scfg = SVRGCfg(N=N, plus=False, batch=BATCH, block=True, fused=True,
-                   m_fused=m)
-    gam = (1.0 / (10.0 * jnp.max(L))).astype(jnp.float32)
-    st = svrg_init(F, g, x0, gam, m, key, scfg)
-    st2 = svrg_run(F, g, st, scfg, EP)
-    _ = float(st2.z_full[0])
-    t0 = time.perf_counter()
-    st2 = svrg_run(F, g, st, scfg, EP)
-    _ = float(st2.z_full[0])
-    dt = time.perf_counter() - t0
-    log(f"svrg fused: {dt / EP * 1e3:.2f} ms/outer "
-        f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
+
+    for tag, F in (("f32", F32), ("bf16", F32.with_storage())):
+        cfg = FinitoCfg(N=N, batch=BATCH, sweeping=3, alpha=0.999, fused=True)
+        st = finito_coeff_init(F, g, x0, 0.999 * N / L, key, cfg)
+        steps = 64 * STEPS_PER_EPOCH
+        st2 = finito_run(F, g, st, cfg, "basic_coeff", steps)
+        _ = float(st2.z[0])
+        t0 = time.perf_counter()
+        st2 = finito_run(F, g, st, cfg, "basic_coeff", steps)
+        _ = float(st2.z[0])
+        dt = time.perf_counter() - t0
+        log(f"finito fused [{tag}]: {steps * BATCH / dt / 1e6:.1f} M samples/s "
+            f"({dt / steps * 1e3:.4f} ms/step)")
+
+        st = lfinito_init(F, g, x0, 0.999 * N / L, key, cfg)
+        st2 = finito_run(F, g, st, cfg, "lfinito", EP)
+        _ = float(st2.z[0])
+        t0 = time.perf_counter()
+        st2 = finito_run(F, g, st, cfg, "lfinito", EP)
+        _ = float(st2.z[0])
+        dt = time.perf_counter() - t0
+        log(f"lfinito fused [{tag}]: {dt / EP * 1e3:.2f} ms/epoch "
+            f"({EP * 2 * N / dt / 1e6:.1f} M grad-evals/s)")
+
+        scfg = SVRGCfg(N=N, plus=False, batch=BATCH, block=True, fused=True,
+                       m_fused=m)
+        gam = (1.0 / (10.0 * jnp.max(L))).astype(jnp.float32)
+        st = svrg_init(F, g, x0, gam, m, key, scfg)
+        st2 = svrg_run(F, g, st, scfg, EP)
+        _ = float(st2.z_full[0])
+        t0 = time.perf_counter()
+        st2 = svrg_run(F, g, st, scfg, EP)
+        _ = float(st2.z_full[0])
+        dt = time.perf_counter() - t0
+        log(f"svrg fused [{tag}]: {dt / EP * 1e3:.2f} ms/outer "
+            f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
 
     # time-to-target suboptimality on a planted-optimum Lasso.
     #

@@ -23,6 +23,7 @@ to fused Pallas kernels on TPU.
 from ciao_tpu import oracles, prox
 from ciao_tpu.oracles import (
     LeastSquaresRows,
+    SparseLeastSquaresELL,
     LogisticRows,
     DiagQuadratic,
     SqrDistBox,
@@ -66,6 +67,7 @@ __all__ = [
     "solution",
     "Status",
     "LeastSquaresRows",
+    "SparseLeastSquaresELL",
     "LogisticRows",
     "DiagQuadratic",
     "SqrDistBox",

@@ -34,15 +34,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(B: int, N: int, n: int = 1024) -> int:
+def _pick_tile(B: int, N: int, n: int = 1024, reserve: int = 0) -> int:
     """Largest row-tile dividing the block and the table that keeps the
-    double-buffered working set (3 tile buffers x 2 slots, f32) inside
-    ~12 MB of the 16 MB VMEM."""
-    budget_rows = (12 * 1024 * 1024) // (6 * 4 * max(n, 1))
-    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
+    kernel's scoped-VMEM working set under the 16 MB limit. Model
+    (calibrated against real Mosaic compiles — the N=65536 TILE=1024
+    2-dot kernel allocates 25.46M = 6 tile buffers + resident slabs;
+    the validated N=262144 TILE=512 Finito launch sits at 15.8M):
+    every streaming kernel here costs SIX tile-sized f32 buffers
+    (A double-buffered plus the copies Mosaic makes for the two dot
+    uses, A·z and Δcᵀ·A), on top of ``reserve`` bytes the kernel keeps
+    resident for the whole launch (coefficient slab / anchor table:
+    in-block + out-block + scratch carry each). Narrow-n problems
+    (n ≲ 256) take tiles beyond 1024 rows — fewer grid steps amortize
+    the per-tile fixed cost (slab-row DMAs, Mosaic step overhead)."""
+    budget_rows = max(0, 16_646_144 - reserve) // (6 * 4 * max(n, 1))
+    for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if t <= budget_rows and B % t == 0 and N % t == 0:
             return t
     return 0
+
+
+def _slab_reserve(N: int) -> int:
+    """VMEM held for a whole launch by kernels that keep the (8, N/8)
+    f32 coefficient slab resident: in block + out block + the scratch
+    carry = 3 slab-sized allocations (in/out alias in HBM but each has
+    its own VMEM window)."""
+    return 3 * 4 * N
 
 
 def fused_block_available(N: int, n: int, B: int, dtype) -> bool:
@@ -202,7 +219,8 @@ def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     return (
         fused_block_available(N, n, B, dtype)
         and N % (SLAB_ROWS * B) == 0
-        and _pick_tile(B, N, n) >= 128   # lane-aligned (1, TILE) slices
+        # lane-aligned (1, TILE) slices; tile shrinks with the resident slab
+        and _pick_tile(B, N, n, _slab_reserve(N)) >= 128
         and 4 * N <= 4 * 1024 * 1024     # c slab ≤ 4 MB (N ≤ 1M rows)
     )
 
@@ -288,7 +306,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
     g=Zero) runs in-kernel at each block boundary."""
     N, n = A.shape
-    TILE = _pick_tile(B, N, n)
+    TILE = _pick_tile(B, N, n, _slab_reserve(N))
     T = B // TILE
     K = starts.shape[0]
     ncols = N // SLAB_ROWS
@@ -731,6 +749,8 @@ def finito_multistep_available(N: int, n: int, B: int, dtype) -> bool:
         and d >= 1
         and d * n * 4 <= 2 * 1024 * 1024   # zb slab ≤ 2 MB
         and d <= 1024                       # invg row fits SMEM
+        # the zb anchor slab is also VMEM-resident (3 allocations)
+        and _pick_tile(B, N, n, _slab_reserve(N) + 3 * d * n * 4) >= 128
     )
 
 
@@ -815,7 +835,7 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
     (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
     Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B]."""
     N, n = A.shape
-    TILE = _pick_tile(B, N, n)
+    TILE = _pick_tile(B, N, n, _slab_reserve(N) + 3 * (N // B) * n * 4)
     T = B // TILE
     K = starts.shape[0]
     d = N // B

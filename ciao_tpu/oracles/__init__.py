@@ -4,6 +4,7 @@ ProximalOperators.jl — see SURVEY.md §2.2)."""
 from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.logistic import LogisticRows
+from ciao_tpu.oracles.sparse import SparseLeastSquaresELL
 from ciao_tpu.oracles.quadratic import DiagQuadratic, DenseQuadratic, SqrDistBox
 from ciao_tpu.oracles.compose import SumOracle, ZeroOracle, CustomOracle, Precompose
 
@@ -13,6 +14,7 @@ __all__ = [
     "static_field",
     "LeastSquaresRows",
     "LogisticRows",
+    "SparseLeastSquaresELL",
     "DiagQuadratic",
     "DenseQuadratic",
     "SqrDistBox",

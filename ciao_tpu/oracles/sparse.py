@@ -1,0 +1,179 @@
+"""Sparse least-squares rows in ELL (padded fixed-nnz) format.
+
+BASELINE.json's large-problem configs name an "rcv1-scale" sparse Lasso
+(N ~ 1e5..1e7 samples, n ~ 5e4 features, ~0.1 % density). A dense
+(N, n) matrix is HBM-infeasible there, and the CSR formats CPU codes
+use do not map to the TPU (variable-length rows defeat static shapes
+and the MXU). The TPU-native layout is ELL: every row padded to a fixed
+``K`` nonzeros —
+
+    idx (N, K) int32   column indices (padding slots: index 0)
+    val (N, K)         values          (padding slots: value 0.0)
+
+so every batched operation is a static-shape gather (z[idx_B]) or
+scatter-add — XLA's TPU row gather runs near bandwidth; the scatter in
+``apply_rows`` is the known-slow op (PERF.md) but touches only B·K
+elements per step instead of B·n.
+
+    f_i(x) = (scale / 2) * (<a_i, x> - b_i)^2
+    grad f_i(x) = scale * (<a_i, x> - b_i) * a_i      (rank-1: coeff mode)
+
+Design note (documented for the 10M×100 case): when n is SMALL (≲ a few
+hundred), dense-padding the feature dimension to the 128-lane boundary
+and streaming with :class:`LeastSquaresRows` + the fused kernels is
+FASTER than any sparse format — the MXU reads 128 lanes regardless, so
+sparsity below one lane-width saves nothing. Use this class when n is
+large enough that dense rows don't fit (n ≳ 1e3 at rcv1-scale N).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class SparseLeastSquaresELL(SmoothOracle):
+    idx: jnp.ndarray     # (N, K) int32 column indices, 0-padded
+    val: jnp.ndarray     # (N, K) values, 0.0-padded
+    b: jnp.ndarray       # (N,)
+    scale: jnp.ndarray   # scalar weight (the reference passes N)
+    n_dim: int = static_field(default=0)   # feature dimension n
+
+    @property
+    def num_terms(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.n_dim
+
+    @property
+    def nnz_per_row(self) -> int:
+        return self.idx.shape[1]
+
+    @classmethod
+    def from_dense(cls, A, b, scale, K: int | None = None):
+        """Build from a dense (N, n) matrix (test/bench helper)."""
+        import numpy as np
+
+        A = np.asarray(A)
+        N, n = A.shape
+        nnz = (A != 0).sum(axis=1)
+        K = int(K if K is not None else nnz.max())
+        idx = np.zeros((N, K), np.int32)
+        val = np.zeros((N, K), A.dtype)
+        for i in range(N):
+            (cols,) = np.nonzero(A[i])
+            cols = cols[:K]
+            idx[i, : len(cols)] = cols
+            val[i, : len(cols)] = A[i, cols]
+        return cls(
+            idx=jnp.asarray(idx), val=jnp.asarray(val),
+            b=jnp.asarray(b), scale=jnp.asarray(scale), n_dim=n,
+        )
+
+    # --- single-term (generic fallbacks build on this) ----------------
+    def value_and_grad_i(self, x, i):
+        r = jnp.sum(self.val[i] * x[self.idx[i]]) - self.b[i]
+        vals = 0.5 * self.scale * r * r
+        grad = jnp.zeros_like(x).at[self.idx[i]].add(self.scale * r * self.val[i])
+        return vals, grad
+
+    # --- sparse margins ----------------------------------------------
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        idx_B = lax.dynamic_slice_in_dim(self.idx, start, size, 0)
+        val_B = lax.dynamic_slice_in_dim(self.val, start, size, 0)
+        b_B = lax.dynamic_slice_in_dim(self.b, start, size, 0)
+        return idx_B, val_B, b_B
+
+    @staticmethod
+    def _margin(x, idx_B, val_B):
+        # (B, K) gather + row-sum: <a_i, x> for each row in the batch
+        return jnp.sum(val_B * jnp.take(x, idx_B, axis=0), axis=1)
+
+    # --- coefficient (rank-1) protocol --------------------------------
+    supports_coeff: bool = static_field(default=True)
+    coeff_mode = 0  # least-squares formula (no fused kernel: gate is
+    #                 hasattr(F, "coeff_rows_data"), which this class
+    #                 deliberately does not provide)
+
+    def coeff_batch(self, x, idx):
+        idx_B, val_B, b_B = self.idx[idx], self.val[idx], self.b[idx]
+        return self.scale * (self._margin(x, idx_B, val_B) - b_B)
+
+    def coeff_block(self, x, start, size: int):
+        idx_B, val_B, b_B = self._slice(start, size)
+        return self.scale * (self._margin(x, idx_B, val_B) - b_B)
+
+    def coeff_all(self, x):
+        return self.scale * (self._margin(x, self.idx, self.val) - self.b)
+
+    def _apply(self, w, idx_B, val_B):
+        # sum_i w_i a_i: scatter-add of B·K weighted values into (n,)
+        flat_idx = idx_B.reshape(-1)
+        flat_val = (w[:, None] * val_B).reshape(-1)
+        return jnp.zeros(self.n_dim, flat_val.dtype).at[flat_idx].add(flat_val)
+
+    def apply_rows(self, w, idx):
+        return self._apply(w, self.idx[idx], self.val[idx])
+
+    def apply_rows_block(self, w, start, size: int):
+        idx_B, val_B, _ = self._slice(start, size)
+        return self._apply(w, idx_B, val_B)
+
+    def apply_all(self, w):
+        return self._apply(w, self.idx, self.val)
+
+    # --- batched gradient paths (sparse-aware overrides) --------------
+    def grad_sum_all(self, x):
+        return self.apply_all(self.coeff_all(x))
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        c = self.coeff_batch(x, idx)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return self.apply_rows(c, idx)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        idx_B, val_B = self.idx[idx], self.val[idx]
+        d = self.scale * self._margin(x1 - x2, idx_B, val_B)
+        if mask is not None:
+            d = jnp.where(mask, d, 0)
+        return self._apply(d, idx_B, val_B)
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        idx_B, val_B, _ = self._slice(start, size)
+        d = self.scale * self._margin(x1 - x2, idx_B, val_B)
+        return self._apply(d, idx_B, val_B)
+
+    def grad_block(self, x, start, size: int):
+        # dense (B, n) materialization — full-table mode only; coeff
+        # mode (table="auto") never calls this
+        idx_B, val_B, b_B = self._slice(start, size)
+        c = self.scale * (self._margin(x, idx_B, val_B) - b_B)
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), val_B.dtype)
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
+
+    def grad_batch(self, x, idx):
+        idx_B, val_B, b_B = self.idx[idx], self.val[idx], self.b[idx]
+        c = self.scale * (self._margin(x, idx_B, val_B) - b_B)
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), val_B.dtype)
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
+
+    def grad_pointwise(self, xs, idx):
+        idx_B, val_B, b_B = self.idx[idx], self.val[idx], self.b[idx]
+        c = self.scale * (jnp.sum(val_B * jnp.take_along_axis(
+            xs, idx_B, axis=1), axis=1) - b_B)
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), val_B.dtype)
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
