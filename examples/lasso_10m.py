@@ -56,6 +56,12 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
     st = lfinito_init(F, g, jnp.zeros(n, jnp.float32), 0.999 * N / L, key, cfg)
     jax.block_until_ready(st)
 
+    # size the timed scan so it runs ~0.5 s: through the axon tunnel a
+    # dispatch + scalar readback costs ~2-30 ms, so short runs (e.g. 4
+    # epochs of a small-N problem) report mostly overhead, not kernels
+    est_epoch_s = 2 * N * n * A.dtype.itemsize / 4.5e11
+    epochs = max(epochs, min(512, int(0.5 / est_epoch_s) + 1))
+
     # warm the TIMED shape (a steps=1 warmup would leave the steps=epochs
     # scan to compile inside the clock)
     st = finito_run(F, g, st, cfg, "lfinito", epochs)
