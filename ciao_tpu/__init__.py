@@ -24,6 +24,7 @@ from ciao_tpu import oracles, prox
 from ciao_tpu.oracles import (
     LeastSquaresRows,
     SparseLeastSquaresELL,
+    HybridSparseLeastSquares,
     LogisticRows,
     DiagQuadratic,
     SqrDistBox,
@@ -68,6 +69,7 @@ __all__ = [
     "Status",
     "LeastSquaresRows",
     "SparseLeastSquaresELL",
+    "HybridSparseLeastSquares",
     "LogisticRows",
     "DiagQuadratic",
     "SqrDistBox",

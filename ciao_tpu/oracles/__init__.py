@@ -4,7 +4,7 @@ ProximalOperators.jl — see SURVEY.md §2.2)."""
 from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.logistic import LogisticRows
-from ciao_tpu.oracles.sparse import SparseLeastSquaresELL
+from ciao_tpu.oracles.sparse import SparseLeastSquaresELL, HybridSparseLeastSquares
 from ciao_tpu.oracles.quadratic import DiagQuadratic, DenseQuadratic, SqrDistBox
 from ciao_tpu.oracles.compose import SumOracle, ZeroOracle, CustomOracle, Precompose
 
@@ -15,6 +15,7 @@ __all__ = [
     "LeastSquaresRows",
     "LogisticRows",
     "SparseLeastSquaresELL",
+    "HybridSparseLeastSquares",
     "DiagQuadratic",
     "DenseQuadratic",
     "SqrDistBox",

@@ -177,3 +177,203 @@ class SparseLeastSquaresELL(SmoothOracle):
         B = idx_B.shape[0]
         rows = jnp.zeros((B, self.n_dim), val_B.dtype)
         return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class HybridSparseLeastSquares(SmoothOracle):
+    """Hot/cold split sparse least-squares rows — the TPU-native layout
+    for power-law sparse data (rcv1-style doc×term matrices).
+
+    Measured fact (PERF.md "Sparse routing bound"): every fine-grained
+    random access on this chip — gather OR scatter-add, any XLA flags,
+    any table size — runs at ~125 M elements/s (the scalar core's
+    descriptor rate), so a pure-ELL oracle is bound by ~125M/K rows/s.
+    The only lever is ROUTING FEWER ELEMENTS. Real sparse text/feature
+    matrices are power-law: the top-D columns carry most of the nnz.
+    Store those columns DENSE (an (N, D) matrix riding the MXU /
+    bandwidth fast paths at 400-550 GB/s) and keep only the tail in ELL
+    with a small K:
+
+        margin_i = <A_hot[i], x[hot_cols]> + Σ_k val[i,k]·x[idx[i,k]] − b_i
+
+    At an 80/20 hot mass split this cuts routed elements ~5x; the dense
+    part is ~free by comparison.
+
+    ``hot_cols`` are ORIGINAL column ids (x stays in the original
+    feature space; the (D,)-gather x[hot_cols] is negligible). Padding
+    conventions: hot_cols padded with 0s whose A_hot column is all-zero;
+    ELL padding slots are (index 0, value 0.0) like
+    :class:`SparseLeastSquaresELL`."""
+
+    A_hot: jnp.ndarray    # (N, D) dense hot-column values (D lane-padded)
+    hot_cols: jnp.ndarray  # (D,) int32 original column ids of the hot part
+    idx: jnp.ndarray      # (N, K) int32 cold-column ids, 0-padded
+    val: jnp.ndarray      # (N, K) cold values, 0.0-padded
+    b: jnp.ndarray        # (N,)
+    scale: jnp.ndarray    # scalar weight (the reference passes N)
+    n_dim: int = static_field(default=0)
+
+    @property
+    def num_terms(self) -> int:
+        return self.A_hot.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.n_dim
+
+    @property
+    def hot_width(self) -> int:
+        return self.A_hot.shape[1]
+
+    @property
+    def nnz_per_row(self) -> int:
+        return self.idx.shape[1]
+
+    def with_storage(self, dtype=jnp.bfloat16):
+        """Copy with the DENSE hot block stored in ``dtype`` (halves the
+        dominant HBM stream; the ELL tail stays f32 — it is
+        routing-bound, not bandwidth-bound)."""
+        return dataclasses.replace(self, A_hot=self.A_hot.astype(dtype))
+
+    @classmethod
+    def from_dense(cls, A, b, scale, D: int, K: int | None = None):
+        """Split a dense (N, n) matrix: the D columns with the most
+        nonzeros go dense, the rest to ELL (test/bench helper; real
+        pipelines build the fields directly)."""
+        import numpy as np
+
+        A = np.asarray(A)
+        N, n = A.shape
+        counts = (A != 0).sum(axis=0)
+        D_pad = max(128, -(-D // 128) * 128)
+        hot = np.argsort(-counts)[:min(D, n)]
+        hot_cols = np.zeros(D_pad, np.int32)
+        hot_cols[: len(hot)] = hot
+        A_hot = np.zeros((N, D_pad), A.dtype)
+        A_hot[:, : len(hot)] = A[:, hot]
+        cold_mask = np.ones(n, bool)
+        cold_mask[hot] = False
+        A_cold = A * cold_mask[None, :]
+        nnz = (A_cold != 0).sum(axis=1)
+        K = int(K if K is not None else max(1, nnz.max()))
+        idx = np.zeros((N, K), np.int32)
+        val = np.zeros((N, K), A.dtype)
+        for i in range(N):
+            (cols,) = np.nonzero(A_cold[i])
+            cols = cols[:K]
+            idx[i, : len(cols)] = cols
+            val[i, : len(cols)] = A_cold[i, cols]
+        return cls(
+            A_hot=jnp.asarray(A_hot), hot_cols=jnp.asarray(hot_cols),
+            idx=jnp.asarray(idx), val=jnp.asarray(val),
+            b=jnp.asarray(b), scale=jnp.asarray(scale), n_dim=n,
+        )
+
+    # --- single-term -------------------------------------------------
+    def value_and_grad_i(self, x, i):
+        r = (jnp.sum(self.A_hot[i].astype(x.dtype) * x[self.hot_cols])
+             + jnp.sum(self.val[i] * x[self.idx[i]]) - self.b[i])
+        vals = 0.5 * self.scale * r * r
+        grad = jnp.zeros_like(x)
+        grad = grad.at[self.hot_cols].add(
+            self.scale * r * self.A_hot[i].astype(x.dtype))
+        grad = grad.at[self.idx[i]].add(self.scale * r * self.val[i])
+        return vals, grad
+
+    # --- internals ----------------------------------------------------
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, size, 0)
+        return sl(self.A_hot), sl(self.idx), sl(self.val), sl(self.b)
+
+    def _margin_parts(self, x, Ah_B, idx_B, val_B):
+        x_hot = x[self.hot_cols]
+        dense = Ah_B.astype(x.dtype) @ x_hot
+        cold = jnp.sum(val_B * jnp.take(x, idx_B, axis=0), axis=1)
+        return dense + cold
+
+    def _apply_parts(self, w, Ah_B, idx_B, val_B):
+        out = jnp.zeros(self.n_dim, w.dtype)
+        out = out.at[self.hot_cols].add(
+            (w @ Ah_B.astype(w.dtype)))
+        flat_idx = idx_B.reshape(-1)
+        flat_val = (w[:, None] * val_B).reshape(-1)
+        return out.at[flat_idx].add(flat_val)
+
+    # --- coefficient (rank-1) protocol -------------------------------
+    supports_coeff: bool = static_field(default=True)
+    coeff_mode = 0
+
+    def coeff_batch(self, x, idx):
+        m = self._margin_parts(x, self.A_hot[idx], self.idx[idx],
+                               self.val[idx])
+        return self.scale * (m - self.b[idx])
+
+    def coeff_block(self, x, start, size: int):
+        Ah_B, idx_B, val_B, b_B = self._slice(start, size)
+        return self.scale * (self._margin_parts(x, Ah_B, idx_B, val_B) - b_B)
+
+    def coeff_all(self, x):
+        return self.scale * (
+            self._margin_parts(x, self.A_hot, self.idx, self.val) - self.b)
+
+    def apply_rows(self, w, idx):
+        return self._apply_parts(w, self.A_hot[idx], self.idx[idx],
+                                 self.val[idx])
+
+    def apply_rows_block(self, w, start, size: int):
+        Ah_B, idx_B, val_B, _ = self._slice(start, size)
+        return self._apply_parts(w, Ah_B, idx_B, val_B)
+
+    def apply_all(self, w):
+        return self._apply_parts(w, self.A_hot, self.idx, self.val)
+
+    # --- batched gradient paths ---------------------------------------
+    def grad_sum_all(self, x):
+        return self.apply_all(self.coeff_all(x))
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        c = self.coeff_batch(x, idx)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return self.apply_rows(c, idx)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        d = self.scale * self._margin_parts(x1 - x2, Ah_B, idx_B, val_B)
+        if mask is not None:
+            d = jnp.where(mask, d, 0)
+        return self._apply_parts(d, Ah_B, idx_B, val_B)
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        Ah_B, idx_B, val_B, _ = self._slice(start, size)
+        d = self.scale * self._margin_parts(x1 - x2, Ah_B, idx_B, val_B)
+        return self._apply_parts(d, Ah_B, idx_B, val_B)
+
+    def _dense_rows(self, c, Ah_B, idx_B, val_B):
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), c.dtype)
+        rows = rows.at[:, self.hot_cols].add(
+            c[:, None] * Ah_B.astype(c.dtype))
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(
+            c[:, None] * val_B)
+
+    def grad_block(self, x, start, size: int):
+        Ah_B, idx_B, val_B, b_B = self._slice(start, size)
+        c = self.scale * (self._margin_parts(x, Ah_B, idx_B, val_B) - b_B)
+        return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+    def grad_batch(self, x, idx):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        c = self.scale * (
+            self._margin_parts(x, Ah_B, idx_B, val_B) - self.b[idx])
+        return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+    def grad_pointwise(self, xs, idx):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        dense = jnp.sum(Ah_B.astype(xs.dtype) * xs[:, self.hot_cols], axis=1)
+        cold = jnp.sum(val_B * jnp.take_along_axis(xs, idx_B, axis=1), axis=1)
+        c = self.scale * (dense + cold - self.b[idx])
+        return self._dense_rows(c, Ah_B, idx_B, val_B)

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ciao_tpu.oracles import LeastSquaresRows, SparseLeastSquaresELL
+from ciao_tpu.oracles import (
+    HybridSparseLeastSquares,
+    LeastSquaresRows,
+    SparseLeastSquaresELL,
+)
 from ciao_tpu.prox import NormL1
 from ciao_tpu.utils.problems import make_lasso
 
@@ -137,3 +141,144 @@ def test_sparse_facade_converges():
     # planted point is feasible: cost(x)≈cost near the sparse optimum
     assert cost(x) < cost(np.zeros(npx)) * 1e-3
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+# ---------------------------------------------------------------------------
+# HybridSparseLeastSquares: dense hot columns + ELL cold tail
+# ---------------------------------------------------------------------------
+
+N_H, n_H = 160, 48
+
+
+def _power_law_matrix(N, n, seed=7):
+    """Power-law sparse matrix: a handful of near-dense columns plus a
+    sparse tail — the rcv1-style shape the hybrid layout targets."""
+    rng = np.random.default_rng(seed)
+    A = np.zeros((N, n))
+    # hot columns (ids NOT at the front, to exercise hot_cols routing)
+    hot = [c for c in (5, 11, 30, 41) if c < n] or [n - 1]
+    for c in hot:
+        m = rng.random(N) < 0.9
+        A[m, c] = rng.standard_normal(m.sum())
+    # cold tail: <=4 nnz per row among the remaining columns
+    cold_cols = np.setdiff1d(np.arange(n), hot)
+    for i in range(N):
+        cols = rng.choice(cold_cols, size=rng.integers(0, 5), replace=False)
+        A[i, cols] = rng.standard_normal(len(cols))
+    b = A @ rng.standard_normal(n) + 0.05 * rng.standard_normal(N)
+    return A, b
+
+
+@pytest.fixture(scope="module")
+def hybrid_pair():
+    A, b = _power_law_matrix(N_H, n_H)
+    Fd = LeastSquaresRows(A=jnp.asarray(A), b=jnp.asarray(b),
+                          scale=jnp.asarray(float(N_H), jnp.float64))
+    Fh = HybridSparseLeastSquares.from_dense(A, b, float(N_H), D=4)
+    assert Fh.hot_width == 128            # lane-padded
+    assert Fh.nnz_per_row <= 4            # only the tail is ELL
+    assert Fh.dim == n_H
+    # hot/cold split is disjoint: no cold idx may hold a hot column
+    hot_real = set(np.asarray(Fh.hot_cols)[np.asarray(
+        (Fh.A_hot != 0).any(axis=0))].tolist())
+    cold_used = np.asarray(Fh.idx)[np.asarray(Fh.val) != 0]
+    assert not hot_real.intersection(cold_used.tolist())
+    return Fd, Fh
+
+
+def test_hybrid_protocol_matches_dense(hybrid_pair):
+    Fd, Fh = hybrid_pair
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n_H))
+    idx = jnp.asarray([3, 17, 99, 64], jnp.int32)
+    _close(Fh.coeff_all(x), Fd.coeff_all(x))
+    _close(Fh.coeff_batch(x, idx), Fd.coeff_batch(x, idx))
+    _close(Fh.coeff_block(x, 16, 32), Fd.coeff_block(x, 16, 32))
+    w = jnp.asarray(np.random.default_rng(3).standard_normal(4))
+    _close(Fh.apply_rows(w, idx), Fd.apply_rows(w, idx))
+    _close(Fh.apply_rows_block(w, 8, 4), Fd.apply_rows_block(w, 8, 4))
+    wN = jnp.asarray(np.random.default_rng(4).standard_normal(N_H))
+    _close(Fh.apply_all(wN), Fd.apply_all(wN))
+    _close(Fh.grad_sum_all(x), Fd.grad_sum_all(x))
+    _close(Fh.grad_sum_batch(x, idx), Fd.grad_sum_batch(x, idx))
+    mask = jnp.asarray([True, False, True, True])
+    _close(Fh.grad_sum_batch(x, idx, mask), Fd.grad_sum_batch(x, idx, mask))
+    x2 = x + 0.3
+    _close(Fh.grad_sum_diff(x, x2, idx), Fd.grad_sum_diff(x, x2, idx))
+    _close(Fh.grad_sum_diff_block(x, x2, 32, 32),
+           Fd.grad_sum_diff_block(x, x2, 32, 32))
+    _close(Fh.grad_block(x, 0, 16), Fd.grad_block(x, 0, 16))
+    _close(Fh.grad_batch(x, idx), Fd.grad_batch(x, idx))
+    xs = jnp.asarray(np.random.default_rng(6).standard_normal((4, n_H)))
+    _close(Fh.grad_pointwise(xs, idx), Fd.grad_pointwise(xs, idx))
+    v1, g1 = Fh.value_and_grad_i(x, 7)
+    v2, g2 = Fd.value_and_grad_i(x, 7)
+    _close(v1, v2)
+    _close(g1, g2)
+
+
+def test_hybrid_all_hot_degenerate():
+    """D >= n: everything goes dense, the ELL tail is empty padding."""
+    A, b = _power_law_matrix(32, 16, seed=9)
+    Fd = LeastSquaresRows(A=jnp.asarray(A), b=jnp.asarray(b),
+                          scale=jnp.asarray(32.0, jnp.float64))
+    Fh = HybridSparseLeastSquares.from_dense(A, b, 32.0, D=16)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(16))
+    _close(Fh.coeff_all(x), Fd.coeff_all(x))
+    _close(Fh.grad_sum_all(x), Fd.grad_sum_all(x))
+
+
+def test_hybrid_with_storage_bf16():
+    A, b = _power_law_matrix(64, 24, seed=3)
+    Fh = HybridSparseLeastSquares.from_dense(A, b, 64.0, D=4)
+    Fb = Fh.with_storage()
+    assert Fb.A_hot.dtype == jnp.bfloat16
+    assert Fb.val.dtype == Fh.val.dtype        # cold tail stays f32/f64
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(24),
+                    jnp.float32)
+    c32 = np.asarray(Fh.coeff_all(x.astype(Fh.val.dtype)))
+    cb = np.asarray(Fb.coeff_all(x.astype(Fh.val.dtype)))
+    assert np.allclose(c32, cb, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("family", ["saga", "finito", "lfinito", "svrg"])
+def test_hybrid_trajectory_equals_dense(hybrid_pair, family):
+    Fd, Fh = hybrid_pair
+    g = NormL1(lam=jnp.asarray(0.05))
+    A = np.asarray(Fd.A)
+    L = jnp.asarray((A ** 2).sum(axis=1) * N_H)
+    x0 = jnp.zeros(n_H)
+    outs = []
+    for F in (Fd, Fh):
+        if family == "saga":
+            from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+            cfg = SAGACfg(N=N_H, sag=False, batch=16, block=True, coeff=True)
+            gam = jnp.asarray(1.0 / (3.0 * float(jnp.max(L))))
+            st = saga_run(F, g, saga_init(F, g, x0, gam,
+                                          jax.random.PRNGKey(0), cfg), cfg, 40)
+            outs.append(st.z)
+        elif family in ("finito", "lfinito"):
+            from ciao_tpu.solvers.finito import (
+                FinitoCfg, finito_coeff_init, finito_run, lfinito_init,
+            )
+
+            cfg = FinitoCfg(N=N_H, batch=16, sweeping=3, alpha=0.999)
+            gamma = 0.999 * N_H / L
+            if family == "finito":
+                st = finito_run(F, g, finito_coeff_init(
+                    F, g, x0, gamma, jax.random.PRNGKey(1), cfg),
+                    cfg, "basic_coeff", 40)
+            else:
+                st = finito_run(F, g, lfinito_init(
+                    F, g, x0, gamma, jax.random.PRNGKey(1), cfg),
+                    cfg, "lfinito", 4)
+            outs.append(st.z)
+        else:
+            from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+            cfg = SVRGCfg(N=N_H, plus=False, batch=16, block=True)
+            gam = jnp.asarray(1.0 / (10.0 * float(jnp.max(L))))
+            st = svrg_run(F, g, svrg_init(F, g, x0, gam, 8,
+                                          jax.random.PRNGKey(2), cfg), cfg, 3)
+            outs.append(st.z_full)
+    _close(outs[0], outs[1], tol=1e-8)
