@@ -214,6 +214,10 @@ class HybridSparseLeastSquares(SmoothOracle):
     scale: jnp.ndarray    # scalar weight (the reference passes N)
     n_dim: int = static_field(default=0)
 
+    # hot_cols is (D,) per-FEATURE metadata, not per-term data: keep it
+    # replicated under DP even when D happens to equal N
+    dp_replicated = ("hot_cols",)
+
     @property
     def num_terms(self) -> int:
         return self.A_hot.shape[0]

@@ -75,9 +75,22 @@ def data_specs(obj, N: int, axis: str = DATA_AXIS):
     data stacked over i (A (N, n), y (N,), diag (N, n), ...) and solver
     tables (s (N, n), γ (N,)) all shard by index block; x-sized vectors
     and scalars replicate.
-    """
 
-    def spec(leaf):
+    Oracles can opt fields OUT of the shape rule by declaring a class
+    attribute ``dp_replicated = ("field", ...)`` — needed when a
+    replicated field's leading dim can collide with N (e.g. the hybrid
+    sparse oracle's (D,) ``hot_cols`` when N happens to equal D).
+    """
+    repl = frozenset(getattr(obj, "dp_replicated", ()) or ())
+
+    def spec(path, leaf):
+        if repl and path:
+            k = path[-1]
+            name = getattr(k, "name", None)
+            if name is None:
+                name = getattr(k, "key", None)
+            if name in repl:
+                return P()
         shape = getattr(leaf, "shape", None)
         if shape is None:
             shape = np.shape(leaf)
@@ -85,7 +98,7 @@ def data_specs(obj, N: int, axis: str = DATA_AXIS):
             return P(axis, *([None] * (len(shape) - 1)))
         return P()
 
-    return jax.tree_util.tree_map(spec, obj)
+    return jax.tree_util.tree_map_with_path(spec, obj)
 
 
 def replicated_specs(obj):

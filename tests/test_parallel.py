@@ -345,3 +345,86 @@ def test_dp_saga_bf16_storage(mesh):
     assert x.dtype == jnp.float32
     rel = (prob.cost(np.asarray(x)) - prob.f_star) / abs(prob.f_star)
     assert rel < 2e-2, rel  # bf16 gradient-resolution floor
+
+
+# ---------------------------------------------------------------------------
+# sparse oracles under DP (rcv1-scale layouts over the data axis)
+# ---------------------------------------------------------------------------
+
+def test_dp_sparse_matches_dense(mesh):
+    """ELL and hybrid oracles drive the DP paths down the SAME
+    trajectory as the dense oracle (same math, sharded layout)."""
+    from ciao_tpu.oracles import HybridSparseLeastSquares, SparseLeastSquaresELL
+
+    rng = np.random.default_rng(11)
+    Np, npx = 128, 32
+    A = np.zeros((Np, npx))
+    hot = [3, 9, 20]
+    for c in hot:
+        m = rng.random(Np) < 0.9
+        A[m, c] = rng.standard_normal(m.sum())
+    cold = np.setdiff1d(np.arange(npx), hot)
+    for i in range(Np):
+        cs = rng.choice(cold, size=rng.integers(1, 5), replace=False)
+        A[i, cs] = rng.standard_normal(len(cs))
+    b = A @ rng.standard_normal(npx)
+    L = (A ** 2).sum(axis=1) * Np
+    g = NormL1(lam=jnp.asarray(0.02))
+
+    Fd = LeastSquaresRows(A=jnp.asarray(A), b=jnp.asarray(b),
+                          scale=jnp.asarray(float(Np)))
+    Fe = SparseLeastSquaresELL.from_dense(A, b, float(Np))
+    Fh = HybridSparseLeastSquares.from_dense(A, b, float(Np), D=3)
+
+    # N == hot_width == 128: the dp_replicated override must keep
+    # hot_cols replicated despite the shape collision
+    Fh_sh = shard_finite_sum(Fh, mesh)
+    assert Fh.hot_width == Np
+    assert Fh_sh.hot_cols.sharding.spec == P()
+    assert Fh_sh.A_hot.sharding.spec == P(DATA_AXIS, None)
+    assert Fh_sh.idx.sharding.spec == P(DATA_AXIS, None)
+
+    outs = []
+    for F in (Fd, Fe, Fh):
+        F = shard_finite_sum(F, mesh)
+        x, _ = DPSAGA(mesh=mesh, maxit=300, batch=16,
+                      block_sampling=True)(jnp.zeros(npx), F=F, g=g, L=L)
+        outs.append(np.asarray(x))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-9, atol=1e-9)
+
+    outs = []
+    for F in (Fd, Fe, Fh):
+        F = shard_finite_sum(F, mesh)
+        x, _ = DPFinito(mesh=mesh, maxit=300, batch=16, sweeping=3)(
+            jnp.zeros(npx), F=F, g=g, L=L)
+        outs.append(np.asarray(x))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-9, atol=1e-9)
+
+
+def test_dp_sparse_lfinito_and_svrg_match_dense(mesh):
+    """The full-pass DP families (LFinito epochs, SVRG anchors) hit the
+    sparse oracles' grad_sum_all / grad_sum_diff paths."""
+    from ciao_tpu.oracles import HybridSparseLeastSquares
+
+    rng = np.random.default_rng(13)
+    Np, npx = 64, 16
+    A = rng.standard_normal((Np, npx)) * (rng.random((Np, npx)) < 0.3)
+    A[:, 2] = rng.standard_normal(Np)  # one hot column
+    b = A @ rng.standard_normal(npx)
+    L = (A ** 2).sum(axis=1) * Np
+    g = NormL1(lam=jnp.asarray(0.02))
+    Fd = LeastSquaresRows(A=jnp.asarray(A), b=jnp.asarray(b),
+                          scale=jnp.asarray(float(Np)))
+    Fh = HybridSparseLeastSquares.from_dense(A, b, float(Np), D=1)
+
+    for make in (lambda m: DPFinito(mesh=m, maxit=20, batch=8, LFinito=True,
+                                    sweeping=2),
+                 lambda m: DPSVRG(mesh=m, maxit=5, batch=8, m=4)):
+        outs = []
+        for F in (Fd, Fh):
+            F = shard_finite_sum(F, mesh)
+            x, _ = make(mesh)(jnp.zeros(npx), F=F, g=g, L=L)
+            outs.append(np.asarray(x))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9, atol=1e-9)
