@@ -75,13 +75,19 @@ def cpu_baseline_samples_per_s() -> float:
     return CPU_STEPS / dt
 
 
-def tpu_samples_per_s(storage: str = "bf16") -> float:
+def tpu_samples_per_s(storage: str = "int8") -> float:
     """Headline configuration: coefficient tables + K-steps-per-launch
-    fused kernel + bf16-STORED oracle rows (``with_storage`` — the
-    kernels are HBM-bound, so bf16 rows into the MXU with f32
-    accumulation halve the traffic; iterates/coefficients stay f32).
-    ``storage="f32"`` measures the exact-f32 path (same trajectory as
-    the stepwise reference algorithm; ~0.031 ms/step vs bf16's ~0.015)."""
+    fused kernel + int8-STORED oracle rows (``with_storage("int8")`` —
+    the kernels are HBM-bound, so quarter-width rows with per-row
+    dequant scales are the fastest storage; iterates/coefficients stay
+    f32 and the steps are exact SAGA on the quantized operator Ã, which
+    tracks the bf16 trajectory (PERF.md) — deeper targets take the
+    staged int8→f32 schedule timed in ``bench_secondary``, with
+    ``saga_rebase`` at the storage switch).
+    ``storage="bf16"`` halves instead of quarters the traffic
+    (~0.0146 ms/step vs int8's ~0.011); ``storage="f32"`` measures the
+    exact-f32 path (bit-level trajectory of the stepwise reference
+    algorithm; ~0.031 ms/step)."""
     import jax
     import jax.numpy as jnp
 
@@ -97,8 +103,8 @@ def tpu_samples_per_s(storage: str = "bf16") -> float:
     A = jax.random.normal(kA, (N, n), jnp.float32)
     b = jax.random.normal(kb, (N,), jnp.float32)
     F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
-    if storage == "bf16":
-        F = F.with_storage()
+    if storage != "f32":
+        F = F.with_storage(storage)
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
     L_max = jnp.max(jnp.sum(A * A, axis=1)) * N
     gamma = (1.0 / (3.0 * L_max)).astype(jnp.float32)
@@ -176,7 +182,8 @@ def bench_secondary():
     EP = 60
     m = STEPS_PER_EPOCH
 
-    for tag, F in (("f32", F32), ("bf16", F32.with_storage())):
+    for tag, F in (("f32", F32), ("bf16", F32.with_storage()),
+                   ("int8", F32.with_storage("int8"))):
         cfg = FinitoCfg(N=N, batch=BATCH, sweeping=3, alpha=0.999, fused=True)
         st = finito_coeff_init(F, g, x0, 0.999 * N / L, key, cfg)
         steps = 64 * STEPS_PER_EPOCH
@@ -222,7 +229,7 @@ def bench_secondary():
     # generator is catastrophically ill-conditioned at large n (column
     # norms spread ~1000x), so the capped ``well_conditioned`` variant
     # is used — same KKT-planted optimum, bounded column spread.
-    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_rebase, saga_run
     from ciao_tpu.utils.problems import make_lasso
 
     Np, npx = 65_536, 1_024
@@ -232,6 +239,7 @@ def bench_secondary():
     bp = jnp.asarray(prob.b, jnp.float32)
     Fp = LeastSquaresRows(A=Ap, b=bp, scale=jnp.asarray(float(Np), jnp.float32))
     Fp16 = Fp.with_storage()
+    Fp8 = Fp.with_storage("int8")
     gp = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
     gam = (1.0 / (3.0 * jnp.max(jnp.asarray(prob.L, jnp.float32)))).astype(
         jnp.float32
@@ -256,20 +264,29 @@ def bench_secondary():
             state = saga_run(F, gp, state, cfgp, chunk)
         return state, MAX_ROUNDS
 
-    # compile both storage paths and the cost check outside the clock
+    # compile all storage paths and the cost check outside the clock
     st0 = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
     _ = float(saga_run(Fp, gp, st0, cfgp, chunk).z[0])
     _ = float(saga_run(Fp16, gp, st0, cfgp, chunk).z[0])
+    _ = float(saga_run(Fp8, gp, st0, cfgp, chunk).z[0])
     _ = float(cost_fn(Ap, bp, st0.z))
 
     for label, plan in (
         ("f32", ((Fp, target),)),
         ("bf16->f32 two-stage", ((Fp16, switch), (Fp, target))),
+        # int8 tracks bf16's trajectory to the switch level (measured,
+        # PERF.md) at 1.25x the step rate
+        ("int8->f32 two-stage", ((Fp8, switch), (Fp, target))),
     ):
         stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
         t0 = time.perf_counter()
         rounds = 0
         for F_stage, level in plan:
+            # storage switch: re-derive av from the table under the new
+            # rows — the delta-maintained av otherwise keeps the old
+            # operator's bias forever (floors at ~the quantization
+            # error; saga_rebase docstring has the measurement)
+            stp = saga_rebase(F_stage, stp, cfgp)
             stp, r = run_to(stp, F_stage, level)
             rounds += r
         dt = time.perf_counter() - t0

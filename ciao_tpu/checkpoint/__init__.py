@@ -67,11 +67,28 @@ def load_orbax(path, like: Any) -> Any:
     return ckptr.restore(path, args=ocp.args.StandardRestore(like))
 
 
-def resume_iterator(iterable, state):
+def resume_iterator(iterable, state, rebase: bool = False):
     """Continue a :class:`~ciao_tpu.solvers.base.SolverIterable` from a
-    restored state: yields ``state``, then keeps stepping."""
+    restored state: yields ``state``, then keeps stepping.
+
+    Pass ``rebase=True`` when ``state`` was produced under a DIFFERENT
+    oracle row storage than ``iterable``'s (the staged bf16/int8→f32
+    precision schedules): the solver's delta-maintained running average
+    otherwise keeps the old operator's bias forever and the run floors
+    near the coarse storage's quantization error (measured in PERF.md;
+    ``saga_rebase`` docstring has the mechanism). The rebase costs one
+    pass over the data and is a no-op for state layouts that are
+    storage-consistent by construction. Plain same-oracle resume should
+    keep the default (bit-exact continuation)."""
     from ciao_tpu.solvers.base import Status
 
+    if rebase:
+        fn = getattr(iterable, "_rebase_fn", None)
+        if fn is None:
+            raise ValueError(
+                "rebase=True but this iterable has no storage-rebase hook"
+            )
+        state = fn(state)
     yield state
     while True:
         state = iterable._step_fn(state)

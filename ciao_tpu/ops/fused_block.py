@@ -91,7 +91,12 @@ def _stream_dot(x, A_t, dims, prec):
     oracle rows are STORED bf16 (``LeastSquaresRows.with_storage``) the
     small operand is cast to bf16 too — a single MXU pass with f32
     accumulation — halving the kernel's HBM traffic; f32 storage keeps
-    the caller's requested precision."""
+    the caller's requested precision. int8-stored rows (quartered
+    traffic) are cast to bf16 in VMEM (exact: |q| ≤ 127) and dotted the
+    same way; the caller applies the per-row dequant scales to the
+    (1, TILE) margin/innovation vectors, never to the tile."""
+    if A_t.dtype == jnp.int8:
+        A_t = A_t.astype(jnp.bfloat16)
     if A_t.dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
         prec = jax.lax.Precision.DEFAULT
@@ -225,10 +230,14 @@ def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
-                             z_in_ref, av_in_ref, sc_ref, c_out_ref,
-                             z_out_ref, av_out_ref, c_vm, av_vm, z_vm,
-                             innov_vm):
+def _saga_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
+    if quant:
+        (rs_ref, c_in_ref, z_in_ref, av_in_ref, sc_ref, c_out_ref,
+         z_out_ref, av_out_ref, c_vm, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, z_in_ref, av_in_ref, sc_ref, c_out_ref,
+         z_out_ref, av_out_ref, c_vm, av_vm, z_vm, innov_vm) = refs
     k = pl.program_id(0)
     t = pl.program_id(1)
     K = pl.num_programs(0)
@@ -264,12 +273,17 @@ def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     # b block carries all 8 slab rows at this lane offset (sublane-rule
     # compliant); select the row of this block dynamically
     b_t = b_ref[pl.ds(row, 1), :]                   # (1, TILE)
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]             # (1, TILE) dequant
+        r = r * rs_t
     c_new = _coeff_formula(mode, r, b_t, scale)
     # the coefficient slab stays in VMEM for the whole launch — block
     # revisits within a launch are hazard-free (no in/out DMA race)
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]   # (1, TILE)
     dc = c_new - c_old
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
+    if quant:
+        dc = dc * rs_t
     innov_vm[...] += _stream_dot(
         dc, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
@@ -298,14 +312,18 @@ def _saga_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     jax.jit, static_argnames=("B", "precision"), donate_argnums=(3,)
 )
 def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
-                         precision: str = "highest"):
+                         precision: str = "highest", rs8=None):
     """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
     kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
     (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
     ``scalars`` is the (1, 7) row [scale, γ, γλ, 1/B, 1/N, sag, mode].
     Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
-    g=Zero) runs in-kernel at each block boundary."""
+    g=Zero) runs in-kernel at each block boundary. For int8-stored rows
+    pass the per-row dequant scales as ``rs8`` in the same slab layout
+    (required iff A.dtype is int8)."""
     N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
     TILE = _pick_tile(B, N, n, _slab_reserve(N))
     T = B // TILE
     K = starts.shape[0]
@@ -315,12 +333,15 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K, T),
         in_specs=[
             pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets (all rows)
+            *rs_specs,                                # dequant scales
             _bcast_spec((SLAB_ROWS, ncols)),          # c slab (whole)
             _bcast_spec((1, n)),                      # z in
             _bcast_spec((1, n)),                      # av in
@@ -340,15 +361,17 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
         ],
     )
     c_new, z_new, av_new = pl.pallas_call(
-        functools.partial(_saga_coeff_multi_kernel, _PRECISIONS[precision]),
+        functools.partial(
+            _saga_coeff_multi_kernel, _PRECISIONS[precision], quant
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-        input_output_aliases={3: 0},  # c slab in -> out
-    )(starts.astype(jnp.int32), A, b8, c8, z2, av2, scalars)
+        input_output_aliases={3 + len(rs_ops): 0},  # c slab in -> out
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, z2, av2, scalars)
     return c_new, z_new, av_new
 
 
@@ -380,11 +403,17 @@ def svrg_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
-                             canch_ref, w_in_ref, zs_in_ref, av_ref, sc_ref,
-                             w_out_ref, zs_out_ref, w_vm, zs_vm, innov_vm):
+def _svrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
+                             *refs):
     """``ncols`` = N/8 is bound statically by the caller (the slab-row
     index of a block is start // ncols)."""
+    if quant:
+        (rs_ref, canch_ref, w_in_ref, zs_in_ref, av_ref, sc_ref,
+         w_out_ref, zs_out_ref, w_vm, zs_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (canch_ref, w_in_ref, zs_in_ref, av_ref, sc_ref,
+         w_out_ref, zs_out_ref, w_vm, zs_vm, innov_vm) = refs
     k = pl.program_id(0)
     t = pl.program_id(1)
     K = pl.num_programs(0)
@@ -412,9 +441,14 @@ def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
     b_t = b_ref[pl.ds(row, 1), :]                 # (1, TILE)
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]           # (1, TILE) dequant
+        r = r * rs_t
     c_live = _coeff_formula(mode, r, b_t, scale)
     c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
     dc = c_anch - c_live
+    if quant:
+        dc = dc * rs_t
     innov_vm[...] += _stream_dot(
         dc, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
@@ -433,11 +467,15 @@ def _svrg_coeff_multi_kernel(ncols, prec, starts_ref, A_ref, b_ref,
         zs_out_ref[...] = zs_vm[...]
 
 
-def _coeff_apply_kernel(prec, A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
-                        acc_vm):
+def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     """One streaming pass: per row-tile compute the coefficient
     c_i = c(z)_i and accumulate the partial Σ c_i·a_i — the full
     gradient sum — without a second read of A."""
+    if quant:
+        (rs_ref, z_ref, sc_ref, c_ref, av_ref, acc_vm) = refs
+    else:
+        rs_ref = None
+        (z_ref, sc_ref, c_ref, av_ref, acc_vm) = refs
     i = pl.program_id(0)
     T = pl.num_programs(0)
     scale = sc_ref[0, 0]
@@ -451,10 +489,13 @@ def _coeff_apply_kernel(prec, A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
     r = _stream_dot(
         z_ref[...], A_t, (((1,), (1,)), ((), ())), prec,
     )  # (1, TILE)
+    if quant:
+        r = r * rs_ref[...]
     c = _coeff_formula(mode, r, b_ref[...], scale)
     c_ref[...] = c
+    cw = c * rs_ref[...] if quant else c
     acc_vm[...] += _stream_dot(
-        c, A_t, (((1,), (0,)), ((), ())), prec,
+        cw, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(i == T - 1)
@@ -464,21 +505,27 @@ def _coeff_apply_kernel(prec, A_ref, b_ref, z_ref, sc_ref, c_ref, av_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile", "precision"))
 def coeff_apply_all(A, b1, z2, scalars, tile: int,
-                    precision: str = "highest"):
+                    precision: str = "highest", rs1=None):
     """Anchor refresh in ONE pass over A: returns ``(c1, gsum2)`` where
     c1 is the (1, N) coefficient row c(z) and gsum2 the (1, n) full
     gradient sum Σ c_i·a_i (caller divides by N and reshapes c as
     needed). Replaces coeff_all + apply_all / grad_sum_all, which cost
-    2-3 passes over A. ``b1`` is the (1, N) offset row."""
+    2-3 passes over A. ``b1`` is the (1, N) offset row; ``rs1`` the
+    (1, N) dequant-scale row, required iff the rows are int8-stored."""
     N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
     T = N // tile
+    rs_specs = [pl.BlockSpec((1, tile), lambda i: (0, i))] if quant else []
+    rs_ops = [rs1] if quant else []
 
     c1, gsum = pl.pallas_call(
-        functools.partial(_coeff_apply_kernel, _PRECISIONS[precision]),
+        functools.partial(_coeff_apply_kernel, _PRECISIONS[precision], quant),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((tile, n), lambda i: (i, 0)),   # A row tile
             pl.BlockSpec((1, tile), lambda i: (0, i)),   # b tile
+            *rs_specs,                                   # dequant scales
             pl.BlockSpec((1, n), lambda i: (0, 0)),      # z
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -492,19 +539,23 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
-    )(A, b1, z2, scalars)
+    )(A, b1, *rs_ops, z2, scalars)
     return c1, gsum
 
 
 @functools.partial(jax.jit, static_argnames=("B", "precision"))
 def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
-                         B: int, precision: str = "highest"):
+                         B: int, precision: str = "highest", rs8=None):
     """K = len(starts) SVRG inner block steps in one kernel launch.
     ``b8``/``canch8`` are the offsets/anchor coefficients in the
     (8, N/8) slab layout; ``w2``/``zs2``/``av2`` are (1, n); ``scalars``
     the (1, 5) row [scale, γ, γλ, 1/B, mode]. Returns (w2, zs2) after
-    the K prox steps (L1 soft-threshold in-kernel; γλ=0 for g=Zero)."""
+    the K prox steps (L1 soft-threshold in-kernel; γλ=0 for g=Zero).
+    ``rs8``: per-row dequant scales (slab layout), required iff the
+    rows are int8-stored."""
     N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
     TILE = _pick_tile(B, N, n)
     T = B // TILE
     K = starts.shape[0]
@@ -514,8 +565,10 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
     kernel = functools.partial(
-        _svrg_coeff_multi_kernel, ncols, _PRECISIONS[precision]
+        _svrg_coeff_multi_kernel, ncols, _PRECISIONS[precision], quant
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -523,6 +576,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
         in_specs=[
             pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
             _bcast_spec((1, n)),                        # w in
             _bcast_spec((1, n)),                        # zsum in
@@ -547,7 +601,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-    )(starts.astype(jnp.int32), A, b8, canch8, w2, zs2, av2, scalars)
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, canch8, w2, zs2, av2, scalars)
     return w_new, zs_new
 
 
@@ -622,9 +676,15 @@ def lfinito_sweep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
-                          zf_ref, av_in_ref, invg_ref, sc_ref,
-                          av_out_ref, z_out_ref, av_vm, z_vm, innov_vm):
+def _lfinito_sweep_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
+                          *refs):
+    if quant:
+        (rs_ref, canch_ref, zf_ref, av_in_ref, invg_ref, sc_ref,
+         av_out_ref, z_out_ref, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (canch_ref, zf_ref, av_in_ref, invg_ref, sc_ref,
+         av_out_ref, z_out_ref, av_vm, z_vm, innov_vm) = refs
     k = pl.program_id(0)
     t = pl.program_id(1)
     K = pl.num_programs(0)
@@ -656,10 +716,16 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
     abs_start = starts_ref[k] + t * TILE
     row = abs_start // ncols
     b_t = b_ref[pl.ds(row, 1), :]
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
     c_live = _coeff_formula(mode, r, b_t, scale)
     c_anch = canch_ref[pl.ds(row, 1), :]
+    dc = c_anch - c_live
+    if quant:
+        dc = dc * rs_t
     innov_vm[...] += _stream_dot(
-        c_anch - c_live, A_t, (((1,), (0,)), ((), ())), prec,
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
     )  # (1, n)
 
     @pl.when(t == T - 1)
@@ -678,7 +744,8 @@ def _lfinito_sweep_kernel(ncols, prec, starts_ref, A_ref, b_ref, canch_ref,
 
 @functools.partial(jax.jit, static_argnames=("B", "precision"))
 def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
-                            scalars, B: int, precision: str = "highest"):
+                            scalars, B: int, precision: str = "highest",
+                            rs8=None):
     """K = len(starts) LFinito block steps in one launch. ``b8``/
     ``canch8`` are the offsets/anchor coefficients in the (8, N/8) slab
     layout; ``av2``/``zf2`` are (1, n); ``invg2`` is (1, K) — the
@@ -687,8 +754,11 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
     driver can chunk an epoch into several launches); ``scalars`` the
     (1, 5) row [scale, hat_γ, hat_γ·λ, 1/N, mode]. Returns (av2, z2) —
     z is the last block's prox point (no z input: each block recomputes
-    z = prox(av) before use)."""
+    z = prox(av) before use). ``rs8``: per-row dequant scales (slab
+    layout), required iff the rows are int8-stored."""
     N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
     TILE = _pick_tile(B, N, n)
     T = B // TILE
     K = starts.shape[0]
@@ -698,8 +768,10 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
     kernel = functools.partial(
-        _lfinito_sweep_kernel, ncols, _PRECISIONS[precision]
+        _lfinito_sweep_kernel, ncols, _PRECISIONS[precision], quant
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -707,6 +779,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
         in_specs=[
             pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
             _bcast_spec((1, n)),                        # z_full
             _bcast_spec((1, n)),                        # av in
@@ -732,7 +805,8 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-    )(starts.astype(jnp.int32), A, b8, canch8, zf2, av2, invg2, scalars)
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, canch8, zf2, av2, invg2,
+      scalars)
     return av_new, z_new
 
 
@@ -754,17 +828,23 @@ def finito_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
-                               zb_in_ref, invg_ref, z_in_ref, av_in_ref,
-                               sc_ref, c_out_ref, zb_out_ref, z_out_ref,
-                               av_out_ref, c_vm, zb_vm, av_vm, z_vm,
-                               innov_vm):
+def _finito_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref,
+                               *refs):
     """K Finito-basic coefficient steps per launch (exact algebra of
     solvers.finito._finito_coeff_step, reference Finito_basic.jl:110-118):
 
         innov = hat·invg_j·(z − zb_j) − (hat/N)·Σ_B (Δc)·a_i
         av += innov;  zb_j ← z;  z ← soft-threshold(av, hat·λ)
     """
+    if quant:
+        (rs_ref, c_in_ref, zb_in_ref, invg_ref, z_in_ref, av_in_ref,
+         sc_ref, c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
+         c_vm, zb_vm, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, zb_in_ref, invg_ref, z_in_ref, av_in_ref,
+         sc_ref, c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
+         c_vm, zb_vm, av_vm, z_vm, innov_vm) = refs
     k = pl.program_id(0)
     t = pl.program_id(1)
     K = pl.num_programs(0)
@@ -797,10 +877,15 @@ def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     row = abs_start // ncols
     off = pl.multiple_of(abs_start % ncols, 128)
     b_t = b_ref[pl.ds(row, 1), :]
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
     c_new = _coeff_formula(mode, r, b_t, scale)
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
     dc = c_new - c_old
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
+    if quant:
+        dc = dc * rs_t
     innov_vm[...] += _stream_dot(
         dc, A_t, (((1,), (0,)), ((), ())), prec,
     )
@@ -829,12 +914,16 @@ def _finito_coeff_multi_kernel(prec, starts_ref, A_ref, b_ref, c_in_ref,
     jax.jit, static_argnames=("B", "precision"), donate_argnums=(3, 4)
 )
 def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
-                           B: int, precision: str = "highest"):
+                           B: int, precision: str = "highest", rs8=None):
     """K = len(starts) coefficient-mode Finito-basic block steps in one
     launch. ``c8``/``b8`` use the (8, N/8) slab layout; ``zb`` is the
     (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
-    Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B]."""
+    Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B].
+    ``rs8``: per-row dequant scales (slab layout), required iff the
+    rows are int8-stored."""
     N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
     TILE = _pick_tile(B, N, n, _slab_reserve(N) + 3 * (N // B) * n * 4)
     T = B // TILE
     K = starts.shape[0]
@@ -845,12 +934,15 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K, T),
         in_specs=[
             pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),
+            *rs_specs,                                # dequant scales
             _bcast_spec((SLAB_ROWS, ncols)),          # c slab
             _bcast_spec((d, n)),                      # zb anchors
             pl.BlockSpec((1, d), lambda k, t, st: (0, 0),
@@ -874,8 +966,11 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
             pltpu.VMEM((1, n), jnp.float32),
         ],
     )
+    nrs = len(rs_ops)
     c_new, zb_new, z_new, av_new = pl.pallas_call(
-        functools.partial(_finito_coeff_multi_kernel, _PRECISIONS[precision]),
+        functools.partial(
+            _finito_coeff_multi_kernel, _PRECISIONS[precision], quant
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
@@ -883,6 +978,8 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1},  # c slab, zb anchors in-place
-    )(starts.astype(jnp.int32), A, b8, c8, zb, invg2, z2, av2, scalars)
+        # c slab, zb anchors in-place
+        input_output_aliases={3 + nrs: 0, 4 + nrs: 1},
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, zb, invg2, z2, av2,
+      scalars)
     return c_new, zb_new, z_new, av_new

@@ -64,6 +64,23 @@ def static_field(**kwargs):
     return dataclasses.field(metadata={"static": True}, **kwargs)
 
 
+def quantize_rows(A):
+    """Symmetric per-row int8 quantization of a real (N, n) row stack.
+
+    Returns ``(q, row_scale)`` with ``q ∈ [-127, 127]`` int8 and f32
+    ``row_scale`` such that ``a_i ≈ row_scale_i · q_i`` (absmax
+    scaling; all-zero rows get scale 1 so they stay exactly zero).
+    int8 → bf16/f32 conversion is exact, so downstream MXU paths see
+    the SAME perturbed operator regardless of compute precision.
+    """
+    rs = jnp.max(jnp.abs(A), axis=1).astype(jnp.float32) / 127.0
+    rs = jnp.where(rs > 0, rs, 1.0)
+    q = jnp.clip(
+        jnp.rint(A.astype(jnp.float32) / rs[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, rs
+
+
 class SmoothOracle(abc.ABC):
     """Protocol for a finite family ``{f_i}_{i=1..N}`` of smooth terms.
 

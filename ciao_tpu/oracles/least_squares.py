@@ -10,15 +10,25 @@ objects used by the reference's Lasso tests
 but stored as ONE stacked matrix ``A (N, n)`` so every batched path is a
 gather + matmul on the MXU. Complex dtypes supported (the reference test
 sweeps ComplexF32/ComplexF64, ``test_lasso.jl:3``).
+
+Storage modes (``with_storage``): bf16 rows (half the HBM traffic) and
+int8 rows with per-row symmetric scales (quarter the traffic) — the
+streaming kernels are HBM-bound (PERF.md), so narrower storage is the
+main single-chip throughput lever. With quantized rows every path
+computes EXACTLY with the perturbed operator Ã = diag(row_scale)·Q, so
+fused/stepwise trajectories remain mutually consistent; the per-row
+scale commutes with every row-wise product, so no dense dequantized A
+is ever materialized on the matvec paths.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax.numpy as jnp
 
-from ciao_tpu.oracles.base import SmoothOracle, register_oracle
+from ciao_tpu.oracles.base import SmoothOracle, register_oracle, quantize_rows
 
 
 @register_oracle
@@ -27,6 +37,7 @@ class LeastSquaresRows(SmoothOracle):
     A: jnp.ndarray  # (N, n)
     b: jnp.ndarray  # (N,)
     scale: jnp.ndarray  # scalar weight (the reference passes N)
+    row_scale: Optional[jnp.ndarray] = None  # (N,) int8 dequant scales
 
     @property
     def num_terms(self) -> int:
@@ -40,17 +51,34 @@ class LeastSquaresRows(SmoothOracle):
         return jnp.conj(self.A) if jnp.iscomplexobj(self.A) else self.A
 
     def with_storage(self, dtype=jnp.bfloat16):
-        """Copy with the data rows STORED in ``dtype``. bf16 storage
-        halves HBM traffic in the streaming kernels (the usual
-        bottleneck — PERF.md): the fused paths feed bf16 tiles straight
-        to the MXU with f32 accumulation, and coefficients/iterates
-        stay f32. Gradient accuracy drops to bf16's ~3 decimal digits,
-        so use it when the target suboptimality is ≳1e-3·cost — or for
-        the early epochs of a two-stage f32 finish."""
+        """Copy with the data rows STORED in ``dtype``. The kernels are
+        HBM-bound (PERF.md), so narrower row storage converts directly
+        into throughput; solver state/iterates stay f32 either way.
+
+        * bf16: half the traffic, gradients accurate to bf16's ~3
+          decimal digits — use when the target suboptimality is
+          ≳1e-3·cost, or as the middle stage of a staged schedule.
+        * int8 (``jnp.int8`` / ``"int8"``): quarter the traffic via
+          symmetric per-row quantization ``a_i ≈ row_scale_i · q_i``
+          (q ∈ [-127, 127]); ~2.3 correct digits. The coarse first
+          stage of an int8→bf16→f32 schedule. Real dtypes only.
+        """
+        if isinstance(dtype, str):
+            dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                     "int8": jnp.int8, "f32": jnp.float32}[dtype]
+        if self.row_scale is not None:
+            raise ValueError("rows are already int8-quantized")
+        if jnp.dtype(dtype) == jnp.int8:
+            if jnp.iscomplexobj(self.A):
+                raise ValueError("int8 storage requires real rows")
+            q, rs = quantize_rows(self.A)
+            return dataclasses.replace(self, A=q, row_scale=rs)
         return dataclasses.replace(self, A=self.A.astype(dtype))
 
     def value_and_grad_i(self, x, i):
         a = self.A[i]
+        if self.row_scale is not None:
+            a = a.astype(x.dtype) * self.row_scale[i]
         r = jnp.vdot(jnp.conj(a), x) - self.b[i]  # <a, x> - b (no conj on a)
         val = 0.5 * self.scale * jnp.real(r * jnp.conj(r))
         grad = self.scale * jnp.conj(a) * r
@@ -58,7 +86,12 @@ class LeastSquaresRows(SmoothOracle):
 
     # ---- fused MXU paths --------------------------------------------
     def _residual(self, x, idx):
+        """(dense_rows, residual) of the gathered batch; int8 rows are
+        dequantized per-block (the gather paths materialize (B, n)
+        blocks regardless)."""
         A_B = self.A[idx]
+        if self.row_scale is not None:
+            A_B = A_B.astype(x.dtype) * self.row_scale[idx][:, None]
         return A_B, A_B @ x - self.b[idx]
 
     def value_and_grad_batch(self, x, idx):
@@ -76,26 +109,47 @@ class LeastSquaresRows(SmoothOracle):
     def grad_sum_diff(self, x1, x2, idx, mask=None):
         # sum_i grad f_i(x1) - grad f_i(x2) = scale * A_B^H A_B (x1 - x2)
         A_B = self.A[idx]
+        if self.row_scale is not None:
+            rs = self.row_scale[idx]
+            d = (A_B.astype(x1.dtype) @ (x1 - x2)) * rs
+            if mask is not None:
+                d = jnp.where(mask, d, 0)
+            return self.scale * ((d * rs) @ A_B.astype(x1.dtype))
         d = A_B @ (x1 - x2)
         if mask is not None:
             d = jnp.where(mask, d, 0)
         return self.scale * (d @ jnp.conj(A_B))
 
     def grad_sum_all(self, x):
+        if self.row_scale is not None:
+            rs = self.row_scale
+            r = (self.A.astype(x.dtype) @ x) * rs - self.b
+            return self.scale * ((r * rs) @ self.A.astype(x.dtype))
         r = self.A @ x - self.b
         return self.scale * (r @ self._conjA())
 
     def grad_all(self, x):
+        if self.row_scale is not None:
+            Ad = self.A.astype(x.dtype) * self.row_scale[:, None]
+            r = Ad @ x - self.b
+            return self.scale * Ad * r[:, None]
         r = self.A @ x - self.b
         return self.scale * self._conjA() * r[:, None]
 
     def value_and_grad_all(self, x):
+        if self.row_scale is not None:
+            Ad = self.A.astype(x.dtype) * self.row_scale[:, None]
+            r = Ad @ x - self.b
+            vals = 0.5 * self.scale * jnp.real(r * jnp.conj(r))
+            return vals, self.scale * Ad * r[:, None]
         r = self.A @ x - self.b
         vals = 0.5 * self.scale * jnp.real(r * jnp.conj(r))
         return vals, self.scale * self._conjA() * r[:, None]
 
     def grad_pointwise(self, xs, idx):
         A_B = self.A[idx]
+        if self.row_scale is not None:
+            A_B = A_B.astype(xs.dtype) * self.row_scale[idx][:, None]
         r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
         return self.scale * jnp.conj(A_B) * r[:, None]
 
@@ -107,18 +161,33 @@ class LeastSquaresRows(SmoothOracle):
         b_B = lax.dynamic_slice_in_dim(self.b, start, size, 0)
         return A_B, b_B
 
+    def _slice_rs(self, start, size):
+        import jax.lax as lax
+
+        if self.row_scale is None:
+            return None
+        return lax.dynamic_slice_in_dim(self.row_scale, start, size, 0)
+
     def grad_block(self, x, start, size: int):
         A_B, b_B = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(x.dtype) * self._slice_rs(start, size)[:, None]
         r = A_B @ x - b_B
         return self.scale * jnp.conj(A_B) * r[:, None]
 
     def grad_sum_diff_block(self, x1, x2, start, size: int):
         A_B, _ = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            d = (A_B.astype(x1.dtype) @ (x1 - x2)) * rs_B
+            return self.scale * ((d * rs_B) @ A_B.astype(x1.dtype))
         d = A_B @ (x1 - x2)
         return self.scale * (d @ jnp.conj(A_B))
 
     def grad_pointwise_block(self, xs, start, size: int):
         A_B, b_B = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(xs.dtype) * self._slice_rs(start, size)[:, None]
         r = jnp.sum(A_B * xs, axis=-1) - b_B
         return self.scale * jnp.conj(A_B) * r[:, None]
 
@@ -138,44 +207,78 @@ class LeastSquaresRows(SmoothOracle):
         """(rows, offsets) consumed by the fused multi-step kernel."""
         return self.A, self.b
 
+    def coeff_rows_scale(self):
+        """(N,) per-row dequant scales for int8 rows; None otherwise."""
+        return self.row_scale
+
     def coeff_batch(self, x, idx):
         """c_i(x) for i in idx."""
         A_B = self.A[idx]
+        if self.row_scale is not None:
+            m = (A_B.astype(x.dtype) @ x) * self.row_scale[idx]
+            return self.scale * (m - self.b[idx])
         return self.scale * (A_B @ x - self.b[idx])
 
     def coeff_block(self, x, start, size: int):
         A_B, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            return self.scale * ((A_B.astype(x.dtype) @ x) * rs_B - b_B)
         return self.scale * (A_B @ x - b_B)
 
     def coeff_all(self, x):
+        if self.row_scale is not None:
+            return self.scale * (
+                (self.A.astype(x.dtype) @ x) * self.row_scale - self.b
+            )
         return self.scale * (self.A @ x - self.b)
 
     def apply_rows(self, w, idx):
         """Σ_i w_i · conj(a_i) over i in idx (the table-delta matvec)."""
+        if self.row_scale is not None:
+            A_B = self.A[idx]
+            return (w * self.row_scale[idx]) @ A_B.astype(w.dtype)
         return w @ jnp.conj(self.A[idx])
 
     def apply_rows_block(self, w, start, size: int):
         A_B, _ = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            return (w * rs_B) @ A_B.astype(w.dtype)
         return w @ jnp.conj(A_B)
 
     def apply_all(self, w):
+        if self.row_scale is not None:
+            return (w * self.row_scale) @ self.A.astype(w.dtype)
         return w @ self._conjA()
 
     # margin/coeff split for tensor-parallel column sharding: the row
     # product A_B·x is computed on partial columns (then psum'd by the
-    # caller) BEFORE the affine/scale part of the coefficient.
+    # caller) BEFORE the affine/scale part of the coefficient. NOTE:
+    # int8 per-row scales do NOT commute with the column split, so the
+    # margin of an int8 oracle stays un-descaled here and the scale is
+    # applied in coeff_from_margin (after the psum) — callers are
+    # unaffected.
     def margin_block(self, x, start, size: int):
         A_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(x.dtype)
         return A_B @ x
 
     def margin_all(self, x):
-        return self.A @ x
+        A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
+        return A @ x
 
     def coeff_from_margin(self, r, start, size: int):
         _, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            r = r * rs_B
         return self.scale * (r - b_B)
 
     def coeff_from_margin_all(self, r):
+        if self.row_scale is not None:
+            r = r * self.row_scale
         return self.scale * (r - self.b)
 
     # ---- fused Pallas table-refresh kernels (TPU, f32) ---------------
@@ -188,6 +291,11 @@ class LeastSquaresRows(SmoothOracle):
         """(s_updated, Σ_B (∇f_i(z) − s_i_old)) on rows [start, start+size)."""
         from ciao_tpu.ops import saga_block_update
 
+        if self.row_scale is not None:
+            raise ValueError(
+                "int8 rows: full-table fused kernels are not supported "
+                "(the f32 table traffic dominates — use table='coeff')"
+            )
         scale2 = jnp.reshape(self.scale, (1, 1)).astype(jnp.float32)
         return saga_block_update(
             self.A, self.b[:, None], s, z[None, :], start, scale2, size,
@@ -200,6 +308,11 @@ class LeastSquaresRows(SmoothOracle):
         s_new = z − γ_i·inv_N·∇f_i(z) on rows [start, start+size)."""
         from ciao_tpu.ops import finito_block_update
 
+        if self.row_scale is not None:
+            raise ValueError(
+                "int8 rows: full-table fused kernels are not supported "
+                "(the f32 table traffic dominates — use table='coeff')"
+            )
         scalars = jnp.stack(
             [
                 jnp.asarray(self.scale, jnp.float32),
@@ -214,6 +327,8 @@ class LeastSquaresRows(SmoothOracle):
 
     def value_and_grad_pointwise(self, xs, idx):
         A_B = self.A[idx]
+        if self.row_scale is not None:
+            A_B = A_B.astype(xs.dtype) * self.row_scale[idx][:, None]
         r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
         vals = 0.5 * self.scale * jnp.real(r * jnp.conj(r))
         return vals, self.scale * jnp.conj(A_B) * r[:, None]

@@ -10,16 +10,21 @@ objects used by the reference's L1-logistic tests
 Stored as a stacked matrix ``X (N, n)`` and labels ``y (N,)`` so batched
 paths are matmuls. The Lipschitz modulus of grad f_i is
 ``0.25 * |a_i|^2`` (test_logistic_l1.jl:40).
+
+Storage modes mirror ``LeastSquaresRows.with_storage``: bf16 rows and
+int8 rows with per-row scales (the exact operator becomes
+X̃ = diag(row_scale)·Q; the scale commutes with every row-wise product).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ciao_tpu.oracles.base import SmoothOracle, register_oracle
+from ciao_tpu.oracles.base import SmoothOracle, register_oracle, quantize_rows
 
 
 def _log1pexp(t):
@@ -32,6 +37,7 @@ def _log1pexp(t):
 class LogisticRows(SmoothOracle):
     X: jnp.ndarray  # (N, n) features
     y: jnp.ndarray  # (N,) labels in {-1, +1}
+    row_scale: Optional[jnp.ndarray] = None  # (N,) int8 dequant scales
 
     @property
     def num_terms(self) -> int:
@@ -43,19 +49,35 @@ class LogisticRows(SmoothOracle):
 
     def with_storage(self, dtype=jnp.bfloat16):
         """Copy with the feature rows STORED in ``dtype`` (see
-        ``LeastSquaresRows.with_storage`` — bf16 halves the streaming
-        kernels' HBM traffic at ~3-digit gradient accuracy)."""
+        ``LeastSquaresRows.with_storage`` — bf16 halves, int8 quarters
+        the streaming kernels' HBM traffic; int8 uses symmetric per-row
+        scales)."""
+        if isinstance(dtype, str):
+            dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                     "int8": jnp.int8, "f32": jnp.float32}[dtype]
+        if self.row_scale is not None:
+            raise ValueError("rows are already int8-quantized")
+        if jnp.dtype(dtype) == jnp.int8:
+            q, rs = quantize_rows(self.X)
+            return dataclasses.replace(self, X=q, row_scale=rs)
         return dataclasses.replace(self, X=self.X.astype(dtype))
 
     def value_and_grad_i(self, x, i):
         a = self.X[i]
+        if self.row_scale is not None:
+            a = a.astype(x.dtype) * self.row_scale[i]
         t = -self.y[i] * jnp.dot(a, x)
         val = _log1pexp(t)
         grad = (-self.y[i] * jax.nn.sigmoid(t)) * a
         return val, grad
 
     def _margins(self, x, idx):
+        """(dense_rows, -y·margin) of the gathered batch (int8 rows are
+        dequantized per-block; the gather paths materialize (B, n)
+        anyway)."""
         X_B = self.X[idx]
+        if self.row_scale is not None:
+            X_B = X_B.astype(x.dtype) * self.row_scale[idx][:, None]
         t = -self.y[idx] * (X_B @ x)
         return X_B, t
 
@@ -72,29 +94,48 @@ class LogisticRows(SmoothOracle):
             coeff = jnp.where(mask, coeff, 0)
         return coeff @ X_B
 
+    def _margin_all(self, x):
+        if self.row_scale is not None:
+            return (self.X.astype(x.dtype) @ x) * self.row_scale
+        return self.X @ x
+
     def grad_sum_all(self, x):
-        t = -self.y * (self.X @ x)
+        t = -self.y * self._margin_all(x)
         coeff = -self.y * jax.nn.sigmoid(t)
+        if self.row_scale is not None:
+            return (coeff * self.row_scale) @ self.X.astype(x.dtype)
         return coeff @ self.X
 
     def grad_all(self, x):
-        t = -self.y * (self.X @ x)
+        if self.row_scale is not None:
+            Xd = self.X.astype(x.dtype) * self.row_scale[:, None]
+        else:
+            Xd = self.X
+        t = -self.y * (Xd @ x)
         coeff = -self.y * jax.nn.sigmoid(t)
-        return coeff[:, None] * self.X
+        return coeff[:, None] * Xd
 
     def value_and_grad_all(self, x):
-        t = -self.y * (self.X @ x)
+        if self.row_scale is not None:
+            Xd = self.X.astype(x.dtype) * self.row_scale[:, None]
+        else:
+            Xd = self.X
+        t = -self.y * (Xd @ x)
         coeff = -self.y * jax.nn.sigmoid(t)
-        return _log1pexp(t), coeff[:, None] * self.X
+        return _log1pexp(t), coeff[:, None] * Xd
 
     def grad_pointwise(self, xs, idx):
         X_B = self.X[idx]
+        if self.row_scale is not None:
+            X_B = X_B.astype(xs.dtype) * self.row_scale[idx][:, None]
         t = -self.y[idx] * jnp.sum(X_B * xs, axis=-1)
         coeff = -self.y[idx] * jax.nn.sigmoid(t)
         return coeff[:, None] * X_B
 
     def value_and_grad_pointwise(self, xs, idx):
         X_B = self.X[idx]
+        if self.row_scale is not None:
+            X_B = X_B.astype(xs.dtype) * self.row_scale[idx][:, None]
         t = -self.y[idx] * jnp.sum(X_B * xs, axis=-1)
         coeff = -self.y[idx] * jax.nn.sigmoid(t)
         return _log1pexp(t), coeff[:, None] * X_B
@@ -112,43 +153,70 @@ class LogisticRows(SmoothOracle):
         """(rows, labels) consumed by the fused multi-step kernel."""
         return self.X, self.y
 
+    def coeff_rows_scale(self):
+        """(N,) per-row dequant scales for int8 rows; None otherwise."""
+        return self.row_scale
+
     def coeff_batch(self, x, idx):
         X_B = self.X[idx]
-        t = -self.y[idx] * (X_B @ x)
+        if self.row_scale is not None:
+            m = (X_B.astype(x.dtype) @ x) * self.row_scale[idx]
+        else:
+            m = X_B @ x
+        t = -self.y[idx] * m
         return -self.y[idx] * jax.nn.sigmoid(t)
 
     def coeff_block(self, x, start, size: int):
         X_B, y_B = self._slice(start, size)
-        t = -y_B * (X_B @ x)
-        return -y_B * jax.nn.sigmoid(t)
+        rs_B = self._slice_rs(start, size)
+        m = (X_B.astype(x.dtype) @ x) * rs_B if rs_B is not None else X_B @ x
+        return -y_B * jax.nn.sigmoid(-y_B * m)
 
     def coeff_all(self, x):
-        t = -self.y * (self.X @ x)
+        t = -self.y * self._margin_all(x)
         return -self.y * jax.nn.sigmoid(t)
 
     def apply_rows(self, w, idx):
+        if self.row_scale is not None:
+            return (w * self.row_scale[idx]) @ self.X[idx].astype(w.dtype)
         return w @ self.X[idx]
 
     def apply_rows_block(self, w, start, size: int):
         X_B, _ = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            return (w * rs_B) @ X_B.astype(w.dtype)
         return w @ X_B
 
     def apply_all(self, w):
+        if self.row_scale is not None:
+            return (w * self.row_scale) @ self.X.astype(w.dtype)
         return w @ self.X
 
-    # margin/coeff split for tensor-parallel column sharding
+    # margin/coeff split for tensor-parallel column sharding. As in
+    # LeastSquaresRows: int8 margins stay un-descaled until
+    # coeff_from_margin (the per-row scale is applied after the
+    # caller's "model"-axis psum).
     def margin_block(self, x, start, size: int):
         X_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            X_B = X_B.astype(x.dtype)
         return X_B @ x
 
     def margin_all(self, x):
-        return self.X @ x
+        X = self.X.astype(x.dtype) if self.row_scale is not None else self.X
+        return X @ x
 
     def coeff_from_margin(self, r, start, size: int):
         _, y_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            r = r * rs_B
         return -y_B * jax.nn.sigmoid(-y_B * r)
 
     def coeff_from_margin_all(self, r):
+        if self.row_scale is not None:
+            r = r * self.row_scale
         return -self.y * jax.nn.sigmoid(-self.y * r)
 
     # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
@@ -157,18 +225,30 @@ class LogisticRows(SmoothOracle):
         y_B = jax.lax.dynamic_slice_in_dim(self.y, start, size, 0)
         return X_B, y_B
 
+    def _slice_rs(self, start, size):
+        if self.row_scale is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(self.row_scale, start, size, 0)
+
     def grad_block(self, x, start, size: int):
         X_B, y_B = self._slice(start, size)
+        if self.row_scale is not None:
+            X_B = X_B.astype(x.dtype) * self._slice_rs(start, size)[:, None]
         t = -y_B * (X_B @ x)
         return (-y_B * jax.nn.sigmoid(t))[:, None] * X_B
 
     def grad_sum_diff_block(self, x1, x2, start, size: int):
         X_B, y_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            X_B = X_B.astype(x1.dtype) * rs_B[:, None]
         c1 = -y_B * jax.nn.sigmoid(-y_B * (X_B @ x1))
         c2 = -y_B * jax.nn.sigmoid(-y_B * (X_B @ x2))
         return (c1 - c2) @ X_B
 
     def grad_pointwise_block(self, xs, start, size: int):
         X_B, y_B = self._slice(start, size)
+        if self.row_scale is not None:
+            X_B = X_B.astype(xs.dtype) * self._slice_rs(start, size)[:, None]
         t = -y_B * jnp.sum(X_B * xs, axis=-1)
         return (-y_B * jax.nn.sigmoid(t))[:, None] * X_B

@@ -71,10 +71,16 @@ class SolverIterable:
     the first state is the init state, iteration halts only on solver
     abort."""
 
-    def __init__(self, x0, init_fn: Callable[[], Any], step_fn: Callable[[Any], Any]):
+    def __init__(self, x0, init_fn: Callable[[], Any], step_fn: Callable[[Any], Any],
+                 rebase_fn: Callable[[Any], Any] | None = None):
         self.x0 = x0
         self._init_fn = init_fn
         self._step_fn = step_fn
+        # optional state-repair hook for resuming a state produced under
+        # a DIFFERENT oracle row storage (checkpoint.resume_iterator's
+        # ``rebase=True``): recomputes the delta-maintained running
+        # average under THIS iterable's oracle (see saga.saga_rebase)
+        self._rebase_fn = rebase_fn
 
     def __iter__(self):
         state = self._init_fn()

@@ -235,6 +235,29 @@ def finito_coeff_init(F, g, x0, gamma, key, cfg: FinitoCfg) -> FinitoCoeffState:
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def finito_rebase(F, g, state, cfg: FinitoCfg):
+    """Make the running average consistent with the table under ``F``'s
+    row storage (see ``saga.saga_rebase`` — same failure mode: after a
+    mid-run storage swap the delta-maintained ``av`` keeps the OLD
+    operator's bias forever). Coefficient-mode identity:
+
+        av = hat_γ·Σ_i s_i/γ_i,  s_i = zb_{b(i)} − (γ_i/N)·c_i·a_i
+           = hat_γ·(Σ_j invg_j·zb_j − (1/N)·Σ_i c_i·a_i)
+
+    so one pass over A (``apply_all``) repairs it; ``z`` is re-proxed to
+    keep the z = prox(av, hat_γ) step invariant. LFinito and SVRG
+    recompute their anchor from a full pass every epoch, so they
+    self-heal after one epoch and need no rebase; the full-table basic
+    state stores the s_i vectors themselves (storage-independent) — any
+    non-coefficient state is returned unchanged."""
+    if not isinstance(state, FinitoCoeffState):
+        return state
+    hat = state.hat_gamma
+    av = hat * (state.invg @ state.zb) - (hat / cfg.N) * F.apply_all(state.c)
+    return state._replace(av=av, z=g.prox_only(av, hat))
+
+
 def _finito_coeff_step(F, g, cfg: FinitoCfg, state: FinitoCoeffState):
     """Exact re-parameterization of the basic hot step over a contiguous
     block (Finito_basic.jl:110-118):
@@ -347,6 +370,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     hat = state.hat_gamma
     lam = getattr(g, "lam", 0.0)
     rows, offs = F.coeff_rows_data()
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
     mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
 
@@ -356,6 +380,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
         precision=cfg.fused_precision,
+        rs1=rs[None, :] if rs is not None else None,
     )
     av = z_full - (hat / N) * gsum[0]
 
@@ -386,10 +411,12 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     )[None, :]
     zf2 = z_full[None, :]
 
+    rs8 = rs.reshape(slab) if rs is not None else None
+
     def launch(av2, z2, st_c, ig_c):
         return lfinito_sweep_multistep(
             rows, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
-            precision=cfg.fused_precision,
+            precision=cfg.fused_precision, rs8=rs8,
         )
 
     # chunk the epoch's d blocks into launches of Kc (the per-launch
@@ -614,8 +641,10 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     slab = (SLAB_ROWS, N // SLAB_ROWS)
     b8 = offs.reshape(slab)
+    rs8 = rs.reshape(slab) if rs is not None else None
     lam = getattr(g, "lam", 0.0)
     hat = state.hat_gamma
     scalars = jnp.stack(
@@ -639,7 +668,7 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
         sweep, starts = gen_starts(sweep, K)
         c8, zb, z2, av2 = finito_coeff_multistep(
             rows, b8, starts, c8, zb, invg2, z2, av2, scalars, B,
-            precision=cfg.fused_precision,
+            precision=cfg.fused_precision, rs8=rs8,
         )
         return (c8, zb, z2, av2, sweep), None
 
@@ -754,8 +783,14 @@ class Finito:
         ):
             from ciao_tpu.ops import fused_block_available
 
-            fused = x0.dtype == jnp.float32 and fused_block_available(
-                N, x0.size, self.minibatch[1], x0.dtype
+            # full-table kernel: f32/bf16 rows only (int8 rows need the
+            # coeff path — the f32 table traffic dominates)
+            fused = (
+                x0.dtype == jnp.float32
+                and fused_block_available(
+                    N, x0.size, self.minibatch[1], x0.dtype
+                )
+                and getattr(F, "row_scale", None) is None
             )
         elif (
             self._variant == "lfinito"
@@ -843,5 +878,8 @@ class Finito:
         x0_orig = x0
         x0, F, g, cfg, init, variant = self._setup(x0, F, g, L, N)
         step = lambda s: finito_step(F, g, s, cfg, variant)
-        it = SolverIterable(x0_orig, init, step)
+        it = SolverIterable(
+            x0_orig, init, step,
+            rebase_fn=lambda s: finito_rebase(F, g, s, cfg),
+        )
         return it

@@ -80,6 +80,27 @@ def saga_init(F, g, x0, gamma, key, cfg: SAGACfg) -> SAGAState:
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def saga_rebase(F, state: SAGAState, cfg: SAGACfg) -> SAGAState:
+    """Make ``av`` consistent with the table under ``F``'s row storage.
+
+    The running average is maintained incrementally (delta updates), so
+    after swapping the oracle's storage mid-run (the f32/bf16/int8
+    stages of a staged-precision schedule) the stored ``av`` still
+    reflects the OLD operator: in coefficient mode av = Σ c_i·ã_i/N was
+    accumulated with the previous rows ã_i, and the mismatch with the
+    new rows never decays — a permanent bias that floors convergence
+    (measured: an int8→f32 switch without rebase stalls at rel ~1.2e-3
+    on the 65k planted Lasso while the rebased run reaches the f32
+    floor). One pass over A repairs it. Full-table mode is
+    storage-consistent by construction (av literally averages the
+    stored gradient rows; deltas under the new operator keep it exact)
+    — returned unchanged."""
+    if not cfg.coeff:
+        return state
+    return state._replace(av=F.apply_all(state.s) / cfg.N)
+
+
 def _saga_direction(cfg, state, innov, B):
     """The SAG (biased, average first) / SAGA (unbiased) update-order
     quirk (SAGA_basic.jl:57-62), shared by all table layouts.
@@ -213,6 +234,7 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     lam = getattr(g, "lam", 0.0)
     scalars = jnp.stack(
         [
@@ -230,13 +252,14 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
 
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
+    rs8 = rs.reshape(slab) if rs is not None else None
 
     def body(carry, it0):
         c8, z2, av2 = carry
         starts = _gen_block_starts(state.key, it0, cfg, K)
         c8, z2, av2 = saga_coeff_multistep(
             rows, b8, starts, c8, z2, av2, scalars, B,
-            precision=cfg.fused_precision,
+            precision=cfg.fused_precision, rs8=rs8,
         )
         return (c8, z2, av2), None
 
@@ -341,9 +364,13 @@ class SAGA:
                     and isinstance(g, (NormL1, Zero))
                 )
             else:
-                fused = fused_block_available(
-                    N, x0.size, self.batch, x0.dtype
-                ) and hasattr(F, "fused_saga_block")
+                # full-table kernel: f32/bf16 rows only (int8 rows need
+                # the coeff path — the f32 table traffic dominates)
+                fused = (
+                    fused_block_available(N, x0.size, self.batch, x0.dtype)
+                    and hasattr(F, "fused_saga_block")
+                    and getattr(F, "row_scale", None) is None
+                )
         cfg = SAGACfg(
             N=N, sag=self.SAG_flag, batch=self.batch,
             block=self.block_sampling, fused=fused, coeff=coeff,
@@ -371,7 +398,9 @@ class SAGA:
         x0_orig = x0
         x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
         step = lambda s: saga_step(F, g, s, cfg)
-        return SolverIterable(x0_orig, init, step)
+        return SolverIterable(
+            x0_orig, init, step, rebase_fn=lambda s: saga_rebase(F, s, cfg)
+        )
 
 
 def SAG(**kwargs):

@@ -130,6 +130,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     Lq = m // K
     rem = m - Lq * K
     rows, offs = F.coeff_rows_data()
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     lam = getattr(g, "lam", 0.0)
     gamma, av = state.gamma, state.av
     scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
@@ -145,6 +146,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     )[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
+    rs8 = rs.reshape(slab) if rs is not None else None
     av2 = av[None, :]
     # _gen_block_starts draws with the same stateless (key, inner-index)
     # stream as _svrg_inner_block; SAGACfg/SVRGCfg share (N, batch).
@@ -154,7 +156,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         starts = _gen_block_starts(key, k0, cfg, K)
         w2, zs2 = svrg_coeff_multistep(
             rows, b8, state.canch, starts, w2, zs2, av2, scalars, B,
-            precision=cfg.fused_precision,
+            precision=cfg.fused_precision, rs8=rs8,
         )
         return (w2, zs2), None
 
@@ -175,6 +177,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
         precision=cfg.fused_precision,
+        rs1=rs[None, :] if rs is not None else None,
     )
     canch = c1.reshape(slab)
     # state.key was already advanced by the caller (the sub-chain used

@@ -61,6 +61,34 @@ def test_checkpoint_resume_continues_exactly(tmp_path, lasso):
     assert int(resumed.it) == int(st_full.it)
 
 
+def test_resume_iterator_rebase_storage_switch(lasso):
+    """The staged-precision recipe (README): resume an int8-stage state
+    under the f32 oracle with ``rebase=True`` — the hook must recompute
+    the running average under the new rows (one ``apply_all`` pass);
+    without a hook (DP iterables) ``rebase=True`` must raise rather than
+    silently carry the old operator's bias."""
+    prob, F, g = lasso
+    solver = ciao_tpu.SAGA(maxit=100)
+    Fq = F.with_storage("int8")
+    st = loop(take(iter(solver.iterator(jnp.zeros(4), F=Fq, g=g, L=prob.L)), 30))
+    it_f32 = solver.iterator(jnp.zeros(4), F=F, g=g, L=prob.L)
+    first = next(checkpoint.resume_iterator(it_f32, st, rebase=True))
+    np.testing.assert_allclose(
+        np.asarray(first.av), np.asarray(F.apply_all(st.s) / 16),
+        rtol=1e-12, atol=1e-14,
+    )
+    # the un-rebased resume keeps the int8-operator average verbatim
+    first_nr = next(checkpoint.resume_iterator(it_f32, st))
+    np.testing.assert_array_equal(np.asarray(first_nr.av), np.asarray(st.av))
+    assert float(jnp.max(jnp.abs(first.av - st.av))) > 0
+
+    class NoHook:
+        pass
+
+    with pytest.raises(ValueError, match="rebase"):
+        next(checkpoint.resume_iterator(NoHook(), st, rebase=True))
+
+
 # ---------------------------------------------------------------------------
 # monitoring
 # ---------------------------------------------------------------------------

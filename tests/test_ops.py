@@ -540,3 +540,256 @@ def test_bf16_storage_other_fused_kernels():
         z16 = svrg_run(F16, g, svrg_init(F16, g, x0, gam_s, 24, key, scfg),
                        scfg, 2).z_full
     assert z16.dtype == jnp.float32 and 0.0 < rel_err(z16, z32) < 3e-2
+
+
+def test_int8_storage_oracle_consistency():
+    """``with_storage(int8)``: every oracle path computes EXACTLY with
+    the perturbed operator Ã = diag(row_scale)·Q — the quantized paths
+    must agree with a dense reference built from Ã, and Ã must be
+    within the absmax-quantization error of A."""
+    rng = np.random.default_rng(0)
+    Np, npix = 64, 32
+    A = rng.standard_normal((Np, npix)).astype(np.float32)
+    b = rng.standard_normal(Np).astype(np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(A), b=jnp.asarray(b),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    Fq = F.with_storage("int8")
+    assert Fq.A.dtype == jnp.int8 and Fq.row_scale.shape == (Np,)
+    At = np.asarray(Fq.A, np.float32) * np.asarray(Fq.row_scale)[:, None]
+    # quantization error ≤ rs/2 per element
+    assert np.max(np.abs(At - A) / np.asarray(Fq.row_scale)[:, None]) <= 0.5
+    Fd = LeastSquaresRows(A=jnp.asarray(At), b=jnp.asarray(b),
+                          scale=jnp.asarray(float(Np), jnp.float32))
+    x = jnp.asarray(rng.standard_normal(npix).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(Np).astype(np.float32))
+    idx = jnp.asarray([3, 17, 41], jnp.int32)
+    tol = dict(rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(Fq.grad_sum_all(x), Fd.grad_sum_all(x), **tol)
+    np.testing.assert_allclose(Fq.grad_all(x), Fd.grad_all(x), **tol)
+    np.testing.assert_allclose(Fq.coeff_all(x), Fd.coeff_all(x), **tol)
+    np.testing.assert_allclose(Fq.apply_all(w), Fd.apply_all(w), **tol)
+    np.testing.assert_allclose(Fq.coeff_block(x, 8, 16),
+                               Fd.coeff_block(x, 8, 16), **tol)
+    np.testing.assert_allclose(Fq.apply_rows_block(w[8:24], 8, 16),
+                               Fd.apply_rows_block(w[8:24], 8, 16), **tol)
+    np.testing.assert_allclose(Fq.grad_block(x, 8, 16),
+                               Fd.grad_block(x, 8, 16), **tol)
+    np.testing.assert_allclose(Fq.grad_sum_diff_block(x, 0.5 * x, 8, 16),
+                               Fd.grad_sum_diff_block(x, 0.5 * x, 8, 16),
+                               **tol)
+    np.testing.assert_allclose(Fq.grad_sum_batch(x, idx),
+                               Fd.grad_sum_batch(x, idx), **tol)
+    np.testing.assert_allclose(Fq.value_and_grad_i(x, 3)[1],
+                               Fd.value_and_grad_i(x, 3)[1], **tol)
+    # TP margin split: scale applied AFTER the (possibly psum'd) margin
+    np.testing.assert_allclose(
+        Fq.coeff_from_margin_all(Fq.margin_all(x)), Fd.coeff_all(x), **tol)
+
+    # logistic family, same contract
+    y = jnp.asarray(np.sign(rng.standard_normal(Np)).astype(np.float32))
+    from ciao_tpu.oracles import LogisticRows
+
+    Lq = LogisticRows(X=jnp.asarray(A), y=y).with_storage(jnp.int8)
+    Ld = LogisticRows(X=jnp.asarray(
+        np.asarray(Lq.X, np.float32) * np.asarray(Lq.row_scale)[:, None]
+    ), y=y)
+    np.testing.assert_allclose(Lq.grad_sum_all(x), Ld.grad_sum_all(x), **tol)
+    np.testing.assert_allclose(Lq.coeff_all(x), Ld.coeff_all(x), **tol)
+    np.testing.assert_allclose(
+        Lq.coeff_from_margin_all(Lq.margin_all(x)), Ld.coeff_all(x), **tol)
+
+
+def test_int8_storage_fused_tracks_f32():
+    """``with_storage(int8)``: the fused SAGA kernel streams int8 rows
+    (cast to bf16 in VMEM — exact) with the per-row dequant scales
+    applied to the (1, TILE) margin/innovation vectors. The trajectory
+    must track f32 to int8 resolution (~2.3 digits)."""
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    Fq = F32.with_storage("int8")
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True,
+                  fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st32 = saga_run(F32, g, saga_init(F32, g, x0, gamma, key, cfg),
+                        cfg, 64)
+        stq = saga_run(Fq, g, saga_init(Fq, g, x0, gamma, key, cfg),
+                       cfg, 64)
+    assert stq.z.dtype == jnp.float32 and stq.s.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(st32.z))) + 1e-30
+    err = float(jnp.max(jnp.abs(stq.z - st32.z))) / scale
+    assert 0.0 < err < 1e-1, err
+
+    # fused int8 must match the stepwise XLA path on the SAME quantized
+    # oracle to the kernel's bf16-margin resolution (identical operator)
+    cfg_x = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st_xla = saga_run(Fq, g, saga_init(Fq, g, x0, gamma, key, cfg_x),
+                      cfg_x, 64)
+    err2 = float(jnp.max(jnp.abs(stq.z - st_xla.z))) / scale
+    assert err2 < 1e-2, err2
+
+
+def test_int8_storage_other_fused_kernels():
+    """Finito-multistep, SVRG-multistep and the LFinito sweep with int8
+    rows + dequant scales — each must track its f32 trajectory."""
+    from ciao_tpu.solvers.finito import (
+        FinitoCfg, finito_coeff_init, finito_run, lfinito_init,
+    )
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    Fq = F32.with_storage("int8")
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    def rel_err(a, b):
+        s = float(jnp.max(jnp.abs(b))) + 1e-30
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    cfg = FinitoCfg(N=Np, batch=Bp, sweeping=3, alpha=0.999, fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        z32 = finito_run(F32, g, finito_coeff_init(F32, g, x0, gamma, key, cfg),
+                         cfg, "basic_coeff", 48).z
+        zq = finito_run(Fq, g, finito_coeff_init(Fq, g, x0, gamma, key, cfg),
+                        cfg, "basic_coeff", 48).z
+    assert zq.dtype == jnp.float32 and 0.0 < rel_err(zq, z32) < 1e-1
+
+    with pltpu.force_tpu_interpret_mode():
+        z32 = finito_run(F32, g, lfinito_init(F32, g, x0, gamma, key, cfg),
+                         cfg, "lfinito", 4).z
+        zq = finito_run(Fq, g, lfinito_init(Fq, g, x0, gamma, key, cfg),
+                        cfg, "lfinito", 4).z
+    assert zq.dtype == jnp.float32 and 0.0 < rel_err(zq, z32) < 1e-1
+
+    gam_s = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    scfg = SVRGCfg(N=Np, plus=False, batch=Bp, block=True, fused=True,
+                   m_fused=24)
+    with pltpu.force_tpu_interpret_mode():
+        z32 = svrg_run(F32, g, svrg_init(F32, g, x0, gam_s, 24, key, scfg),
+                       scfg, 2).z_full
+        zq = svrg_run(Fq, g, svrg_init(Fq, g, x0, gam_s, 24, key, scfg),
+                      scfg, 2).z_full
+    assert zq.dtype == jnp.float32 and 0.0 < rel_err(zq, z32) < 1e-1
+
+
+def test_saga_rebase_storage_switch():
+    """Staged-precision schedules swap the oracle's row storage mid-run.
+    The delta-maintained running average then still carries the OLD
+    operator's bias (av was accumulated as Σ c_i·ã_i/N with the previous
+    rows), which never decays — the run stalls near the quantization
+    error. ``saga_rebase`` recomputes av from the coefficient table
+    under the new rows (one pass) and restores convergence to the new
+    storage's floor."""
+    from ciao_tpu.solvers.saga import (
+        SAGACfg, saga_init, saga_rebase, saga_run,
+    )
+
+    Np, npix, Bp = 2048, 128, 256
+    prob = make_lasso(N=Np, n=npix, p=8, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    Fp = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    Fq = Fp.with_storage("int8")
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gam = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    key = jax.random.PRNGKey(0)
+    fs = abs(prob.f_star)
+
+    def rel(z):
+        return (prob.cost(np.asarray(z)) - prob.f_star) / fs
+
+    st = saga_init(Fp, g, jnp.zeros(npix, jnp.float32), gam, key, cfg)
+    st = saga_run(Fq, g, st, cfg, 8000)           # int8 coarse stage
+
+    st_rb = saga_rebase(Fp, st, cfg)
+    # algebraic contract: av consistent with the table under f32 rows
+    np.testing.assert_allclose(
+        np.asarray(st_rb.av), np.asarray(Fp.apply_all(st.s) / Np),
+        rtol=1e-6, atol=1e-8,
+    )
+    # measured on this problem: the un-rebased finish stalls ~5.9e-5
+    # while the rebased one reaches ~8.7e-7 (the f32 floor)
+    r_nr = rel(saga_run(Fp, g, st, cfg, 30000).z)
+    r_rb = rel(saga_run(Fp, g, st_rb, cfg, 30000).z)
+    assert r_rb < 5e-6, r_rb
+    assert r_nr > 1e-5, r_nr
+    # full-table mode is storage-consistent already: rebase is identity
+    cfg_t = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=False)
+    st_t = saga_init(Fp, g, jnp.zeros(npix, jnp.float32), gam, key, cfg_t)
+    st_t2 = saga_rebase(Fp, st_t, cfg_t)
+    np.testing.assert_array_equal(np.asarray(st_t2.av), np.asarray(st_t.av))
+
+
+def test_finito_rebase_storage_switch():
+    """Finito coefficient mode has the same delta-maintained ``av`` as
+    SAGA (``test_saga_rebase_storage_switch``): after an int8→f32
+    storage swap, ``finito_rebase`` must restore the exact identity
+    av = hat_γ·(Σ_j invg_j·zb_j − apply_all(c)/N) under the new rows
+    (and re-prox z); the rebased finish must out-converge the stalled
+    un-rebased one."""
+    from ciao_tpu.solvers.finito import (
+        FinitoCfg, finito_coeff_init, finito_rebase, finito_run,
+    )
+
+    Np, npix, Bp = 2048, 128, 256
+    prob = make_lasso(N=Np, n=npix, p=8, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    Fp = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    Fq = Fp.with_storage("int8")
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    cfg = FinitoCfg(N=Np, batch=Bp, sweeping=3, alpha=0.999)
+    key = jax.random.PRNGKey(0)
+    fs = abs(prob.f_star)
+
+    def rel(z):
+        return (prob.cost(np.asarray(z)) - prob.f_star) / fs
+
+    st = finito_coeff_init(Fp, g, jnp.zeros(npix, jnp.float32), gamma, key, cfg)
+    st = finito_run(Fq, g, st, cfg, "basic_coeff", 4000)  # int8 stage
+
+    st_rb = finito_rebase(Fp, g, st, cfg)
+    hat = np.asarray(st.hat_gamma)
+    av_ref = hat * (np.asarray(st.invg) @ np.asarray(st.zb)) - (
+        hat / Np
+    ) * np.asarray(Fp.apply_all(st.c))
+    np.testing.assert_allclose(np.asarray(st_rb.av), av_ref, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_rb.z),
+        np.asarray(g.prox_only(jnp.asarray(av_ref), st.hat_gamma)),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # measured: un-rebased floors at ~8.1e-5, rebased reaches the f32
+    # floor ~1.8e-5 on this problem
+    r_nr = rel(finito_run(Fp, g, st, cfg, "basic_coeff", 12000).z)
+    r_rb = rel(finito_run(Fp, g, st_rb, cfg, "basic_coeff", 12000).z)
+    assert r_rb < 3e-5, r_rb
+    assert r_nr > 5e-5, r_nr
