@@ -525,16 +525,48 @@ def _proshi_step_local(F, g, cfg: DPCfg, state: DPProshiState):
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
 
+def _saga_rebase_local(F, g, cfg: DPCfg, state: DPSAGAState):
+    """Sharded mirror of ``solvers.saga.saga_rebase``: after an oracle
+    row-storage swap the delta-maintained ``av`` keeps the old
+    operator's bias forever — recompute it from the local coefficient
+    shards (one apply + psum). Full-table mode is storage-consistent;
+    returned unchanged."""
+    if not cfg.coeff:
+        return state
+    return state._replace(av=_psum(F.apply_all(state.s)) / cfg.N)
+
+
+def _finito_coeff_rebase_local(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
+    """Sharded mirror of ``solvers.finito.finito_rebase``:
+    av = hat_γ·Σ(invg_j·zb_j − c_i·a_i/N) with the sums psum'd over the
+    data axis; z re-proxed to keep the step invariant."""
+    hat = state.hat_gamma
+    av = hat * _psum(state.invg @ state.zb - F.apply_all(state.c) / cfg.N)
+    return state._replace(av=av, z=g.prox_only(av, hat))
+
+
+def _rebase_identity_local(F, g, cfg: DPCfg, state):
+    """Families whose anchor is recomputed from a full pass every epoch
+    (LFinito, SVRG) self-heal after one epoch; the full-table Finito
+    and ProShI states are storage-consistent by construction."""
+    return state
+
+
 _FAMILY = {
-    "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False),
+    "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False,
+               _rebase_identity_local),
     "finito_coeff": (
         _finito_coeff_init_local, _finito_coeff_step_local,
-        DPFinitoCoeffState, False,
+        DPFinitoCoeffState, False, _finito_coeff_rebase_local,
     ),
-    "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState, False),
-    "saga": (_saga_init_local, _saga_step_local, DPSAGAState, True),
-    "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True),
-    "proshi": (_proshi_init_local, _proshi_step_local, DPProshiState, False),
+    "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState,
+                False, _rebase_identity_local),
+    "saga": (_saga_init_local, _saga_step_local, DPSAGAState, True,
+             _saga_rebase_local),
+    "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True,
+             _rebase_identity_local),
+    "proshi": (_proshi_init_local, _proshi_step_local, DPProshiState, False,
+               _rebase_identity_local),
 }
 
 
@@ -550,7 +582,9 @@ def _compiled(family: str, mesh, f_treedef, f_specs_leaves, g_treedef,
     Cached on the problem STRUCTURE (oracle treedefs + static cfg), so
     repeated solves reuse both the closures and their jit caches.
     """
-    init_local, step_local, state_cls, scalar_gamma = _FAMILY[family]
+    init_local, step_local, state_cls, scalar_gamma, rebase_local = (
+        _FAMILY[family]
+    )
     f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
     g_specs_tree = jax.tree_util.tree_unflatten(
         g_treedef, [P()] * g_treedef.num_leaves
@@ -597,7 +631,16 @@ def _compiled(family: str, mesh, f_treedef, f_specs_leaves, g_treedef,
         lambda F, g, state, steps: make_run(steps)(F, g, state),
         static_argnames=("steps",),
     )
-    return init_fn, step_fn, run_fn
+
+    def rebase_body(F, g, state):
+        return rebase_local(F, g, cfg, state)
+
+    rebase_sm = jax.shard_map(
+        rebase_body, mesh=mesh, in_specs=(f_specs, g_specs_tree, st_specs),
+        out_specs=st_specs, check_vma=False,
+    )
+    rebase_fn = jax.jit(rebase_sm)
+    return init_fn, step_fn, run_fn, rebase_fn
 
 
 def build_dp_functions(family: str, mesh, F, g, cfg: DPCfg,
@@ -688,23 +731,26 @@ class DPFinito:
             family = "lfinito"
         else:
             family = "finito_coeff" if coeff else "finito"
-        init_c, step_c, run_c = build_dp_functions(family, mesh, F, g, cfg)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            family, mesh, F, g, cfg
+        )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, n: run_c(F, g, s, n)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
         state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -752,23 +798,26 @@ class DPSAGA:
             N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
             sag=self.SAG_flag, block=self.block_sampling, coeff=coeff,
         )
-        init_c, step_c, run_c = build_dp_functions("saga", mesh, F, g, cfg)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "saga", mesh, F, g, cfg
+        )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, n: run_c(F, g, s, n)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
 
 
 def DPSAG(**kwargs):
@@ -810,20 +859,21 @@ class DPSVRG:
         # inner batch scales the step count: m counts INNER BATCHES here
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
                     alpha=0.999, plus=self.plus)
-        init_c, step_c, run_c = build_dp_functions(
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
             "svrg", mesh, F, g, cfg, extra_init_scalars=1
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, jnp.asarray(m, jnp.int32), key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, n: run_c(F, g, s, n)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def _effective_maxit(self):
         return min(self.maxit, 25) if self.plus else self.maxit
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(
             init, run, self._effective_maxit(), self.verbose, self.freq, disp, observe
@@ -832,8 +882,8 @@ class DPSVRG:
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -865,20 +915,23 @@ class DPProshi:
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="DPProshi")
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
                     alpha=float(self.alpha))
-        init_c, step_c, run_c = build_dp_functions("proshi", mesh, F, g, cfg)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "proshi", mesh, F, g, cfg
+        )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, n: run_c(F, g, s, n)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
         state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)

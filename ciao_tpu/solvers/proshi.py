@@ -188,4 +188,6 @@ class Proshi:
         x0_orig = x0
         x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
         step = lambda s: proshi_step(F, g, s, cfg)
-        return SolverIterable(x0_orig, init, step)
+        # ProShI oracles have no narrow-storage modes and the state
+        # is storage-consistent: rebase is identity
+        return SolverIterable(x0_orig, init, step, rebase_fn=lambda s: s)

@@ -364,4 +364,6 @@ class SVRG:
         x0_orig = x0
         x0, F, g, cfg, init = self._setup(x0, F, g, L, mu, N)
         step = lambda s: svrg_step(F, g, s, cfg)
-        return SolverIterable(x0_orig, init, step)
+        # SVRG recomputes its anchor from a full pass every outer
+        # step, so a storage switch self-heals: rebase is identity
+        return SolverIterable(x0_orig, init, step, rebase_fn=lambda s: s)

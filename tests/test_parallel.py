@@ -428,3 +428,44 @@ def test_dp_sparse_lfinito_and_svrg_match_dense(mesh):
             x, _ = make(mesh)(jnp.zeros(npx), F=F, g=g, L=L)
             outs.append(np.asarray(x))
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9, atol=1e-9)
+
+
+def test_dp_rebase_storage_switch(mesh, lasso):
+    """DP staged-precision recipe: resume an int8-stage DP state under
+    the f32 oracle with ``rebase=True`` — the sharded rebase must
+    recompute av from the local coefficient shards (apply + psum; cf.
+    ``test_saga_rebase_storage_switch``) and the finished run must reach
+    the reference tolerance."""
+    from ciao_tpu.checkpoint import resume_iterator
+    from ciao_tpu.solvers.base import loop, take
+
+    prob, F, g = lasso
+    Fq = shard_finite_sum(F.with_storage("int8"), mesh)
+    assert Fq.A.dtype == jnp.int8
+    assert Fq.row_scale.sharding.spec == P(DATA_AXIS)
+
+    solver = DPSAGA(mesh=mesh, maxit=4000, batch=16, block_sampling=True,
+                    table="coeff", seed=3)
+    st = loop(take(iter(solver.iterator(x0(prob), F=Fq, g=g, L=prob.L)), 500))
+    it_f32 = solver.iterator(x0(prob), F=F, g=g, L=prob.L)
+    first = next(resume_iterator(it_f32, st, rebase=True))
+    np.testing.assert_allclose(
+        np.asarray(first.av), np.asarray(F.apply_all(st.s)) / N,
+        rtol=1e-10, atol=1e-12,
+    )
+    final = loop(take(resume_iterator(it_f32, st, rebase=True), 3500))
+    assert prob.cost(np.asarray(final.z)) - prob.f_star < 1e-4
+
+    # Finito coeff family: sharded rebase identity
+    fsolver = DPFinito(mesh=mesh, maxit=2000, batch=16, sweeping=2,
+                       table="coeff", seed=3)
+    fst = loop(take(iter(fsolver.iterator(x0(prob), F=Fq, g=g, L=prob.L)), 200))
+    f_it = fsolver.iterator(x0(prob), F=F, g=g, L=prob.L)
+    ffirst = next(resume_iterator(f_it, fst, rebase=True))
+    hat = np.asarray(fst.hat_gamma)
+    av_ref = hat * (
+        np.asarray(fst.invg) @ np.asarray(fst.zb)
+        - np.asarray(F.apply_all(fst.c)) / N
+    )
+    np.testing.assert_allclose(np.asarray(ffirst.av), av_ref,
+                               rtol=1e-10, atol=1e-12)
