@@ -34,20 +34,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(B: int, N: int, n: int = 1024, reserve: int = 0) -> int:
+def _pick_tile(B: int, N: int, n: int = 1024, reserve: int = 0,
+               esize: int = 4) -> int:
     """Largest row-tile dividing the block and the table that keeps the
     kernel's scoped-VMEM working set under the 16 MB limit. Model
     (calibrated against real Mosaic compiles — the N=65536 TILE=1024
     2-dot kernel allocates 25.46M = 6 tile buffers + resident slabs;
     the validated N=262144 TILE=512 Finito launch sits at 15.8M):
-    every streaming kernel here costs SIX tile-sized f32 buffers
-    (A double-buffered plus the copies Mosaic makes for the two dot
-    uses, A·z and Δcᵀ·A), on top of ``reserve`` bytes the kernel keeps
-    resident for the whole launch (coefficient slab / anchor table:
-    in-block + out-block + scratch carry each). Narrow-n problems
-    (n ≲ 256) take tiles beyond 1024 rows — fewer grid steps amortize
-    the per-tile fixed cost (slab-row DMAs, Mosaic step overhead)."""
-    budget_rows = max(0, 16_646_144 - reserve) // (6 * 4 * max(n, 1))
+    every streaming kernel here costs SIX tile-sized buffers of the
+    A-storage element size (A double-buffered plus the copies Mosaic
+    makes for the two dot uses, A·z and Δcᵀ·A), on top of ``reserve``
+    bytes the kernel keeps resident for the whole launch (coefficient
+    slab / anchor table: in-block + out-block + scratch carry each).
+    Narrow-n problems (n ≲ 256) take tiles beyond 1024 rows — fewer
+    grid steps amortize the per-tile fixed cost (slab-row DMAs, Mosaic
+    step overhead). ``esize`` = A's storage itemsize: narrow storage
+    takes proportionally larger tiles — measured on v5e (n=1024,
+    N=262144): int8 TILE=2048 runs +21 % over TILE=512 and TILE=4096
+    OOMs the compile, exactly the 6-buffer boundary; bf16 is
+    tile-neutral (230→232 M samples/s at 1024)."""
+    budget_rows = max(0, 16_646_144 - reserve) // (6 * esize * max(n, 1))
     for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if t <= budget_rows and B % t == 0 and N % t == 0:
             return t
@@ -324,7 +330,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
-    TILE = _pick_tile(B, N, n, _slab_reserve(N))
+    TILE = _pick_tile(B, N, n, _slab_reserve(N), esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
     ncols = N // SLAB_ROWS
@@ -556,7 +562,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
-    TILE = _pick_tile(B, N, n)
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
     ncols = N // SLAB_ROWS
@@ -759,7 +765,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
-    TILE = _pick_tile(B, N, n)
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
     ncols = N // SLAB_ROWS
@@ -924,7 +930,8 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
-    TILE = _pick_tile(B, N, n, _slab_reserve(N) + 3 * (N // B) * n * 4)
+    TILE = _pick_tile(B, N, n, _slab_reserve(N) + 3 * (N // B) * n * 4,
+                      esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
     d = N // B

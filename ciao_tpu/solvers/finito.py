@@ -375,7 +375,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
 
     z_full = g.prox_only(state.av, hat)
-    tile = _pick_tile(B, N, z_full.size)
+    tile = _pick_tile(B, N, z_full.size, esize=rows.dtype.itemsize)
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,

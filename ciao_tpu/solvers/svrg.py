@@ -172,7 +172,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         )
     z_full = zsum / jnp.asarray(m, zsum.dtype)
     # anchor refresh: coefficients + gradient sum in one streaming pass
-    tile = _pick_tile(B, cfg.N, z_full.size)
+    tile = _pick_tile(B, cfg.N, z_full.size, esize=rows.dtype.itemsize)
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
