@@ -18,6 +18,7 @@ stepwise-XLA block path at this N).
 
     python examples/lasso_10m.py          # f32
     python examples/lasso_10m.py bf16     # bf16-stored rows, ~2x
+    python examples/lasso_10m.py int8     # int8-stored rows, ~3x
 """
 
 import sys
@@ -45,11 +46,19 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
     def gen(kA):
         a = jax.random.normal(kA, (N, n), jnp.float32)
         a = a * (jnp.arange(n) < 100).astype(jnp.float32)[None, :]
-        return a.astype(out_dt), jnp.sum(a * a, axis=1) * N
+        if storage == "int8":
+            # quantize INSIDE the generating jit so the f32 A never
+            # leaves the fusion (int8 A is 1.35 GB vs f32's 5.4)
+            from ciao_tpu.oracles.base import quantize_rows
 
-    A, L = gen(kA)
+            q, rs = quantize_rows(a)
+            return q, rs, jnp.sum(a * a, axis=1) * N
+        return a.astype(out_dt), None, jnp.sum(a * a, axis=1) * N
+
+    A, rs, L = gen(kA)
     b = jax.random.normal(kb, (N,), jnp.float32)
-    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32),
+                         row_scale=rs)
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
 
     cfg = FinitoCfg(N=N, batch=B, sweeping=3, alpha=0.999, fused=True)
@@ -79,4 +88,8 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
 
 
 if __name__ == "__main__":
-    main(storage="bf16" if "bf16" in sys.argv[1:] else "f32")
+    _stor = "f32"
+    for _s in ("bf16", "int8"):
+        if _s in sys.argv[1:]:
+            _stor = _s
+    main(storage=_stor)
