@@ -144,6 +144,14 @@ _ST_SPECS = TPSAGAState(
 )
 
 
+def _tp_saga_rebase(F, g, cfg: TPCfg, state: TPSAGAState):
+    """2-D mirror of ``solvers.saga.saga_rebase``: after an oracle
+    row-storage swap the delta-maintained ``av`` keeps the old
+    operator's bias forever — recompute the local model-column partials
+    from the coefficient shards and psum over "data"."""
+    return state._replace(av=_psum_d(F.apply_all(state.s)) / cfg.N)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_tp(mesh, f_treedef, f_specs_leaves, g_treedef, cfg: TPCfg):
     f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
@@ -183,7 +191,13 @@ def _compiled_tp(mesh, f_treedef, f_specs_leaves, g_treedef, cfg: TPCfg):
         )(F, g, state),
         static_argnames=("steps",),
     )
-    return init_fn, step_fn, run_fn
+
+    rebase_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: _tp_saga_rebase(F, g, cfg, state), mesh=mesh,
+        in_specs=(f_specs, g_specs, _ST_SPECS),
+        out_specs=_ST_SPECS, check_vma=False,
+    ))
+    return init_fn, step_fn, run_fn, rebase_fn
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +281,15 @@ def _tp_finito_step(F, g, cfg: TPFinitoCfg, state: TPFinitoState):
     return state._replace(c=c, zb=zb, av=av, z=z, it=state.it + 1)
 
 
+def _tp_finito_rebase(F, g, cfg: TPFinitoCfg, state: TPFinitoState):
+    """2-D mirror of ``solvers.finito.finito_rebase``:
+    av = hat_γ·Σ(invg_j·zb_j − c_i·a_i/N) — local (data-row, model-col)
+    partials psum'd over "data"; z re-proxed on local coordinates."""
+    hat = state.hat_gamma
+    av = hat * _psum_d(state.invg @ state.zb - F.apply_all(state.c) / cfg.N)
+    return state._replace(av=av, z=g.prox_only(av, hat))
+
+
 _FIN_ST_SPECS = TPFinitoState(
     c=P(DATA_AXIS), zb=P(DATA_AXIS, MODEL_AXIS), invg=P(DATA_AXIS),
     hat_gamma=P(), av=P(MODEL_AXIS), z=P(MODEL_AXIS),
@@ -310,7 +333,13 @@ def _compiled_tp_finito(mesh, f_treedef, f_specs_leaves, g_treedef,
         )(F, g, state),
         static_argnames=("steps",),
     )
-    return init_fn, step_fn, run_fn
+
+    rebase_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: _tp_finito_rebase(F, g, cfg, state), mesh=mesh,
+        in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
+        out_specs=_FIN_ST_SPECS, check_vma=False,
+    ))
+    return init_fn, step_fn, run_fn, rebase_fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -366,17 +395,18 @@ class TPFinito:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c = _compiled_tp_finito(
+        init_c, step_c, run_c, rebase_c = _compiled_tp_finito(
             mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, k: run_c(F, g, s, k)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
@@ -385,8 +415,8 @@ class TPFinito:
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -437,22 +467,23 @@ class TPSAGA:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c = _compiled_tp(
+        init_c, step_c, run_c, rebase_c = _compiled_tp(
             mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, k: run_c(F, g, s, k)
-        return x0, F, g, init, step, run
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
-        x0, F, g, init, step, run = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step)
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)

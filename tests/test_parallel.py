@@ -469,3 +469,58 @@ def test_dp_rebase_storage_switch(mesh, lasso):
     )
     np.testing.assert_allclose(np.asarray(ffirst.av), av_ref,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_tp_rebase_and_int8_storage():
+    """int8 rows on the 2-D ("data","model") mesh: the un-descaled
+    margin is psum'd over "model" BEFORE the per-row dequant scale is
+    applied (coeff_from_margin), so the int8 TP trajectory must agree
+    with the single-chip int8 one; resume with ``rebase=True`` must
+    restore the av/table identity under new rows."""
+    from ciao_tpu.checkpoint import resume_iterator
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+    from ciao_tpu.solvers.base import loop, take
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    Fq_host = F.with_storage("int8")
+    Fq = shard_finite_sum_2d(Fq_host, mesh2)
+    assert Fq.A.dtype == jnp.int8
+    assert Fq.row_scale.sharding.spec == P(DATA_AXIS)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+
+    # TP int8 trajectory == single-chip int8 trajectory (same schedule:
+    # cyclic per-row blocks with D=1 data rows is the degenerate check;
+    # with D=4 compare convergence instead)
+    solver = TPSAGA(mesh=mesh2, maxit=3000, batch=4)
+    xq, _ = solver(x0(prob), F=Fq, g=g, L=prob.L)
+    assert prob.cost(np.asarray(xq)) - prob.f_star < 1e-3
+
+    # rebase: run int8, resume under f32, av must equal apply_all(s)/N
+    Ff = shard_finite_sum_2d(F, mesh2)
+    st = loop(take(iter(solver.iterator(x0(prob), F=Fq, g=g, L=prob.L)), 200))
+    it_f32 = solver.iterator(x0(prob), F=Ff, g=g, L=prob.L)
+    first = next(resume_iterator(it_f32, st, rebase=True))
+    np.testing.assert_allclose(
+        np.asarray(first.av), np.asarray(F.apply_all(st.s)) / N,
+        rtol=1e-10, atol=1e-12,
+    )
+
+    # TPFinito rebase identity
+    from ciao_tpu.parallel import TPFinito
+
+    fsolver = TPFinito(mesh=mesh2, maxit=2000, batch=4, sweeping=2)
+    fst = loop(take(iter(fsolver.iterator(x0(prob), F=Fq, g=g, L=prob.L)), 100))
+    f_it = fsolver.iterator(x0(prob), F=Ff, g=g, L=prob.L)
+    ffirst = next(resume_iterator(f_it, fst, rebase=True))
+    hat = np.asarray(fst.hat_gamma)
+    av_ref = hat * (
+        np.asarray(fst.invg) @ np.asarray(fst.zb)
+        - np.asarray(F.apply_all(fst.c)) / N
+    )
+    np.testing.assert_allclose(np.asarray(ffirst.av), av_ref,
+                               rtol=1e-10, atol=1e-12)
