@@ -37,9 +37,10 @@ BATCH = 4_096
 STEPS_PER_EPOCH = N // BATCH
 WARMUP_EPOCHS = 2
 # Through the axon tunnel one dispatch costs ~2-30 ms; time enough work
-# (~8k steps ≈ 350 ms on-device) that the headline reflects step time,
-# not dispatch amortization.
-TIMED_EPOCHS = 128
+# (~32k steps ≈ 0.25-1 s on-device) that the headline reflects step
+# time, not dispatch amortization (at 128 epochs the int8 path is only
+# ~75 ms of work and the dispatch cost showed up as ±20 % run-to-run).
+TIMED_EPOCHS = 512
 
 # CPU baseline gets a smaller N (same n) and extrapolates per-sample time.
 N_CPU, CPU_STEPS = 16_384, 20_000
@@ -85,9 +86,9 @@ def tpu_samples_per_s(storage: str = "int8") -> float:
     staged int8→f32 schedule timed in ``bench_secondary``, with
     ``saga_rebase`` at the storage switch).
     ``storage="bf16"`` halves instead of quarters the traffic
-    (~0.0146 ms/step vs int8's ~0.011); ``storage="f32"`` measures the
+    (~0.0129 ms/step vs int8's ~0.0065); ``storage="f32"`` measures the
     exact-f32 path (bit-level trajectory of the stepwise reference
-    algorithm; ~0.031 ms/step)."""
+    algorithm; ~0.028 ms/step)."""
     import jax
     import jax.numpy as jnp
 
@@ -179,14 +180,16 @@ def bench_secondary():
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
     L = jnp.sum(A * A, axis=1) * N
     x0 = jnp.zeros(n, jnp.float32)
-    EP = 60
+    # long scans: at 60 epochs the int8 paths are only ~100 ms of work
+    # and the ~2-30 ms tunnel dispatch showed up as ±20 % run-to-run
+    EP = 150
     m = STEPS_PER_EPOCH
 
     for tag, F in (("f32", F32), ("bf16", F32.with_storage()),
                    ("int8", F32.with_storage("int8"))):
         cfg = FinitoCfg(N=N, batch=BATCH, sweeping=3, alpha=0.999, fused=True)
         st = finito_coeff_init(F, g, x0, 0.999 * N / L, key, cfg)
-        steps = 64 * STEPS_PER_EPOCH
+        steps = 256 * STEPS_PER_EPOCH
         st2 = finito_run(F, g, st, cfg, "basic_coeff", steps)
         _ = float(st2.z[0])
         t0 = time.perf_counter()

@@ -230,7 +230,7 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     from ciao_tpu.ops import saga_coeff_multistep
 
     B = cfg.batch
-    K = min(64, steps)
+    K = min(128, steps)
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
