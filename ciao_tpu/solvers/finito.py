@@ -637,7 +637,7 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     from ciao_tpu.ops.fused_block import SLAB_ROWS
 
     N, B = cfg.N, cfg.batch
-    K = min(64, steps)
+    K = min(128, steps)
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
