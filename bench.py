@@ -53,26 +53,32 @@ def cpu_baseline_samples_per_s() -> float:
     rng = np.random.default_rng(0)
     A = rng.standard_normal((N_CPU, n), dtype=np.float32)
     b = rng.standard_normal(N_CPU).astype(np.float32)
-    s = np.zeros((N_CPU, n), np.float32)          # gradient table
-    av = np.zeros(n, np.float32)
-    z = np.zeros(n, np.float32)
     L_max = float((A * A).sum(axis=1).max() * N_CPU)
     gamma = np.float32(1.0 / (3.0 * L_max))
     lam = np.float32(0.1)
     idx = rng.integers(0, N_CPU, size=CPU_STEPS)
 
-    t0 = time.perf_counter()
-    for k in range(CPU_STEPS):
-        i = idx[k]
-        a = A[i]
-        r = a @ z - b[i]
-        grad = (N_CPU * r) * a                    # scale = N (reference)
-        diff = grad - s[i]
-        w = z - gamma * (diff + av)
-        av += diff / N_CPU
-        z = np.sign(w) * np.maximum(np.abs(w) - gamma * lam, 0)  # prox L1
-        s[i] = grad
-    dt = time.perf_counter() - t0
+    def one_run():
+        s = np.zeros((N_CPU, n), np.float32)      # gradient table
+        av = np.zeros(n, np.float32)
+        z = np.zeros(n, np.float32)
+        t0 = time.perf_counter()
+        for k in range(CPU_STEPS):
+            i = idx[k]
+            a = A[i]
+            r = a @ z - b[i]
+            grad = (N_CPU * r) * a                # scale = N (reference)
+            diff = grad - s[i]
+            w = z - gamma * (diff + av)
+            av += diff / N_CPU
+            z[:] = np.sign(w) * np.maximum(np.abs(w) - gamma * lam, 0)
+            s[i] = grad
+        return time.perf_counter() - t0
+
+    # best-of-3: the host is shared, and a single run's rate swung
+    # 23k-44k samples/s between benchmark invocations — the FASTEST run
+    # is the honest single-core capability (transient load only slows)
+    dt = min(one_run() for _ in range(3))
     return CPU_STEPS / dt
 
 
