@@ -37,10 +37,11 @@ BATCH = 4_096
 STEPS_PER_EPOCH = N // BATCH
 WARMUP_EPOCHS = 2
 # Through the axon tunnel one dispatch costs ~2-30 ms; time enough work
-# (~32k steps ≈ 0.25-1 s on-device) that the headline reflects step
-# time, not dispatch amortization (at 128 epochs the int8 path is only
-# ~75 ms of work and the dispatch cost showed up as ±20 % run-to-run).
-TIMED_EPOCHS = 512
+# (65k steps ≈ 0.43 s on-device even on the fastest int8 path) that the
+# headline reflects step time, not dispatch amortization (at 128
+# epochs the int8 path was only ~75 ms of work and the dispatch cost
+# showed up as ±20 % run-to-run).
+TIMED_EPOCHS = 1024
 
 # CPU baseline gets a smaller N (same n) and extrapolates per-sample time.
 N_CPU, CPU_STEPS = 16_384, 20_000
@@ -273,11 +274,14 @@ def bench_secondary():
             state = saga_run(F, gp, state, cfgp, chunk)
         return state, MAX_ROUNDS
 
-    # compile all storage paths and the cost check outside the clock
+    # compile all storage paths, the rebase and the cost check outside
+    # the clock (saga_rebase traces per oracle structure — an unwarmed
+    # call would remote-compile inside the timed region)
     st0 = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
     _ = float(saga_run(Fp, gp, st0, cfgp, chunk).z[0])
     _ = float(saga_run(Fp16, gp, st0, cfgp, chunk).z[0])
     _ = float(saga_run(Fp8, gp, st0, cfgp, chunk).z[0])
+    _ = float(saga_rebase(Fp, st0, cfgp).av[0])
     _ = float(cost_fn(Ap, bp, st0.z))
 
     for label, plan in (
@@ -290,12 +294,14 @@ def bench_secondary():
         stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
         t0 = time.perf_counter()
         rounds = 0
-        for F_stage, level in plan:
-            # storage switch: re-derive av from the table under the new
+        for si, (F_stage, level) in enumerate(plan):
+            # storage SWITCH (stage 2+ only — the init state is already
+            # consistent): re-derive av from the table under the new
             # rows — the delta-maintained av otherwise keeps the old
             # operator's bias forever (floors at ~the quantization
             # error; saga_rebase docstring has the measurement)
-            stp = saga_rebase(F_stage, stp, cfgp)
+            if si:
+                stp = saga_rebase(F_stage, stp, cfgp)
             stp, r = run_to(stp, F_stage, level)
             rounds += r
         dt = time.perf_counter() - t0

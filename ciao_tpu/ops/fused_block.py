@@ -222,6 +222,24 @@ def _coeff_formula(mode, r, b_t, scale):
 SLAB_ROWS = 8  # coefficient slab layout: (8, N/8), c_i at (i·8//N, i mod N/8)
 
 
+def rows_scale_slab(F):
+    """The oracle's per-row int8 dequant scales in the (8, N/8) slab
+    layout (``rs8`` operand of the multistep kernels), or None for
+    f32/bf16 rows. One place for the hasattr + reshape plumbing the
+    fused drivers all need."""
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
+    if rs is None:
+        return None
+    return rs.reshape(SLAB_ROWS, rs.size // SLAB_ROWS)
+
+
+def rows_scale_row(F):
+    """The dequant scales as the (1, N) row operand of
+    ``coeff_apply_all`` (``rs1``), or None for f32/bf16 rows."""
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
+    return None if rs is None else rs[None, :]
+
+
 def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     """Gate for the K-step fused kernel: the coefficient vector lives in
     an (8, N/8) VMEM scratch for the whole launch (hazard-free block

@@ -64,6 +64,27 @@ def static_field(**kwargs):
     return dataclasses.field(metadata={"static": True}, **kwargs)
 
 
+_STORAGE_DTYPES = {
+    "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8, "i8": jnp.int8,
+    "f32": jnp.float32, "float32": jnp.float32, "fp32": jnp.float32,
+}
+
+
+def parse_storage_dtype(dtype):
+    """Resolve a ``with_storage`` argument (dtype or alias string) to a
+    jnp dtype, with a helpful error for unknown modes."""
+    if isinstance(dtype, str):
+        try:
+            return _STORAGE_DTYPES[dtype]
+        except KeyError:
+            raise ValueError(
+                f"unknown storage mode {dtype!r}; supported: "
+                f"{sorted(_STORAGE_DTYPES)} (or a jnp dtype)"
+            ) from None
+    return dtype
+
+
 def quantize_rows(A):
     """Symmetric per-row int8 quantization of a real (N, n) row stack.
 

@@ -28,7 +28,9 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ciao_tpu.oracles.base import SmoothOracle, register_oracle, quantize_rows
+from ciao_tpu.oracles.base import (
+    SmoothOracle, parse_storage_dtype, quantize_rows, register_oracle,
+)
 
 
 @register_oracle
@@ -63,9 +65,7 @@ class LeastSquaresRows(SmoothOracle):
           (q ∈ [-127, 127]); ~2.3 correct digits. The coarse first
           stage of an int8→bf16→f32 schedule. Real dtypes only.
         """
-        if isinstance(dtype, str):
-            dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
-                     "int8": jnp.int8, "f32": jnp.float32}[dtype]
+        dtype = parse_storage_dtype(dtype)
         if self.row_scale is not None:
             raise ValueError("rows are already int8-quantized")
         if jnp.dtype(dtype) == jnp.int8:

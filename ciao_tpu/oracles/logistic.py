@@ -24,7 +24,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ciao_tpu.oracles.base import SmoothOracle, register_oracle, quantize_rows
+from ciao_tpu.oracles.base import (
+    SmoothOracle, parse_storage_dtype, quantize_rows, register_oracle,
+)
 
 
 def _log1pexp(t):
@@ -52,9 +54,7 @@ class LogisticRows(SmoothOracle):
         ``LeastSquaresRows.with_storage`` — bf16 halves, int8 quarters
         the streaming kernels' HBM traffic; int8 uses symmetric per-row
         scales)."""
-        if isinstance(dtype, str):
-            dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
-                     "int8": jnp.int8, "f32": jnp.float32}[dtype]
+        dtype = parse_storage_dtype(dtype)
         if self.row_scale is not None:
             raise ValueError("rows are already int8-quantized")
         if jnp.dtype(dtype) == jnp.int8:

@@ -363,14 +363,15 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     epoch where the XLA path needs four. Visit order and RNG flow are
     identical to ``_lfinito_step``."""
     from ciao_tpu.ops import lfinito_sweep_multistep
-    from ciao_tpu.ops.fused_block import _pick_tile, coeff_apply_all
+    from ciao_tpu.ops.fused_block import (
+        _pick_tile, coeff_apply_all, rows_scale_row, rows_scale_slab,
+    )
 
     N, B = cfg.N, cfg.batch
     d = num_blocks(N, B)
     hat = state.hat_gamma
     lam = getattr(g, "lam", 0.0)
     rows, offs = F.coeff_rows_data()
-    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
     mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
 
@@ -380,7 +381,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
         precision=cfg.fused_precision,
-        rs1=rs[None, :] if rs is not None else None,
+        rs1=rows_scale_row(F),
     )
     av = z_full - (hat / N) * gsum[0]
 
@@ -411,7 +412,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     )[None, :]
     zf2 = z_full[None, :]
 
-    rs8 = rs.reshape(slab) if rs is not None else None
+    rs8 = rows_scale_slab(F)
 
     def launch(av2, z2, st_c, ig_c):
         return lfinito_sweep_multistep(
@@ -634,17 +635,16 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     sweep schedule advanced by the SAME next_block_id stream as the
     stepwise path (exact trajectory parity)."""
     from ciao_tpu.ops import finito_coeff_multistep
-    from ciao_tpu.ops.fused_block import SLAB_ROWS
+    from ciao_tpu.ops.fused_block import SLAB_ROWS, rows_scale_slab
 
     N, B = cfg.N, cfg.batch
     K = min(128, steps)
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
-    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     slab = (SLAB_ROWS, N // SLAB_ROWS)
     b8 = offs.reshape(slab)
-    rs8 = rs.reshape(slab) if rs is not None else None
+    rs8 = rows_scale_slab(F)
     lam = getattr(g, "lam", 0.0)
     hat = state.hat_gamma
     scalars = jnp.stack(

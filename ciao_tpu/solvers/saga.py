@@ -234,7 +234,6 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
-    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     lam = getattr(g, "lam", 0.0)
     scalars = jnp.stack(
         [
@@ -248,11 +247,11 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
         ]
     )[None, :]
 
-    from ciao_tpu.ops.fused_block import SLAB_ROWS
+    from ciao_tpu.ops.fused_block import SLAB_ROWS, rows_scale_slab
 
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
-    rs8 = rs.reshape(slab) if rs is not None else None
+    rs8 = rows_scale_slab(F)
 
     def body(carry, it0):
         c8, z2, av2 = carry

@@ -122,7 +122,10 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     one further pass (ops.coeff_apply_all) — two full-A-equivalents per
     epoch total, vs four for the unfused path."""
     from ciao_tpu.ops import svrg_coeff_multistep
-    from ciao_tpu.ops.fused_block import SLAB_ROWS, _pick_tile, coeff_apply_all
+    from ciao_tpu.ops.fused_block import (
+        SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
+        rows_scale_slab,
+    )
     from ciao_tpu.solvers.saga import _gen_block_starts
 
     B, m = cfg.batch, cfg.m_fused
@@ -130,7 +133,6 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     Lq = m // K
     rem = m - Lq * K
     rows, offs = F.coeff_rows_data()
-    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     lam = getattr(g, "lam", 0.0)
     gamma, av = state.gamma, state.av
     scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
@@ -146,7 +148,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     )[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
-    rs8 = rs.reshape(slab) if rs is not None else None
+    rs8 = rows_scale_slab(F)
     av2 = av[None, :]
     # _gen_block_starts draws with the same stateless (key, inner-index)
     # stream as _svrg_inner_block; SAGACfg/SVRGCfg share (N, batch).
@@ -177,7 +179,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         rows, offs[None, :], z_full[None, :],
         jnp.stack([scale, mode])[None, :], tile,
         precision=cfg.fused_precision,
-        rs1=rs[None, :] if rs is not None else None,
+        rs1=rows_scale_row(F),
     )
     canch = c1.reshape(slab)
     # state.key was already advanced by the caller (the sub-chain used

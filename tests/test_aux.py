@@ -64,9 +64,10 @@ def test_checkpoint_resume_continues_exactly(tmp_path, lasso):
 def test_resume_iterator_rebase_storage_switch(lasso):
     """The staged-precision recipe (README): resume an int8-stage state
     under the f32 oracle with ``rebase=True`` — the hook must recompute
-    the running average under the new rows (one ``apply_all`` pass);
-    without a hook (DP iterables) ``rebase=True`` must raise rather than
-    silently carry the old operator's bias."""
+    the running average under the new rows (one ``apply_all`` pass).
+    Every facade (single-chip, DP, TP) ships a hook; an iterable
+    WITHOUT one (foreign/legacy) must raise rather than silently carry
+    the old operator's bias."""
     prob, F, g = lasso
     solver = ciao_tpu.SAGA(maxit=100)
     Fq = F.with_storage("int8")

@@ -201,3 +201,18 @@ def test_precompose_matches_folded_logistic():
         v2, g2 = folded.value_and_grad_i(x, i)
         np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)
+
+
+def test_with_storage_rejects_unknown_mode():
+    """``with_storage`` accepts dtype aliases via a single shared parser
+    (oracles.base.parse_storage_dtype) and raises a ValueError listing
+    the supported modes for anything else."""
+    F = oracles.LeastSquaresRows(
+        A=jnp.ones((4, 4), jnp.float32), b=jnp.ones(4, jnp.float32),
+        scale=jnp.asarray(4.0, jnp.float32),
+    )
+    assert F.with_storage("float32").A.dtype == jnp.float32
+    assert F.with_storage("fp32").A.dtype == jnp.float32
+    assert F.with_storage("i8").A.dtype == jnp.int8
+    with pytest.raises(ValueError, match="storage mode"):
+        F.with_storage("fp8")
