@@ -333,10 +333,12 @@ def _saga_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "precision"), donate_argnums=(3,)
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3,),
 )
 def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
-                         precision: str = "highest", rs8=None):
+                         precision: str = "highest", rs8=None,
+                         interpret: bool = False):
     """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
     kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
     (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
@@ -344,7 +346,9 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
     g=Zero) runs in-kernel at each block boundary. For int8-stored rows
     pass the per-row dequant scales as ``rs8`` in the same slab layout
-    (required iff A.dtype is int8)."""
+    (required iff A.dtype is int8). ``interpret`` runs the GENERIC
+    Pallas interpreter — the CPU-CI path for use under shard_map, where
+    TPU interpret mode (``force_tpu_interpret_mode``) deadlocks."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
@@ -395,6 +399,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         input_output_aliases={3 + len(rs_ops): 0},  # c slab in -> out
+        interpret=interpret,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, z2, av2, scalars)
     return c_new, z_new, av_new
 

@@ -118,6 +118,8 @@ class DPCfg(NamedTuple):
     plus: bool = False
     block: bool = False  # contiguous-block sampling (TPU fast path)
     coeff: bool = False  # (N,) coefficient table (rank-1 oracles)
+    local_steps: int = 1  # >1: local-update rounds (see _saga_local_round)
+    fused: bool = False   # Pallas multistep kernel for the local round
     variant: str = "basic"
 
     @property
@@ -437,6 +439,108 @@ def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
 
+def _saga_local_starts(key, it0, ax, n_loc, B, K):
+    """The device's K consecutive block starts for its local round,
+    drawn from the SAME stateless (key, it, device) stream as the
+    per-step schedule — one vectorized pass (a sequential fold chain
+    costs as much as the fused step itself, PERF.md)."""
+    its = it0 + jnp.arange(K, dtype=jnp.int32)
+
+    def one(it):
+        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
+        return jax.random.randint(k, (), 0, n_loc // B, dtype=jnp.int32) * B
+
+    return jax.vmap(one)(its)
+
+
+def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
+    """LOCAL-UPDATE round (beyond the reference; the multi-chip
+    throughput mode): ``local_steps`` coefficient-SAGA steps run purely
+    on the device's own shard — the gradient estimator is
+    diff_loc + av with diff_loc from the LOCAL minibatch and av the
+    (stale) global table mean, each device accumulating only its own
+    shard's table-mean contribution — followed by ONE sync:
+
+        av ← av₀ + psum(av_d − av₀)   (EXACT global table mean — every
+                                       row is owned by one device)
+        z  ← psum(z_d) / D            (iterate averaging)
+
+    This trades the per-step x-sized psum (which serializes the fast
+    fused kernels behind a collective) for one collective per K steps;
+    on TPU the K local steps are ONE ``saga_coeff_multistep`` launch,
+    so per-chip throughput matches the single-chip fused path. The
+    trajectory is NOT the reference minibatch-SAGA path (a documented
+    local-update variant); convergence on the planted problems is
+    pinned by tests."""
+    N, B, K = cfg.N, cfg.b_loc, cfg.local_steps
+    ax = jax.lax.axis_index(DATA_AXIS)
+    av0 = state.av
+
+    if cfg.fused:
+        from ciao_tpu.ops import saga_coeff_multistep
+        from ciao_tpu.ops.fused_block import SLAB_ROWS, rows_scale_slab
+
+        rows, offs = F.coeff_rows_data()
+        lam = getattr(g, "lam", 0.0)
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        scalars = jnp.stack(
+            [
+                jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+                jnp.asarray(state.gamma, jnp.float32),
+                jnp.asarray(state.gamma * lam, jnp.float32),
+                jnp.asarray(1.0 / B, jnp.float32),
+                jnp.asarray(1.0 / N, jnp.float32),
+                jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
+                jnp.asarray(float(F.coeff_mode), jnp.float32),
+            ]
+        )[None, :]
+        starts = _saga_local_starts(state.key, state.it, ax, cfg.n_loc, B, K)
+        c8, z2, av2 = saga_coeff_multistep(
+            rows, offs.reshape(slab), starts, state.s.reshape(slab),
+            state.z[None, :], av0[None, :], scalars, B,
+            rs8=rows_scale_slab(F),
+            # CPU CI: the generic Pallas interpreter — TPU interpret
+            # mode deadlocks under shard_map (fused_block docstring)
+            interpret=jax.default_backend() != "tpu",
+        )
+        s, av, z = c8.reshape(cfg.n_loc), av2[0], z2[0]
+    else:
+
+        def body(carry, _):
+            s, av, z, it = carry
+            k = jax.random.fold_in(jax.random.fold_in(state.key, it), ax)
+            j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
+            start = j * B
+            c_new = F.coeff_block(z, start, B)
+            c_old = jax.lax.dynamic_slice_in_dim(s, start, B)
+            innov = F.apply_rows_block(c_new - c_old, start, B)  # LOCAL
+            s = jax.lax.dynamic_update_slice_in_dim(s, c_new, start, 0)
+            if cfg.sag:
+                av = av + innov / N
+                w = z - state.gamma * av
+            else:
+                w = z - state.gamma * (innov / B + av)
+                av = av + innov / N
+            z = g.prox_only(w, state.gamma)
+            return (s, av, z, it + 1), None
+
+        (s, av, z, _), _ = jax.lax.scan(
+            body, (state.s, av0, state.z, state.it), None, length=K
+        )
+
+    av = av0 + _psum(av - av0)
+    z = _psum(z) / cfg.D
+    return state._replace(s=s, av=av, z=z, it=state.it + K)
+
+
+def _saga_step_or_round(F, g, cfg: DPCfg, state: DPSAGAState):
+    """One iterate of the DP SAGA family: the reference-parity global
+    minibatch step, or (``local_steps > 1``) one local-update round."""
+    if cfg.local_steps > 1:
+        return _saga_local_round(F, g, cfg, state)
+    return _saga_step_local(F, g, cfg, state)
+
+
 def _svrg_init_local(F, g, x0, gamma, m, key, cfg: DPCfg):
     """Sharded SVRG bootstrap (reference SVRG_basic.jl:58-67): the anchor
     full gradient is one local matmul + psum."""
@@ -561,7 +665,7 @@ _FAMILY = {
     ),
     "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState,
                 False, _rebase_identity_local),
-    "saga": (_saga_init_local, _saga_step_local, DPSAGAState, True,
+    "saga": (_saga_init_local, _saga_step_or_round, DPSAGAState, True,
              _saga_rebase_local),
     "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True,
              _rebase_identity_local),
@@ -755,7 +859,16 @@ class DPFinito:
 
 @dataclasses.dataclass(frozen=True)
 class DPSAGA:
-    """Data-parallel minibatch SAGA/SAG over a device mesh."""
+    """Data-parallel minibatch SAGA/SAG over a device mesh.
+
+    ``local_steps > 1`` selects the LOCAL-UPDATE mode (beyond the
+    reference — the multi-chip throughput path): each device runs that
+    many purely-local coefficient-SAGA steps per round (on TPU as one
+    fused multistep kernel launch), and only the round boundary pays a
+    collective (exact table-mean resync + iterate averaging; see
+    ``_saga_local_round``). ``maxit`` then counts ROUNDS, and the
+    iterator yields the synced state once per round. Requires
+    ``block_sampling`` and a rank-1 (coefficient) oracle."""
 
     mesh: object = None
     gamma: Optional[float] = None
@@ -766,6 +879,7 @@ class DPSAGA:
     SAG_flag: bool = False
     block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
+    local_steps: int = 1
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -794,9 +908,28 @@ class DPSAGA:
         )
         if coeff and not self.block_sampling:
             raise ValueError("DPSAGA table='coeff' requires block_sampling")
+        fused = False
+        if self.local_steps > 1:
+            if not (coeff and self.block_sampling):
+                raise ValueError(
+                    "DPSAGA local_steps > 1 needs block_sampling and a "
+                    "rank-1 (coefficient) oracle"
+                )
+            from ciao_tpu.ops import coeff_multistep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused SAGA driver, applied
+            # to the LOCAL shard shape (NormL1/Zero prox in-kernel)
+            fused = (
+                x0.dtype == jnp.float32
+                and hasattr(F, "coeff_rows_data")
+                and coeff_multistep_available(N // D, x0.size, b_loc, x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
             sag=self.SAG_flag, block=self.block_sampling, coeff=coeff,
+            local_steps=self.local_steps, fused=fused,
         )
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "saga", mesh, F, g, cfg

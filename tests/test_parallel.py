@@ -524,3 +524,77 @@ def test_tp_rebase_and_int8_storage():
     )
     np.testing.assert_allclose(np.asarray(ffirst.av), av_ref,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_dp_saga_local_steps(mesh, lasso):
+    """Local-update DP SAGA (``local_steps=K``, beyond the reference —
+    the multi-chip throughput mode): K purely-local steps per round,
+    one collective at the round boundary. Pins (a) convergence to the
+    reference tolerance on the planted problem, (b) the EXACT
+    table-mean sync invariant av = Σ c_i·a_i/N after every round, and
+    (c) determinism."""
+    prob, F, g = lasso
+    solver = DPSAGA(mesh=mesh, maxit=2000, batch=16, block_sampling=True,
+                    local_steps=4, seed=3)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    from ciao_tpu.solvers.base import loop, take
+
+    it = solver.iterator(x0(prob), F=F, g=g, L=prob.L)
+    st = loop(take(iter(it), 7))
+    # one iterate = one round of K local steps
+    assert int(st.it) == 1 + 6 * 4
+    np.testing.assert_allclose(
+        np.asarray(st.av), np.asarray(F.apply_all(st.s)) / N,
+        rtol=1e-10, atol=1e-12,
+    )
+    x2, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+    # misconfiguration: local rounds need the coefficient fast path
+    with pytest.raises(ValueError, match="local_steps"):
+        DPSAGA(mesh=mesh, maxit=10, batch=16, local_steps=4)(
+            x0(prob), F=F, g=g, L=prob.L
+        )
+
+
+def test_dp_saga_local_round_fused_matches_stepwise(mesh):
+    """On TPU the K local steps run as ONE saga_coeff_multistep launch;
+    the fused round must reproduce the stepwise local round exactly
+    (same stateless (key, it, device) start stream, same algebra).
+    Kernel-sized shards: n_loc=1024 rows, b_loc=128, n=128. On CPU the
+    fused round auto-selects the generic Pallas interpreter (TPU
+    interpret mode deadlocks under shard_map)."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F32 = shard_finite_sum(F32, mesh)
+    g32 = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM, alpha=0.999,
+                    block=True, coeff=True, local_steps=4, fused=fused)
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "saga", mesh, F32, g32, cfg
+        )
+        st = init_c(F32, g32, z0, gamma, key)
+        st = run_c(F32, g32, st, 3)
+        outs.append(st)
+    np.testing.assert_allclose(
+        np.asarray(outs[1].z), np.asarray(outs[0].z), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1].s), np.asarray(outs[0].s), rtol=2e-4, atol=1e-2
+    )
