@@ -940,16 +940,20 @@ def _finito_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "precision"), donate_argnums=(3, 4)
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3, 4),
 )
 def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
-                           B: int, precision: str = "highest", rs8=None):
+                           B: int, precision: str = "highest", rs8=None,
+                           interpret: bool = False):
     """K = len(starts) coefficient-mode Finito-basic block steps in one
     launch. ``c8``/``b8`` use the (8, N/8) slab layout; ``zb`` is the
     (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
     Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B].
     ``rs8``: per-row dequant scales (slab layout), required iff the
-    rows are int8-stored."""
+    rows are int8-stored. ``interpret`` runs the GENERIC Pallas
+    interpreter — the CPU-CI path for use under shard_map, where TPU
+    interpret mode (``force_tpu_interpret_mode``) deadlocks."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
@@ -1010,6 +1014,7 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
         ],
         # c slab, zb anchors in-place
         input_output_aliases={3 + nrs: 0, 4 + nrs: 1},
+        interpret=interpret,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, zb, invg2, z2, av2,
       scalars)
     return c_new, zb_new, z_new, av_new

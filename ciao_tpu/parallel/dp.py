@@ -120,6 +120,7 @@ class DPCfg(NamedTuple):
     coeff: bool = False  # (N,) coefficient table (rank-1 oracles)
     local_steps: int = 1  # >1: local-update rounds (see _saga_local_round)
     fused: bool = False   # Pallas multistep kernel for the local round
+    rebase_every: int = 0  # local rounds between exact av recomputes
     variant: str = "basic"
 
     @property
@@ -336,6 +337,91 @@ def _finito_coeff_step_local(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
     return state._replace(c=c, zb=zb, av=av, z=z, it=state.it + 1)
 
 
+def _finito_coeff_local_round(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
+    """LOCAL-UPDATE round for coefficient Finito (beyond the reference;
+    the multi-chip throughput mode, cf. ``_saga_local_round``): K steps
+    against the device's own av/z with NO per-step collective, then one
+    round-boundary sync
+
+        av ← av₀ + psum(av_d − av₀)    z ← prox_g(av, hat_γ)
+
+    The resync is EXACT: av is maintained by exact additive per-row
+    innovations (reference Finito_basic.jl:110-117 algebra) and every
+    table row / block anchor is owned by one device, so the summed
+    deltas reproduce av = hat_γ·Σ(s_i/γ_i) for the union of all
+    devices' updates. Unlike SAGA there is no iterate averaging — z is
+    a pure function of av. On TPU the K local steps are ONE
+    ``finito_coeff_multistep`` launch."""
+    N, B, K = cfg.N, cfg.b_loc, cfg.local_steps
+    hat = state.hat_gamma
+    av0 = state.av
+    starts = _local_round_starts(
+        state.key, state.it, cfg.n_loc, B, K, cfg.sweeping
+    )
+
+    if cfg.fused:
+        from ciao_tpu.ops import finito_coeff_multistep
+        from ciao_tpu.ops.fused_block import SLAB_ROWS, rows_scale_slab
+
+        rows, offs = F.coeff_rows_data()
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        lam = getattr(g, "lam", 0.0)
+        scalars = jnp.stack(
+            [
+                jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+                jnp.asarray(1.0 / N, jnp.float32),
+                jnp.asarray(hat, jnp.float32),
+                jnp.asarray(hat * lam, jnp.float32),
+                jnp.asarray(float(F.coeff_mode), jnp.float32),
+                jnp.zeros((), jnp.float32),
+            ]
+        )[None, :]
+        c8, zb, z2, av2 = finito_coeff_multistep(
+            rows, offs.reshape(slab), starts, state.c.reshape(slab),
+            state.zb, state.invg[None, :].astype(jnp.float32),
+            state.z[None, :], av0[None, :], scalars, B,
+            rs8=rows_scale_slab(F),
+            # CPU CI: generic Pallas interpreter (TPU interpret mode
+            # deadlocks under shard_map — fused_block docstring)
+            interpret=jax.default_backend() != "tpu",
+        )
+        c, av = c8.reshape(cfg.n_loc), av2[0]
+    else:
+
+        def body(carry, start):
+            c, zb, av, z = carry
+            j = start // B
+            c_new = F.coeff_block(z, start, B)
+            c_old = jax.lax.dynamic_slice_in_dim(c, start, B)
+            av = av + (
+                hat * state.invg[j] * (z - zb[j])
+                - (hat / N) * F.apply_rows_block(c_new - c_old, start, B)
+            )
+            c = jax.lax.dynamic_update_slice_in_dim(c, c_new, start, 0)
+            zb = zb.at[j].set(z)
+            z = g.prox_only(av, hat)
+            return (c, zb, av, z), None
+
+        (c, zb, av, _), _ = jax.lax.scan(
+            body, (state.c, state.zb, av0, state.z), starts
+        )
+
+    av = _round_boundary_av(
+        cfg, state.it, av0, av,
+        lambda: hat * (state.invg @ zb - F.apply_all(c) / N),
+    )
+    z = g.prox_only(av, hat)
+    return state._replace(c=c, zb=zb, av=av, z=z, it=state.it + K)
+
+
+def _finito_coeff_step_or_round(F, g, cfg: DPCfg, state):
+    """One iterate of coefficient-mode DP Finito: the per-step path, or
+    (``local_steps > 1``) one local-update round."""
+    if cfg.local_steps > 1:
+        return _finito_coeff_local_round(F, g, cfg, state)
+    return _finito_coeff_step_local(F, g, cfg, state)
+
+
 def _lfinito_init_local(F, g, x0, gamma, key, cfg: DPCfg):
     """Sharded LFinito bootstrap (reference Finito_LFinito.jl:39-74);
     O(n) memory per device — only γ is sharded."""
@@ -439,18 +525,40 @@ def _saga_step_local(F, g, cfg: DPCfg, state: DPSAGAState):
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
 
-def _saga_local_starts(key, it0, ax, n_loc, B, K):
+def _local_round_starts(key, it0, n_loc, B, K, sweeping):
     """The device's K consecutive block starts for its local round,
     drawn from the SAME stateless (key, it, device) stream as the
-    per-step schedule — one vectorized pass (a sequential fold chain
-    costs as much as the fused step itself, PERF.md)."""
+    per-step ``local_block_start`` schedule — one vectorized pass (a
+    sequential fold chain costs as much as the fused step itself,
+    PERF.md)."""
     its = it0 + jnp.arange(K, dtype=jnp.int32)
+    return jax.vmap(
+        lambda it: local_block_start(key, it, n_loc, B, sweeping)
+    )(its)
 
-    def one(it):
-        k = jax.random.fold_in(jax.random.fold_in(key, it), ax)
-        return jax.random.randint(k, (), 0, n_loc // B, dtype=jnp.int32) * B
 
-    return jax.vmap(one)(its)
+def _round_boundary_av(cfg: DPCfg, it0, av0, av_loc, exact_fn):
+    """Round-boundary av sync for the local-update modes: normally the
+    delta resync ``av0 + psum(av_loc − av0)``, and every
+    ``cfg.rebase_every`` rounds the EXACT recompute from the local
+    tables (one full local pass via ``exact_fn``, psum'd). The delta
+    form is exact in REAL arithmetic, but in f32 its rounding
+    accumulates across rounds with no restoring force — measured on a
+    512×32 f32 lasso: unrebased local-Finito drifts to suboptimality
+    1.4 after 3000 rounds (diverging), rebase-every-100 reaches 4.4e-5
+    (below the f32 per-step floor). The ``lax.cond`` only selects the
+    LOCAL summand; the psum stays unconditional (SPMD-safe — the
+    predicate is replicated, every device takes the same branch)."""
+    if cfg.rebase_every <= 0:
+        return av0 + _psum(av_loc - av0)
+    r = (it0 - 1) // cfg.local_steps
+    do_rb = (r % cfg.rebase_every) == (cfg.rebase_every - 1)
+    summand, offset = jax.lax.cond(
+        do_rb,
+        lambda: (exact_fn(), jnp.zeros_like(av0)),
+        lambda: (av_loc - av0, av0),
+    )
+    return offset + _psum(summand)
 
 
 def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
@@ -473,7 +581,6 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
     local-update variant); convergence on the planted problems is
     pinned by tests."""
     N, B, K = cfg.N, cfg.b_loc, cfg.local_steps
-    ax = jax.lax.axis_index(DATA_AXIS)
     av0 = state.av
 
     if cfg.fused:
@@ -494,7 +601,9 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
                 jnp.asarray(float(F.coeff_mode), jnp.float32),
             ]
         )[None, :]
-        starts = _saga_local_starts(state.key, state.it, ax, cfg.n_loc, B, K)
+        starts = _local_round_starts(
+            state.key, state.it, cfg.n_loc, B, K, cfg.sweeping
+        )
         c8, z2, av2 = saga_coeff_multistep(
             rows, offs.reshape(slab), starts, state.s.reshape(slab),
             state.z[None, :], av0[None, :], scalars, B,
@@ -508,9 +617,8 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
 
         def body(carry, _):
             s, av, z, it = carry
-            k = jax.random.fold_in(jax.random.fold_in(state.key, it), ax)
-            j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
-            start = j * B
+            start = local_block_start(state.key, it, cfg.n_loc, B,
+                                      cfg.sweeping)
             c_new = F.coeff_block(z, start, B)
             c_old = jax.lax.dynamic_slice_in_dim(s, start, B)
             innov = F.apply_rows_block(c_new - c_old, start, B)  # LOCAL
@@ -528,7 +636,8 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
             body, (state.s, av0, state.z, state.it), None, length=K
         )
 
-    av = av0 + _psum(av - av0)
+    av = _round_boundary_av(cfg, state.it, av0, av,
+                            lambda: F.apply_all(s) / N)
     z = _psum(z) / cfg.D
     return state._replace(s=s, av=av, z=z, it=state.it + K)
 
@@ -660,7 +769,7 @@ _FAMILY = {
     "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False,
                _rebase_identity_local),
     "finito_coeff": (
-        _finito_coeff_init_local, _finito_coeff_step_local,
+        _finito_coeff_init_local, _finito_coeff_step_or_round,
         DPFinitoCoeffState, False, _finito_coeff_rebase_local,
     ),
     "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState,
@@ -790,7 +899,19 @@ class DPFinito:
     Same knobs as :class:`ciao_tpu.solvers.Finito` where they apply;
     ``batch`` is the GLOBAL minibatch (split evenly across the data
     axis). The adaptive variant stays single-chip — its backtracking
-    serializes on a global scalar (SURVEY.md §7 hard-parts)."""
+    serializes on a global scalar (SURVEY.md §7 hard-parts).
+
+    ``local_steps > 1`` selects the LOCAL-UPDATE mode (beyond the
+    reference — the multi-chip throughput path): each device runs that
+    many purely-local coefficient-Finito steps per round (on TPU as one
+    fused multistep kernel launch) and only the round boundary pays a
+    collective — an av resync via delta psum, then one replicated
+    prox (see ``_finito_coeff_local_round``). ``maxit`` then counts
+    ROUNDS. Requires coefficient mode (rank-1 oracle, cyclic/shuffled
+    sweeping, non-LFinito). Every ``rebase_every`` rounds the resync
+    recomputes av EXACTLY from the tables (one full local pass) —
+    required in f32, where delta-resync rounding otherwise accumulates
+    without a restoring force (``_round_boundary_av``)."""
 
     mesh: object = None
     gamma: Optional[object] = None
@@ -802,6 +923,8 @@ class DPFinito:
     freq: int = 10000
     alpha: float = 0.999
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
+    local_steps: int = 1
+    rebase_every: int = 50  # local rounds between exact av recomputes
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -826,9 +949,31 @@ class DPFinito:
                 "shuffled sweeping and the basic (non-LFinito) variant"
             )
         coeff = self.table in ("auto", "coeff") and coeff_ok
+        fused = False
+        if self.local_steps > 1:
+            if not coeff:
+                raise ValueError(
+                    "DPFinito local_steps > 1 needs coefficient mode: a "
+                    "rank-1 oracle, cyclic/shuffled sweeping and the "
+                    "basic (non-LFinito) variant"
+                )
+            from ciao_tpu.ops import finito_multistep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused Finito driver, applied
+            # to the LOCAL shard shape (NormL1/Zero prox in-kernel)
+            fused = (
+                x0.dtype == jnp.float32
+                and hasattr(F, "coeff_rows_data")
+                and finito_multistep_available(N // D, x0.size, b_loc,
+                                               x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
             alpha=float(self.alpha), coeff=coeff,
+            local_steps=self.local_steps, fused=fused,
+            rebase_every=self.rebase_every if self.local_steps > 1 else 0,
             variant="lfinito" if self.LFinito else "basic",
         )
         if self.LFinito:
@@ -880,6 +1025,7 @@ class DPSAGA:
     block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     local_steps: int = 1
+    rebase_every: int = 50  # local rounds between exact av recomputes
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -930,6 +1076,7 @@ class DPSAGA:
             N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM, alpha=0.999,
             sag=self.SAG_flag, block=self.block_sampling, coeff=coeff,
             local_steps=self.local_steps, fused=fused,
+            rebase_every=self.rebase_every if self.local_steps > 1 else 0,
         )
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "saga", mesh, F, g, cfg
