@@ -532,9 +532,12 @@ def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
         av_ref[...] = acc_vm[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "precision", "interpret"),
+)
 def coeff_apply_all(A, b1, z2, scalars, tile: int,
-                    precision: str = "highest", rs1=None):
+                    precision: str = "highest", rs1=None,
+                    interpret: bool = False):
     """Anchor refresh in ONE pass over A: returns ``(c1, gsum2)`` where
     c1 is the (1, N) coefficient row c(z) and gsum2 the (1, n) full
     gradient sum Σ c_i·a_i (caller divides by N and reshapes c as
@@ -568,13 +571,17 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        interpret=interpret,
     )(A, b1, *rs_ops, z2, scalars)
     return c1, gsum
 
 
-@functools.partial(jax.jit, static_argnames=("B", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
 def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
-                         B: int, precision: str = "highest", rs8=None):
+                         B: int, precision: str = "highest", rs8=None,
+                         interpret: bool = False):
     """K = len(starts) SVRG inner block steps in one kernel launch.
     ``b8``/``canch8`` are the offsets/anchor coefficients in the
     (8, N/8) slab layout; ``w2``/``zs2``/``av2`` are (1, n); ``scalars``
@@ -630,6 +637,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
+        interpret=interpret,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, canch8, w2, zs2, av2, scalars)
     return w_new, zs_new
 
@@ -771,10 +779,12 @@ def _lfinito_sweep_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
         z_out_ref[...] = z_vm[...]
 
 
-@functools.partial(jax.jit, static_argnames=("B", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
 def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
                             scalars, B: int, precision: str = "highest",
-                            rs8=None):
+                            rs8=None, interpret: bool = False):
     """K = len(starts) LFinito block steps in one launch. ``b8``/
     ``canch8`` are the offsets/anchor coefficients in the (8, N/8) slab
     layout; ``av2``/``zf2`` are (1, n); ``invg2`` is (1, K) — the
@@ -834,6 +844,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
+        interpret=interpret,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, canch8, zf2, av2, invg2,
       scalars)
     return av_new, z_new

@@ -121,6 +121,8 @@ class DPCfg(NamedTuple):
     local_steps: int = 1  # >1: local-update rounds (see _saga_local_round)
     fused: bool = False   # Pallas multistep kernel for the local round
     rebase_every: int = 0  # local rounds between exact av recomputes
+    local: bool = False   # LFinito local sweep / SVRG local inner loop
+    m_fused: int = 0      # SVRG fused local inner length (static m)
     variant: str = "basic"
 
     @property
@@ -199,6 +201,7 @@ class DPSVRGState(NamedTuple):
     z: jnp.ndarray
     z_full: jnp.ndarray
     w: jnp.ndarray
+    canch: jnp.ndarray  # (n_loc,) anchor coefficients (coeff mode; else dead)
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
@@ -229,6 +232,7 @@ _SHARDED_FIELDS = {
     "c": P(DATA_AXIS),
     "zb": P(DATA_AXIS, None),
     "invg": P(DATA_AXIS),
+    "canch": P(DATA_AXIS),
 }
 
 
@@ -468,6 +472,137 @@ def _lfinito_step_local(F, g, cfg: DPCfg, state: DPLFinitoState):
     return state._replace(av=av, z=z, z_full=z_full, it=state.it + 1)
 
 
+def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
+    """LOCAL-SWEEP LFinito epoch (beyond the reference; the multi-chip
+    throughput mode): after the exact psum'd anchor refresh, each device
+    sweeps ONLY its own blocks, updating a private av copy with purely
+    local innovations (no per-block collective), and the epoch boundary
+    resyncs with one delta psum
+
+        av ← av₀ + psum(av_d − av₀)
+
+    — TWO collectives per epoch vs the lockstep path's d_loc + 1.
+    Unlike the SAGA/Finito local rounds no periodic rebase is needed:
+    the NEXT epoch's anchor refresh recomputes av exactly from z_full,
+    so delta-resync rounding cannot accumulate across epochs. The
+    trajectory is a documented local-update variant (each device's
+    sweep sees only its own innovations between boundaries); at D=1 it
+    reproduces the single-chip sweep algebra, and the solution view is
+    prox(av) after the resync. On TPU the whole local sweep is the
+    single-chip fused kernel (``ops.lfinito_sweep_multistep``) behind
+    the two collectives, so per-chip throughput matches the single-chip
+    fused epoch numbers."""
+    N, B = cfg.N, cfg.b_loc
+    n_loc = cfg.n_loc
+    d_loc = n_loc // B
+    hat = state.hat_gamma
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    z_full = g.prox_only(state.av, hat)
+
+    if cfg.sweeping == Sweep.SHUFFLED:
+        ke = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+        order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    else:
+        order = jnp.arange(d_loc, dtype=jnp.int32)
+
+    if cfg.fused:
+        from ciao_tpu.ops import lfinito_sweep_multistep
+        from ciao_tpu.ops.fused_block import (
+            SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
+            rows_scale_slab,
+        )
+
+        rows, offs = F.coeff_rows_data()
+        lam = getattr(g, "lam", 0.0)
+        scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+        mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+        interp = jax.default_backend() != "tpu"
+
+        # anchor refresh: local coefficients + gradient sum in one
+        # streaming pass, then ONE psum of the x-sized gradient sum
+        tile = _pick_tile(B, n_loc, z_full.size, esize=rows.dtype.itemsize)
+        c1, gsum = coeff_apply_all(
+            rows, offs[None, :], z_full[None, :],
+            jnp.stack([scale, mode])[None, :], tile,
+            rs1=rows_scale_row(F), interpret=interp,
+        )
+        av0 = z_full - (hat / N) * _psum(gsum[0])
+
+        slab = (SLAB_ROWS, n_loc // SLAB_ROWS)
+        b8 = offs.reshape(slab)
+        c8 = c1.reshape(slab)
+        invg = jnp.sum((1.0 / state.gamma).reshape(d_loc, B), axis=1)
+        starts = order * B
+        invg_v = invg[order]
+        scalars = jnp.stack(
+            [
+                scale,
+                jnp.asarray(hat, jnp.float32),
+                jnp.asarray(hat * lam, jnp.float32),
+                jnp.asarray(1.0 / N, jnp.float32),
+                mode,
+            ]
+        )[None, :]
+        zf2 = z_full[None, :]
+        rs8 = rows_scale_slab(F)
+
+        def launch(av2, st_c, ig_c):
+            return lfinito_sweep_multistep(
+                rows, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
+                rs8=rs8, interpret=interp,
+            )
+
+        Kc = min(512, d_loc)
+        Lc = d_loc // Kc
+        rem = d_loc - Lc * Kc
+        av2 = av0[None, :]
+        if Lc == 1 and rem == 0:
+            av2, _ = launch(av2, starts, invg_v)
+        else:
+            def chunk_body(carry, xs):
+                st_c, ig_c = xs
+                av2, _ = launch(carry, st_c, ig_c)
+                return av2, None
+
+            av2, _ = jax.lax.scan(
+                chunk_body, av2,
+                (
+                    starts[: Lc * Kc].reshape(Lc, Kc),
+                    invg_v[: Lc * Kc].reshape(Lc, Kc),
+                ),
+            )
+            if rem:
+                av2, _ = launch(av2, starts[Lc * Kc:], invg_v[Lc * Kc:])
+        av_d = av2[0]
+    else:
+        av0 = z_full - (hat / N) * _psum(F.grad_sum_all(z_full))
+
+        def block_body(av, j):
+            z = g.prox_only(av, hat)
+            start = j * B
+            diff = F.grad_sum_diff_block(z_full, z, start, B)  # LOCAL
+            inv_g = jnp.sum(
+                1.0 / jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+            )
+            av = av + (hat / N) * diff + hat * inv_g * (z - z_full)
+            return av, None
+
+        av_d, _ = jax.lax.scan(block_body, av0, order)
+
+    av = av0 + _psum(av_d - av0)  # exact: each row owned by one device
+    z = g.prox_only(av, hat)
+    return state._replace(av=av, z=z, z_full=z_full, it=state.it + 1)
+
+
+def _lfinito_step_or_local(F, g, cfg: DPCfg, state: DPLFinitoState):
+    """One DP LFinito epoch: the lockstep (per-block psum) path, or
+    (``cfg.local``) the local-sweep path with two collectives."""
+    if cfg.local:
+        return _lfinito_local_epoch(F, g, cfg, state)
+    return _lfinito_step_local(F, g, cfg, state)
+
+
 def _saga_init_local(F, g, x0, gamma, key, cfg: DPCfg):
     """Sharded SAGA bootstrap (reference SAGA_basic.jl:41-48). In coeff
     mode the local table is the (n_loc,) coefficient shard and the mean
@@ -652,11 +787,17 @@ def _saga_step_or_round(F, g, cfg: DPCfg, state: DPSAGAState):
 
 def _svrg_init_local(F, g, x0, gamma, m, key, cfg: DPCfg):
     """Sharded SVRG bootstrap (reference SVRG_basic.jl:58-67): the anchor
-    full gradient is one local matmul + psum."""
+    full gradient is one local matmul + psum. In coeff mode (the fused
+    local-inner path) the anchor's (n_loc,) coefficient shard is carried
+    so each inner block costs one row pass."""
     av = _psum(F.grad_sum_all(x0)) / cfg.N
+    if cfg.coeff:
+        canch = F.coeff_all(x0)
+    else:
+        canch = jnp.zeros((cfg.n_loc,), real_dtype_of(x0))  # dead field
     return DPSVRGState(
         gamma=gamma, m=jnp.asarray(m, jnp.int32), av=av,
-        z=jnp.zeros_like(x0), z_full=x0, w=x0, key=key,
+        z=jnp.zeros_like(x0), z_full=x0, w=x0, canch=canch, key=key,
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
     )
 
@@ -689,6 +830,141 @@ def _svrg_step_local(F, g, cfg: DPCfg, state: DPSVRGState):
         m=m_next, av=av_next, z=jnp.zeros_like(zsum), z_full=z_full,
         w=w_next, it=state.it + 1,
     )
+
+
+def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
+    """LOCAL-INNER SVRG outer step (beyond the reference; the multi-chip
+    throughput mode): the whole inner loop runs purely on the device's
+    own shard — the variance-reduced direction is the LOCAL minibatch's
+    anchor-minus-live diff plus the (synced) GLOBAL anchor mean — and
+    only the outer boundary pays collectives: one psum of the iterate
+    average and one psum of the refreshed anchor gradient, where the
+    lockstep path (``_svrg_step_local``) pays one psum per INNER step.
+    On TPU the m inner steps run as K-steps-per-launch fused kernels
+    (``ops.svrg_coeff_multistep``) with the anchor held as the carried
+    (n_loc,) coefficient shard, so per-chip throughput matches the
+    single-chip fused SVRG numbers. The trajectory is a documented
+    local-update variant (each device's inner loop sees only its own
+    block between boundaries; the global anchor term keeps the
+    direction variance-reduced around the full gradient); at D=1 it
+    coincides with the single-chip block-sampled inner loop. No
+    periodic rebase is needed: the boundary anchor refresh recomputes
+    av exactly from z_full every outer step."""
+    N, B = cfg.N, cfg.b_loc
+    gamma, av = state.gamma, state.av
+    kout = jax.random.fold_in(state.key, state.it)
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    def inner_unfused(k0, steps, w, zsum):
+        def inner(k, carry):
+            w, zsum = carry
+            if cfg.block:
+                start = local_block_start(kout, k + 1, cfg.n_loc, B,
+                                          cfg.sweeping)
+                d = F.grad_sum_diff_block(state.z_full, w, start, B) / B
+            else:
+                kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
+                i = jax.random.randint(kk, (B,), 0, cfg.n_loc,
+                                       dtype=jnp.int32)
+                d = F.grad_sum_diff(state.z_full, w, i) / B  # LOCAL
+            w = g.prox_only(w + gamma * (d - av), gamma)
+            return w, zsum + w
+
+        return jax.lax.fori_loop(k0, k0 + steps, inner, (w, zsum))
+
+    canch = state.canch
+    if cfg.fused:
+        from ciao_tpu.ops import svrg_coeff_multistep
+        from ciao_tpu.ops.fused_block import (
+            SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
+            rows_scale_slab,
+        )
+
+        m = cfg.m_fused
+        K = min(64, m)
+        Lq = m // K
+        rem = m - Lq * K
+        rows, offs = F.coeff_rows_data()
+        lam = getattr(g, "lam", 0.0)
+        scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+        mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+        # CPU CI: the generic Pallas interpreter — TPU interpret mode
+        # deadlocks under shard_map (fused_block docstring)
+        interp = jax.default_backend() != "tpu"
+        scalars = jnp.stack(
+            [
+                scale,
+                jnp.asarray(gamma, jnp.float32),
+                jnp.asarray(gamma * lam, jnp.float32),
+                jnp.asarray(1.0 / B, jnp.float32),
+                mode,
+            ]
+        )[None, :]
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        b8 = offs.reshape(slab)
+        rs8 = rows_scale_slab(F)
+        canch8 = canch.reshape(slab)
+        av2 = av[None, :]
+
+        def body(carry, q):
+            w2, zs2 = carry
+            starts = _local_round_starts(
+                kout, q * K + 1, cfg.n_loc, B, K, cfg.sweeping
+            )
+            w2, zs2 = svrg_coeff_multistep(
+                rows, b8, canch8, starts, w2, zs2, av2, scalars, B,
+                rs8=rs8, interpret=interp,
+            )
+            return (w2, zs2), None
+
+        (w2, zs2), _ = jax.lax.scan(
+            body, (state.w[None, :], state.z[None, :]),
+            jnp.arange(Lq, dtype=jnp.int32),
+        )
+        w, zsum = w2[0], zs2[0]
+        if rem:
+            w, zsum = inner_unfused(Lq * K, rem, w, zsum)
+        m_den = jnp.asarray(
+            m, jnp.zeros((), jnp.result_type(zsum)).real.dtype
+        )
+    else:
+        w, zsum = inner_unfused(0, state.m, state.w, state.z)
+        m_den = state.m.astype(
+            jnp.zeros((), jnp.result_type(zsum)).real.dtype
+        )
+
+    z_full = _psum(zsum) / (m_den * cfg.D)
+    if cfg.fused:
+        # anchor refresh: local coefficients + gradient sum in ONE
+        # streaming pass, then one x-sized psum
+        tile = _pick_tile(B, cfg.n_loc, z_full.size,
+                          esize=rows.dtype.itemsize)
+        c1, gsum = coeff_apply_all(
+            rows, offs[None, :], z_full[None, :],
+            jnp.stack([scale, mode])[None, :], tile,
+            rs1=rows_scale_row(F), interpret=interp,
+        )
+        canch = c1.reshape(cfg.n_loc)
+        av_next = _psum(gsum[0]) / N
+    else:
+        av_next = _psum(F.grad_sum_all(z_full)) / N
+        if cfg.coeff:
+            canch = F.coeff_all(z_full)
+    w_next = (_psum(w) / cfg.D) if cfg.plus else z_full
+    m_next = state.m * 2 if cfg.plus else state.m
+    return state._replace(
+        m=m_next, av=av_next, z=jnp.zeros_like(zsum), z_full=z_full,
+        w=w_next, canch=canch, it=state.it + 1,
+    )
+
+
+def _svrg_step_or_local(F, g, cfg: DPCfg, state: DPSVRGState):
+    """One DP SVRG outer iterate: the lockstep (psum-per-inner-step)
+    path, or (``cfg.local``) the local-inner path with two collectives
+    per outer step."""
+    if cfg.local:
+        return _svrg_local_outer(F, g, cfg, state)
+    return _svrg_step_local(F, g, cfg, state)
 
 
 def _proshi_coupling(g, av, hat_gamma):
@@ -772,11 +1048,11 @@ _FAMILY = {
         _finito_coeff_init_local, _finito_coeff_step_or_round,
         DPFinitoCoeffState, False, _finito_coeff_rebase_local,
     ),
-    "lfinito": (_lfinito_init_local, _lfinito_step_local, DPLFinitoState,
+    "lfinito": (_lfinito_init_local, _lfinito_step_or_local, DPLFinitoState,
                 False, _rebase_identity_local),
     "saga": (_saga_init_local, _saga_step_or_round, DPSAGAState, True,
              _saga_rebase_local),
-    "svrg": (_svrg_init_local, _svrg_step_local, DPSVRGState, True,
+    "svrg": (_svrg_init_local, _svrg_step_or_local, DPSVRGState, True,
              _rebase_identity_local),
     "proshi": (_proshi_init_local, _proshi_step_local, DPProshiState, False,
                _rebase_identity_local),
@@ -911,7 +1187,15 @@ class DPFinito:
     sweeping, non-LFinito). Every ``rebase_every`` rounds the resync
     recomputes av EXACTLY from the tables (one full local pass) —
     required in f32, where delta-resync rounding otherwise accumulates
-    without a restoring force (``_round_boundary_av``)."""
+    without a restoring force (``_round_boundary_av``).
+
+    ``local_sweep=True`` (LFinito only) is the epoch-granular analog:
+    each device sweeps ONLY its own blocks against a private av copy
+    and the epoch pays TWO collectives (anchor-refresh psum + delta
+    resync) instead of one per block — on TPU the local sweep is the
+    single-chip fused epoch kernel (see ``_lfinito_local_epoch``). No
+    rebase knob: LFinito's anchor refresh re-derives av exactly from
+    z_full every epoch, so resync rounding cannot accumulate."""
 
     mesh: object = None
     gamma: Optional[object] = None
@@ -925,6 +1209,7 @@ class DPFinito:
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     local_steps: int = 1
     rebase_every: int = 50  # local rounds between exact av recomputes
+    local_sweep: bool = False  # LFinito: local epoch sweeps (2 collectives)
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -969,11 +1254,38 @@ class DPFinito:
                                                x0.dtype)
                 and isinstance(g, (NormL1, Zero))
             )
+        local = False
+        if self.local_sweep:
+            if not self.LFinito:
+                raise ValueError(
+                    "DPFinito local_sweep=True is the LFinito epoch mode "
+                    "(set LFinito=True); the basic variant's local mode "
+                    "is local_steps > 1"
+                )
+            if (N // D) % b_loc != 0:
+                raise ValueError(
+                    "DPFinito local_sweep needs N/D divisible by batch/D"
+                )
+            local = True
+            from ciao_tpu.ops import lfinito_sweep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused LFinito driver, applied
+            # to the LOCAL shard shape (NormL1/Zero prox in-kernel)
+            fused = (
+                x0.dtype == jnp.float32
+                and getattr(F, "supports_coeff", False)
+                and hasattr(F, "coeff_rows_data")
+                and lfinito_sweep_available(N // D, x0.size, b_loc,
+                                            x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         cfg = DPCfg(
             N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
             alpha=float(self.alpha), coeff=coeff,
             local_steps=self.local_steps, fused=fused,
             rebase_every=self.rebase_every if self.local_steps > 1 else 0,
+            local=local,
             variant="lfinito" if self.LFinito else "basic",
         )
         if self.LFinito:
@@ -1107,7 +1419,18 @@ def DPSAG(**kwargs):
 @dataclasses.dataclass(frozen=True)
 class DPSVRG:
     """Data-parallel SVRG/SVRG++: psum'd full-gradient anchors, pmean'd
-    variance-reduced inner directions (global inner batch = D·b_loc)."""
+    variance-reduced inner directions (global inner batch = D·b_loc).
+
+    ``local_inner=True`` selects the LOCAL-INNER mode (beyond the
+    reference — the multi-chip throughput path): the whole m-step inner
+    loop runs purely on each device's own index block and only the
+    outer boundary pays collectives (iterate-average psum + anchor
+    psum) — two per outer step instead of one per inner step (see
+    ``_svrg_local_outer``). With ``block_sampling=True``, a rank-1
+    (coefficient) oracle, f32 and an in-kernel prox (NormL1/Zero), the
+    local inner loop runs as fused multi-step kernel launches on TPU
+    (requires ``plus=False``: SVRG++'s growing m needs a dynamic inner
+    length, which stays on the unfused local path)."""
 
     mesh: object = None
     gamma: Optional[float] = None
@@ -1117,6 +1440,8 @@ class DPSVRG:
     freq: int = 1000
     m: Optional[int] = None
     plus: bool = False
+    local_inner: bool = False
+    block_sampling: bool = False  # contiguous local inner blocks (TPU fast path)
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -1136,9 +1461,32 @@ class DPSVRG:
         else:
             gamma = jnp.asarray(self.gamma, rdt)
         m = (N if self.m is None else self.m)
+        fused = False
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPSVRG block_sampling needs N/D divisible by batch/D"
+            )
+        if self.local_inner and not self.plus:
+            from ciao_tpu.ops import svrg_multistep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused SVRG driver, applied
+            # to the LOCAL shard shape (NormL1/Zero prox in-kernel)
+            fused = (
+                self.block_sampling
+                and x0.dtype == jnp.float32
+                and getattr(F, "supports_coeff", False)
+                and hasattr(F, "coeff_rows_data")
+                and svrg_multistep_available(N // D, x0.size, b_loc,
+                                             x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         # inner batch scales the step count: m counts INNER BATCHES here
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
-                    alpha=0.999, plus=self.plus)
+                    alpha=0.999, plus=self.plus,
+                    block=self.block_sampling, coeff=fused,
+                    local=self.local_inner, fused=fused,
+                    m_fused=m if fused else 0)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "svrg", mesh, F, g, cfg, extra_init_scalars=1
         )

@@ -704,3 +704,148 @@ def test_dp_finito_local_f32_periodic_rebase(mesh):
     x, _ = DPFinito(mesh=mesh, maxit=3000, batch=32, sweeping=3,
                     local_steps=8, seed=1)(z0, F=F32, g=g32, L=prob.L)
     assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_lfinito_local_sweep(mesh, lasso):
+    """Local-sweep DP LFinito (``local_sweep=True``, beyond the
+    reference): each device sweeps ONLY its own blocks against a
+    private av copy; the epoch pays two collectives (anchor-refresh
+    psum + delta resync) instead of one per block. Must still reach the
+    reference tolerance on the planted lasso."""
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, LFinito=True, local_sweep=True,
+                      maxit=200, batch=8, sweeping=3)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    # misconfiguration: the epoch-sweep mode is LFinito-only
+    with pytest.raises(ValueError, match="local_sweep"):
+        DPFinito(mesh=mesh, local_sweep=True, maxit=10, batch=8)(
+            x0(prob), F=F, g=g, L=prob.L
+        )
+
+
+def test_dp_lfinito_local_sweep_fused_matches_stepwise(mesh):
+    """On TPU the local sweep runs as the single-chip fused epoch
+    kernel (coeff_apply_all anchor + lfinito_sweep_multistep) behind
+    the two collectives; the fused epoch must reproduce the stepwise
+    local epoch to f32 rounding (same per-device visit order, same
+    algebra). On CPU the kernels run in the generic Pallas
+    interpreter."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F32 = shard_finite_sum(F32, mesh)
+    g32 = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    ghat = jnp.full((Np,), float(0.999 * Np / np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.SHUFFLED,
+                    alpha=0.999, local=True, fused=fused, variant="lfinito")
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "lfinito", mesh, F32, g32, cfg
+        )
+        st = init_c(F32, g32, z0, ghat, key)
+        st = run_c(F32, g32, st, 2)
+        outs.append(st)
+    np.testing.assert_allclose(
+        np.asarray(outs[1].av), np.asarray(outs[0].av), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1].z), np.asarray(outs[0].z), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_dp_svrg_local_inner(mesh, lasso):
+    """Local-inner DP SVRG (``local_inner=True``, beyond the
+    reference): the whole m-step inner loop runs on-shard; only the
+    outer boundary pays collectives (iterate-average psum + anchor
+    psum). Must reach the reference tolerance, including SVRG++'s
+    growing inner loop (which stays on the unfused dynamic-m path)."""
+    prob, F, g = lasso
+    gamma = 1.0 / (7 * float(np.max(prob.L)))
+    x, _ = DPSVRG(mesh=mesh, maxit=500, batch=8, m=N, gamma=gamma,
+                  local_inner=True)(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    # SVRG++: the locally-drifted inner averages slow each round ~2x
+    # vs lockstep (no plateau — measured 1.3e-3 @ 16, 7.2e-5 @ 20
+    # outer rounds), so the budget is 20 of the 25-round cap
+    x, _ = DPSVRG(mesh=mesh, maxit=20, batch=8, m=8, plus=True,
+                  local_inner=True)(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_svrg_local_inner_matches_lockstep_at_one_device():
+    """At D=1 the local-inner and lockstep paths are the SAME
+    algorithm (the psum'd direction equals the local one), and the
+    stateless (key, it, k, device) draw streams coincide — the two
+    modes must produce bit-equal trajectories on a 1-device mesh."""
+    prob = make_lasso(N=32, n=8, p=3, seed=7)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(32.0),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    F1 = shard_finite_sum(F, mesh1)
+    z0 = jnp.zeros(8, prob.A.dtype)
+    xs = []
+    for li in (False, True):
+        x, _ = DPSVRG(mesh=mesh1, maxit=5, batch=4, m=16,
+                      local_inner=li)(z0, F=F1, g=g, L=prob.L)
+        xs.append(np.asarray(x))
+    np.testing.assert_array_equal(xs[0], xs[1])
+
+
+def test_dp_svrg_local_inner_fused_matches_stepwise(mesh):
+    """On TPU the local inner loop runs as K-steps-per-launch fused
+    kernels (svrg_coeff_multistep) with a one-pass fused anchor
+    refresh; the fused outer step must reproduce the stepwise local
+    outer step to f32 rounding — including a non-multiple-of-K inner
+    length (m=96 -> one K=64 launch + a 32-step unfused remainder on
+    the same start stream)."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F32 = shard_finite_sum(F32, mesh)
+    g32 = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, coeff=fused, local=True,
+                    fused=fused, m_fused=96 if fused else 0)
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "svrg", mesh, F32, g32, cfg, extra_init_scalars=1
+        )
+        st = init_c(F32, g32, z0, gamma, jnp.asarray(96, jnp.int32), key)
+        st = run_c(F32, g32, st, 2)
+        outs.append(st)
+    np.testing.assert_allclose(
+        np.asarray(outs[1].z_full), np.asarray(outs[0].z_full),
+        rtol=2e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1].w), np.asarray(outs[0].w), rtol=2e-5, atol=1e-6
+    )
