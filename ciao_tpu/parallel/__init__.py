@@ -18,7 +18,9 @@ from ciao_tpu.parallel.mesh import (
 )
 from ciao_tpu.parallel.tp import (
     TPFinito,
+    TPLFinito,
     TPSAGA,
+    TPSVRG,
     data_model_specs,
     shard_finite_sum_2d,
 )
@@ -51,7 +53,9 @@ __all__ = [
     "build_dp_functions",
     "local_indices",
     "TPFinito",
+    "TPLFinito",
     "TPSAGA",
+    "TPSVRG",
     "data_model_specs",
     "shard_finite_sum_2d",
 ]

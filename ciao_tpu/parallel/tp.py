@@ -487,3 +487,446 @@ class TPSAGA:
         x0_orig = x0
         x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
         return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel LFinito (low-memory epoch sweeps, coefficient anchor)
+# ---------------------------------------------------------------------------
+
+class TPLFinitoState(NamedTuple):
+    """O(n)-memory LFinito sharded over ("data", "model"): per-index
+    stepsizes by sample, the iterate/average/anchor by coordinate —
+    no table (reference Finito_LFinito.jl re-laid for 2-D sharding)."""
+
+    gamma: jnp.ndarray      # (N,) P("data")
+    hat_gamma: jnp.ndarray  # scalar (harmonic over ALL N)
+    av: jnp.ndarray         # (n,) P("model")
+    z: jnp.ndarray          # (n,) P("model")
+    z_full: jnp.ndarray     # (n,) P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class TPLFinitoCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    sweeping: int
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_lfinito_init(F, g, x0, gamma, key, cfg: TPLFinitoCfg):
+    """2-D-sharded LFinito bootstrap (reference Finito_LFinito.jl:39-74;
+    cf. dp._lfinito_init_local plus the "model" margin psum). The init
+    z is a copy of av (no prox) — the reference quirk."""
+    hat_gamma = 1.0 / _psum_d(jnp.sum(1.0 / gamma))
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    av = x0 - (hat_gamma / cfg.N) * _psum_d(F.apply_all(c))
+    return TPLFinitoState(
+        gamma=gamma, hat_gamma=hat_gamma, av=av, z=av, z_full=av, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_lfinito_epoch(F, g, cfg: TPLFinitoCfg, state: TPLFinitoState):
+    """One lockstep LFinito epoch (reference Finito_LFinito.jl:77-103;
+    cf. dp._lfinito_step_local): anchor refresh (one "model" margin
+    psum + one "data" psum), then a block sweep where each data row
+    visits its own blocks — per block one (B,)-sized margin psum over
+    "model" and one x-shard-sized psum over "data" of the combined
+    innovation. The inner (z − z_full) term carries each row's local
+    Σ 1/γ; the data psum sums those scalars into the global one."""
+    from ciao_tpu.sampling import Sweep
+
+    N, B = cfg.N, cfg.b_loc
+    d_loc = cfg.n_loc // B
+    hat = state.hat_gamma
+    row = jax.lax.axis_index(DATA_AXIS)
+
+    z_full = g.prox_only(state.av, hat)
+    rf = _psum_m(F.margin_all(z_full))
+    cf = F.coeff_from_margin_all(rf)          # (n_loc,) anchor coefficients
+    av = z_full - (hat / N) * _psum_d(F.apply_all(cf))
+
+    if cfg.sweeping == Sweep.SHUFFLED:
+        ke = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+        order = jax.random.permutation(ke, d_loc).astype(jnp.int32)
+    else:
+        order = jnp.arange(d_loc, dtype=jnp.int32)
+
+    def block_body(carry, j):
+        av, z = carry
+        z = g.prox_only(av, hat)
+        start = j * B
+        r = _psum_m(F.margin_block(z, start, B))
+        cb = F.coeff_from_margin(r, start, B)
+        cfb = jax.lax.dynamic_slice_in_dim(cf, start, B)
+        inv_g = jnp.sum(
+            1.0 / jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        )
+        av = av + _psum_d(
+            (hat / N) * F.apply_rows_block(cfb - cb, start, B)
+            + hat * inv_g * (z - z_full)
+        )
+        return (av, z), None
+
+    (av, z), _ = jax.lax.scan(block_body, (av, state.z), order)
+    return state._replace(av=av, z=z, z_full=z_full, it=state.it + 1)
+
+
+_LFIN_ST_SPECS = TPLFinitoState(
+    gamma=P(DATA_AXIS), hat_gamma=P(), av=P(MODEL_AXIS), z=P(MODEL_AXIS),
+    z_full=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_tp_lfinito(mesh, f_treedef, f_specs_leaves, g_treedef,
+                         cfg: TPLFinitoCfg):
+    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
+    g_specs = jax.tree_util.tree_unflatten(
+        g_treedef, [P()] * g_treedef.num_leaves
+    )
+
+    init_fn = jax.jit(jax.shard_map(
+        lambda F, g, x0, gamma, key: _tp_lfinito_init(F, g, x0, gamma, key,
+                                                      cfg),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(DATA_AXIS), P()),
+        out_specs=_LFIN_ST_SPECS, check_vma=False,
+    ))
+
+    step_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: _tp_lfinito_epoch(F, g, cfg, state),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
+        out_specs=_LFIN_ST_SPECS, check_vma=False,
+    ))
+
+    def run_body(F, g, state, steps):
+        def body(s, _):
+            return _tp_lfinito_epoch(F, g, cfg, s), None
+
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    run_fn = jax.jit(
+        lambda F, g, state, steps: jax.shard_map(
+            functools.partial(run_body, steps=steps), mesh=mesh,
+            in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
+            out_specs=_LFIN_ST_SPECS, check_vma=False,
+        )(F, g, state),
+        static_argnames=("steps",),
+    )
+
+    # the per-epoch anchor refresh recomputes av exactly — storage
+    # swaps self-heal after one epoch (cf. dp._rebase_identity_local)
+    rebase_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: state, mesh=mesh,
+        in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
+        out_specs=_LFIN_ST_SPECS, check_vma=False,
+    ))
+    return init_fn, step_fn, run_fn, rebase_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class TPLFinito:
+    """O(n)-memory LFinito on a ("data", "model") mesh — samples AND
+    coordinates sharded, no table (the low-memory variant for huge N
+    AND huge n at once). Requires a rank-1 oracle and a separable prox;
+    ``batch`` is the per-data-row contiguous block size; one iterate =
+    one epoch (reference Finito_LFinito.jl granularity)."""
+
+    mesh: object = None
+    gamma: Optional[object] = None
+    batch: int = 1
+    sweeping: int = 1
+    alpha: float = 0.999
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        from ciao_tpu.solvers.base import resolve_gamma_array
+
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPLFinito needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPLFinito shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPLFinito needs a rank-1 (coefficient) oracle")
+        if self.sweeping not in (1, 2, 3):
+            raise ValueError(f"sweeping must be 1, 2 or 3; got {self.sweeping}")
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError("TPLFinito: need N divisible by D and N/D by batch")
+        if x0.size % M != 0:
+            raise ValueError("TPLFinito: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
+        cfg = TPLFinitoCfg(N=N, D=D, M=M, b_loc=self.batch,
+                           sweeping=self.sweeping)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_treedef = jax.tree_util.tree_structure(g)
+        init_c, step_c, run_c, rebase_c = _compiled_tp_lfinito(
+            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel SVRG/SVRG++ (coefficient anchor, no table)
+# ---------------------------------------------------------------------------
+
+class TPSVRGState(NamedTuple):
+    gamma: jnp.ndarray      # scalar
+    m: jnp.ndarray          # inner-loop length (doubles under plus)
+    av: jnp.ndarray         # (n,) anchor mean, P("model")
+    z: jnp.ndarray          # (n,) running inner sum, P("model")
+    z_full: jnp.ndarray     # (n,) outer iterate, P("model")
+    w: jnp.ndarray          # (n,) inner iterate, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z_full
+
+
+class TPSVRGCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    plus: bool = False
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_svrg_init(F, g, x0, gamma, m, key, cfg: TPSVRGCfg):
+    """2-D-sharded SVRG bootstrap (reference SVRG_basic.jl:58-67): the
+    anchor full gradient is one "model" margin psum + one "data" psum."""
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    av = _psum_d(F.apply_all(c)) / cfg.N
+    return TPSVRGState(
+        gamma=gamma, m=jnp.asarray(m, jnp.int32), av=av,
+        z=jnp.zeros_like(x0), z_full=x0, w=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_svrg_outer(F, g, cfg: TPSVRGCfg, state: TPSVRGState):
+    """One SVRG outer iterate (reference SVRG_basic.jl:71-96; cf.
+    dp._svrg_step_local): the anchor coefficients are recomputed ONCE
+    per outer step (z_full is fixed during the inner loop), so each
+    inner step pays one (B,)-sized "model" margin psum at w and one
+    x-shard-sized "data" psum of the variance-reduced direction —
+    distributed minibatch SVRG with global inner batch B·D (each data
+    row draws its own block)."""
+    N, B = cfg.N, cfg.b_loc
+    gamma, av = state.gamma, state.av
+    row = jax.lax.axis_index(DATA_AXIS)
+    kstep = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+    d_loc = cfg.n_loc // B
+
+    rf = _psum_m(F.margin_all(state.z_full))
+    cf = F.coeff_from_margin_all(rf)          # (n_loc,) anchor coefficients
+
+    def inner(k, carry):
+        w, zsum = carry
+        kk = jax.random.fold_in(kstep, k)
+        start = jax.random.randint(kk, (), 0, d_loc, dtype=jnp.int32) * B
+        rw = _psum_m(F.margin_block(w, start, B))
+        cb = F.coeff_from_margin(rw, start, B)
+        cfb = jax.lax.dynamic_slice_in_dim(cf, start, B)
+        d = _psum_d(F.apply_rows_block(cfb - cb, start, B)) / (B * cfg.D)
+        w = g.prox_only(w + gamma * (d - av), gamma)
+        return w, zsum + w
+
+    w, zsum = jax.lax.fori_loop(0, state.m, inner, (state.w, state.z))
+    z_full = zsum / state.m.astype(
+        jnp.zeros((), jnp.result_type(zsum)).real.dtype
+    )
+    w_next = w if cfg.plus else z_full
+    rf2 = _psum_m(F.margin_all(z_full))
+    av_next = _psum_d(F.apply_all(F.coeff_from_margin_all(rf2))) / N
+    m_next = state.m * 2 if cfg.plus else state.m
+    return state._replace(
+        m=m_next, av=av_next, z=jnp.zeros_like(zsum), z_full=z_full,
+        w=w_next, it=state.it + 1,
+    )
+
+
+_SVRG_ST_SPECS = TPSVRGState(
+    gamma=P(), m=P(), av=P(MODEL_AXIS), z=P(MODEL_AXIS),
+    z_full=P(MODEL_AXIS), w=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_tp_svrg(mesh, f_treedef, f_specs_leaves, g_treedef,
+                      cfg: TPSVRGCfg):
+    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
+    g_specs = jax.tree_util.tree_unflatten(
+        g_treedef, [P()] * g_treedef.num_leaves
+    )
+
+    init_fn = jax.jit(jax.shard_map(
+        lambda F, g, x0, gamma, m, key: _tp_svrg_init(F, g, x0, gamma, m,
+                                                      key, cfg),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(), P(), P()),
+        out_specs=_SVRG_ST_SPECS, check_vma=False,
+    ))
+
+    step_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: _tp_svrg_outer(F, g, cfg, state),
+        mesh=mesh,
+        in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
+        out_specs=_SVRG_ST_SPECS, check_vma=False,
+    ))
+
+    def run_body(F, g, state, steps):
+        def body(s, _):
+            return _tp_svrg_outer(F, g, cfg, s), None
+
+        return jax.lax.scan(body, state, None, length=steps)[0]
+
+    run_fn = jax.jit(
+        lambda F, g, state, steps: jax.shard_map(
+            functools.partial(run_body, steps=steps), mesh=mesh,
+            in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
+            out_specs=_SVRG_ST_SPECS, check_vma=False,
+        )(F, g, state),
+        static_argnames=("steps",),
+    )
+
+    # the per-outer-step anchor refresh recomputes av exactly
+    rebase_fn = jax.jit(jax.shard_map(
+        lambda F, g, state: state, mesh=mesh,
+        in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
+        out_specs=_SVRG_ST_SPECS, check_vma=False,
+    ))
+    return init_fn, step_fn, run_fn, rebase_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class TPSVRG:
+    """SVRG/SVRG++ on a ("data", "model") mesh — samples AND
+    coordinates sharded, no table. Requires a rank-1 oracle and a
+    separable prox; ``batch`` is the per-data-row inner block size
+    (global inner batch = batch·D); ``m`` counts inner BATCHES."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 1
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    m: Optional[int] = None
+    plus: bool = False
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError("TPSVRG needs a ('data','model') mesh (make_mesh_2d)")
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPSVRG shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPSVRG needs a rank-1 (coefficient) oracle")
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError("TPSVRG: need N divisible by D and N/D by batch")
+        if x0.size % M != 0:
+            raise ValueError("TPSVRG: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if self.gamma is None:
+            if L is None:
+                raise ValueError("TPSVRG: provide L or γ")
+            gamma = 1.0 / (10.0 * jnp.max(jnp.asarray(L, rdt)))
+        else:
+            gamma = jnp.asarray(self.gamma, rdt)
+        m = (N if self.m is None else self.m)
+        cfg = TPSVRGCfg(N=N, D=D, M=M, b_loc=self.batch, plus=self.plus)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_treedef = jax.tree_util.tree_structure(g)
+        init_c, step_c, run_c, rebase_c = _compiled_tp_svrg(
+            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, jnp.asarray(m, jnp.int32), key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def _effective_maxit(self):
+        return min(self.maxit, 25) if self.plus else self.maxit
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self._effective_maxit(), self.verbose, self.freq,
+            disp, observe,
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)

@@ -849,3 +849,65 @@ def test_dp_svrg_local_inner_fused_matches_stepwise(mesh):
     np.testing.assert_allclose(
         np.asarray(outs[1].w), np.asarray(outs[0].w), rtol=2e-5, atol=1e-6
     )
+
+
+def test_tp_lfinito_converges_and_shards():
+    """TPLFinito on a (4 data x 2 model) mesh: O(n) memory (no table),
+    iterate/average/anchor sharded by coordinate, stepsizes by sample;
+    converges at the reference tolerance for cyclic and shuffled
+    sweeps."""
+    from ciao_tpu.parallel import TPLFinito, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    for sweeping in (2, 3):
+        solver = TPLFinito(mesh=mesh2, maxit=200, batch=4, sweeping=sweeping)
+        x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, sweeping
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.z.sharding.spec == P(MODEL_AXIS)
+    assert st.av.sharding.spec == P(MODEL_AXIS)
+    assert st.gamma.sharding.spec == P(DATA_AXIS)
+
+    # separable-prox guard (coordinates are sharded)
+    from ciao_tpu.prox import NormL2
+
+    with pytest.raises(ValueError, match="separable"):
+        TPLFinito(mesh=mesh2)(
+            x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
+        )
+
+
+def test_tp_svrg_converges_and_shards():
+    """TPSVRG/SVRG++ on a (4 data x 2 model) mesh: anchor coefficients
+    recomputed once per outer step, inner steps pay one (B,)-margin
+    "model" psum + one x-shard "data" psum; converges at the reference
+    budgets (SVRG++ with growing m under the 25-iterate cap)."""
+    from ciao_tpu.parallel import TPSVRG, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    gamma = 1.0 / (7 * float(np.max(prob.L)))
+    solver = TPSVRG(mesh=mesh2, maxit=500, batch=4, m=N, gamma=gamma)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.z_full.sharding.spec == P(MODEL_AXIS)
+    assert st.av.sharding.spec == P(MODEL_AXIS)
+
+    x, _ = TPSVRG(mesh=mesh2, maxit=16, batch=4, m=2, plus=True)(
+        x0(prob), F=F, g=g, L=prob.L
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
