@@ -1014,6 +1014,55 @@ def _proshi_step_local(F, g, cfg: DPCfg, state: DPProshiState):
     return state._replace(s=s, av=av, z=z, it=state.it + 1)
 
 
+def _proshi_local_round(F, g, cfg: DPCfg, state: DPProshiState):
+    """LOCAL-UPDATE ProShI round (beyond the reference; cf.
+    _saga_local_round): ``local_steps`` block updates run purely on the
+    device's own shard against a STALE coupling — each device maintains
+    a private av copy (global av₀ + its own s-deltas) and re-derives
+    z = (prox_g(av_d, Σγ) − av_d)/Σγ from it locally — then ONE
+    collective at the round boundary resyncs the exact global sum
+
+        av ← av₀ + psum(av_d − av₀)   (exact: every block variable s_i
+                                       is owned by one device)
+
+    and recomputes the true coupling. Iterates need no averaging — the
+    only shared state IS (av, z). Like the SAGA/Finito rounds the
+    delta-maintained av accumulates f32 rounding across rounds;
+    ``rebase_every`` periodically recomputes av = Σ s_i exactly from
+    the local table shards (one reduction, psum'd)."""
+    N, B, K = cfg.N, cfg.b_loc, cfg.local_steps
+    av0 = state.av
+
+    def body(carry, _):
+        s, av, z, it = carry
+        start = local_block_start(state.key, it, cfg.n_loc, B, cfg.sweeping)
+        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(s, start, B, 0)
+        s_tmp = s_old + gi[:, None] * z[None, :]
+        G_B = F.grad_pointwise_block(s_tmp, start, B)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        s = jax.lax.dynamic_update_slice_in_dim(s, s_new, start, 0)
+        av = av + jnp.sum(s_new - s_old, axis=0)          # LOCAL delta
+        z = _proshi_coupling(g, av, state.hat_gamma)      # stale coupling
+        return (s, av, z, it + 1), None
+
+    (s, av_d, _, _), _ = jax.lax.scan(
+        body, (state.s, av0, state.z, state.it), None, length=K
+    )
+    av = _round_boundary_av(cfg, state.it, av0, av_d,
+                            lambda: jnp.sum(s, axis=0))
+    z = _proshi_coupling(g, av, state.hat_gamma)
+    return state._replace(s=s, av=av, z=z, it=state.it + K)
+
+
+def _proshi_step_or_round(F, g, cfg: DPCfg, state: DPProshiState):
+    """One DP ProShI iterate: the reference-parity lockstep step, or
+    (``local_steps > 1``) one local-update round."""
+    if cfg.local_steps > 1:
+        return _proshi_local_round(F, g, cfg, state)
+    return _proshi_step_local(F, g, cfg, state)
+
+
 def _saga_rebase_local(F, g, cfg: DPCfg, state: DPSAGAState):
     """Sharded mirror of ``solvers.saga.saga_rebase``: after an oracle
     row-storage swap the delta-maintained ``av`` keeps the old
@@ -1054,8 +1103,8 @@ _FAMILY = {
              _saga_rebase_local),
     "svrg": (_svrg_init_local, _svrg_step_or_local, DPSVRGState, True,
              _rebase_identity_local),
-    "proshi": (_proshi_init_local, _proshi_step_local, DPProshiState, False,
-               _rebase_identity_local),
+    "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
+               False, _rebase_identity_local),
 }
 
 
@@ -1518,7 +1567,16 @@ class DPSVRG:
 class DPProshi:
     """Data-parallel ProShI: block variables x_i sharded by i; the
     coupling Σ s_i is a psum and z replicates back — the sharing
-    problem's all-reduce/broadcast pattern on ICI."""
+    problem's all-reduce/broadcast pattern on ICI.
+
+    ``local_steps > 1`` selects the LOCAL-UPDATE mode (beyond the
+    reference): each device runs that many contiguous-block updates
+    against a stale, locally-maintained coupling and only the round
+    boundary pays the collective (exact Σ s_i resync; see
+    ``_proshi_local_round``). ``maxit`` then counts ROUNDS. Every
+    ``rebase_every`` rounds the resync recomputes av = Σ s_i exactly
+    from the table shards (f32 delta-drift control, as in the
+    SAGA/Finito rounds)."""
 
     mesh: object = None
     gamma: Optional[object] = None
@@ -1528,6 +1586,8 @@ class DPProshi:
     verbose: bool = False
     freq: int = 10000
     alpha: float = 0.999
+    local_steps: int = 1
+    rebase_every: int = 50  # local rounds between exact av recomputes
     seed: int = 0
 
     def _setup(self, x0, F, g, L, N):
@@ -1542,7 +1602,10 @@ class DPProshi:
         D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPProshi")
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="DPProshi")
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
-                    alpha=float(self.alpha))
+                    alpha=float(self.alpha),
+                    local_steps=self.local_steps,
+                    rebase_every=self.rebase_every if self.local_steps > 1
+                    else 0)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "proshi", mesh, F, g, cfg
         )

@@ -911,3 +911,30 @@ def test_tp_svrg_converges_and_shards():
         x0(prob), F=F, g=g, L=prob.L
     )
     assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_proshi_local_steps(mesh, sharing):
+    """Local-update DP ProShI (``local_steps=K``, beyond the
+    reference): K contiguous-block updates per round against a stale
+    locally-maintained coupling, one exact Σ s_i resync per round.
+    Must reach the same coupling target as the lockstep DP path."""
+    F, g, L, Nb, nb, sum_ref = sharing
+    solver = DPProshi(mesh=mesh, maxit=4000, batch=8, local_steps=4,
+                      sweeping=2)
+    x, _ = solver(jnp.zeros(nb), F=F, g=g, L=jnp.asarray(L), N=Nb)
+    assert x.shape == (Nb, nb)
+    got = np.asarray(jnp.sum(x, axis=0))
+    np.testing.assert_allclose(got, sum_ref, atol=2e-2)
+    assert np.all(got <= 1.0 + 1e-6)
+
+    # one iterate = one round of K local steps (init is iteration 1)
+    from ciao_tpu.solvers.base import loop, take
+
+    it = solver.iterator(jnp.zeros(nb), F=F, g=g, L=jnp.asarray(L), N=Nb)
+    st = loop(take(iter(it), 3))
+    assert int(st.it) == 1 + 2 * 4
+    # round-boundary invariant: av is the exact global block sum
+    np.testing.assert_allclose(
+        np.asarray(st.av), np.asarray(jnp.sum(st.s, axis=0)),
+        rtol=1e-8, atol=1e-10,
+    )
