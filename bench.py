@@ -315,6 +315,39 @@ def bench_secondary():
             log(f"time-to-rel-1e-3 [{label}]: NOT reached within "
                 f"{MAX_ROUNDS * 256} epochs ({dt:.2f}s) — do not quote")
 
+    # DP local-update rounds at D=1 on the real chip: the multi-chip
+    # throughput mode's per-chip cost (K fused local steps = one kernel
+    # launch per round + the round-boundary collective, here a no-op
+    # self-psum). Should match the single-chip fused SAGA numbers —
+    # this pins the "per-chip throughput matches single-chip" claim the
+    # virtual-mesh CI can't time.
+    from ciao_tpu.parallel import make_mesh, shard_finite_sum
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    gam_s = (1.0 / (3.0 * jnp.max(L))).astype(jnp.float32)
+    K = 128
+    for tag, F in (("f32", F32), ("int8", F32.with_storage("int8"))):
+        Fd = shard_finite_sum(F, mesh1)
+        cfg = DPCfg(N=N, D=1, b_loc=BATCH, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, coeff=True, local_steps=K,
+                    fused=True, rebase_every=50)
+        init_c, _, run_c, _ = build_dp_functions("saga", mesh1, Fd, g, cfg)
+        st = init_c(Fd, g, x0, gam_s, key)
+        rounds = 512  # 65k steps — ≥0.4 s of device work on every path
+        st2 = run_c(Fd, g, st, rounds)
+        _ = float(st2.z[0])
+        t0 = time.perf_counter()
+        st2 = run_c(Fd, g, st, rounds)
+        _ = float(st2.z[0])
+        dt = time.perf_counter() - t0
+        steps = rounds * K
+        log(f"dp-saga local rounds, D=1 [{tag}]: "
+            f"{dt / steps * 1e3:.4f} ms/step "
+            f"({steps * BATCH / dt / 1e6:.1f} M samples/s; K={K} steps "
+            f"per collective)")
+
 
 def main():
     # the TPU tunnel occasionally drops the first connection — retry once

@@ -938,3 +938,70 @@ def test_dp_proshi_local_steps(mesh, sharing):
         np.asarray(st.av), np.asarray(jnp.sum(st.s, axis=0)),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_dp_complex_dtype(mesh):
+    """Complex support under DP (the reference's dtype sweep,
+    test_lasso.jl:3, which no sharded path may lose): c128 lasso
+    converges at the reference tolerance and keeps the dtype."""
+    prob = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.complex128)
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(n, prob.A.dtype)
+    x, _ = DPFinito(mesh=mesh, maxit=2000, batch=8, sweeping=2)(
+        z0, F=F, g=g, L=prob.L
+    )
+    assert x.dtype == prob.A.dtype
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    x, _ = DPSVRG(mesh=mesh, maxit=300, batch=8, m=N, local_inner=True,
+                  gamma=1.0 / (7 * float(np.max(prob.L))))(
+        z0, F=F, g=g, L=prob.L
+    )
+    assert x.dtype == prob.A.dtype
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_dp_lfinito_local_sweep_int8_matches_stepwise(mesh):
+    """The fused local sweep under int8 row storage (per-row dequant
+    scales fed to the kernel, anchor+sweep in two passes) must match
+    the stepwise local sweep computing with the SAME quantized
+    operator."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    Fq = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    ).with_storage("int8")
+    Fq = shard_finite_sum(Fq, mesh)
+    assert Fq.A.dtype == jnp.int8
+    g32 = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    ghat = jnp.full((Np,), float(0.999 * Np / np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.SHUFFLED,
+                    alpha=0.999, local=True, fused=fused, variant="lfinito")
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "lfinito", mesh, Fq, g32, cfg
+        )
+        st = init_c(Fq, g32, z0, ghat, key)
+        st = run_c(Fq, g32, st, 2)
+        outs.append(st)
+    # both paths use the same quantized operator; the residual gap is
+    # f32 accumulation ORDER (VMEM carry vs XLA reduction) compounded
+    # over 2 epochs x 64 sequential block updates
+    np.testing.assert_allclose(
+        np.asarray(outs[1].av), np.asarray(outs[0].av), rtol=1e-3, atol=3e-5
+    )
