@@ -1029,3 +1029,89 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, zb, invg2, z2, av2,
       scalars)
     return c_new, zb_new, z_new, av_new
+
+
+# ---------------------------------------------------------------------------
+# shared fused-kernel drivers (used by both the single-chip solvers and
+# the shard_map'd DP local-update paths — keep the launch plumbing in
+# ONE place so the kernel inputs can never desynchronize between them)
+# ---------------------------------------------------------------------------
+
+def oracle_scalar_consts(F, g):
+    """(scale, mode, lam) — the oracle/prox constants every coefficient
+    kernel's SMEM scalar row starts and ends with."""
+    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+    mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+    lam = getattr(g, "lam", 0.0)
+    return scale, mode, lam
+
+
+def lfinito_sweep_chunked(A, b8, c8, starts, invg_v, av2, zf2, scalars,
+                          B: int, precision: str = "highest", rs8=None,
+                          interpret: bool = False, chunk: int = 512):
+    """Drive a whole epoch's block sweep (visit order ``starts``, the
+    per-position Σ1/γ in ``invg_v``) as one or more
+    ``lfinito_sweep_multistep`` launches: the per-launch scalar-prefetch
+    arrays are chunked to ``chunk`` blocks and av carries across
+    launches. Returns ``(av2, z2)`` with z2 the last block's prox
+    point (the kernel recomputes z = prox(av) per block — z never feeds
+    back between launches)."""
+    d = starts.shape[0]
+    Kc = min(chunk, d)
+    Lc = d // Kc
+    rem = d - Lc * Kc
+
+    def launch(av2, st_c, ig_c):
+        return lfinito_sweep_multistep(
+            A, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
+            precision=precision, rs8=rs8, interpret=interpret,
+        )
+
+    if Lc == 1 and rem == 0:
+        return launch(av2, starts, invg_v)
+
+    def chunk_body(av2, xs):
+        av2, z2 = launch(av2, *xs)
+        return av2, z2
+
+    av2, z2s = jax.lax.scan(
+        chunk_body, av2,
+        (
+            starts[: Lc * Kc].reshape(Lc, Kc),
+            invg_v[: Lc * Kc].reshape(Lc, Kc),
+        ),
+    )
+    z2 = z2s[-1]
+    if rem:
+        av2, z2 = launch(av2, starts[Lc * Kc:], invg_v[Lc * Kc:])
+    return av2, z2
+
+
+def svrg_inner_chunked(A, b8, canch8, w2, zs2, av2, scalars, B: int,
+                       m: int, starts_fn, precision: str = "highest",
+                       rs8=None, interpret: bool = False,
+                       launch_steps: int = 64):
+    """Run ``floor(m/K)·K`` of an SVRG inner loop's m block steps as
+    K-steps-per-launch ``svrg_coeff_multistep`` calls (w/zsum carried in
+    VMEM within a launch, threaded between launches).
+    ``starts_fn(k0, K)`` must return the (K,) block starts for inner
+    steps [k0, k0+K) — the caller owns the sampling stream so the
+    single-chip and shard_map'd paths keep their distinct key
+    derivations. Returns ``(w2, zs2, done)``; the caller runs the
+    ``m − done`` remainder on its stepwise path with the same stream."""
+    K = min(launch_steps, m)
+    Lq = m // K
+
+    def body(carry, q):
+        w2, zs2 = carry
+        starts = starts_fn(q * K, K)
+        w2, zs2 = svrg_coeff_multistep(
+            A, b8, canch8, starts, w2, zs2, av2, scalars, B,
+            precision=precision, rs8=rs8, interpret=interpret,
+        )
+        return (w2, zs2), None
+
+    (w2, zs2), _ = jax.lax.scan(
+        body, (w2, zs2), jnp.arange(Lq, dtype=jnp.int32)
+    )
+    return w2, zs2, Lq * K

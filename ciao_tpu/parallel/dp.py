@@ -507,16 +507,15 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
         order = jnp.arange(d_loc, dtype=jnp.int32)
 
     if cfg.fused:
-        from ciao_tpu.ops import lfinito_sweep_multistep
         from ciao_tpu.ops.fused_block import (
-            SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
-            rows_scale_slab,
+            SLAB_ROWS, _pick_tile, coeff_apply_all, lfinito_sweep_chunked,
+            oracle_scalar_consts, rows_scale_row, rows_scale_slab,
         )
 
         rows, offs = F.coeff_rows_data()
-        lam = getattr(g, "lam", 0.0)
-        scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
-        mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+        scale, mode, lam = oracle_scalar_consts(F, g)
+        # CPU CI: the generic Pallas interpreter — TPU interpret mode
+        # deadlocks under shard_map (fused_block docstring)
         interp = jax.default_backend() != "tpu"
 
         # anchor refresh: local coefficients + gradient sum in one
@@ -530,11 +529,7 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
         av0 = z_full - (hat / N) * _psum(gsum[0])
 
         slab = (SLAB_ROWS, n_loc // SLAB_ROWS)
-        b8 = offs.reshape(slab)
-        c8 = c1.reshape(slab)
         invg = jnp.sum((1.0 / state.gamma).reshape(d_loc, B), axis=1)
-        starts = order * B
-        invg_v = invg[order]
         scalars = jnp.stack(
             [
                 scale,
@@ -544,36 +539,11 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
                 mode,
             ]
         )[None, :]
-        zf2 = z_full[None, :]
-        rs8 = rows_scale_slab(F)
-
-        def launch(av2, st_c, ig_c):
-            return lfinito_sweep_multistep(
-                rows, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
-                rs8=rs8, interpret=interp,
-            )
-
-        Kc = min(512, d_loc)
-        Lc = d_loc // Kc
-        rem = d_loc - Lc * Kc
-        av2 = av0[None, :]
-        if Lc == 1 and rem == 0:
-            av2, _ = launch(av2, starts, invg_v)
-        else:
-            def chunk_body(carry, xs):
-                st_c, ig_c = xs
-                av2, _ = launch(carry, st_c, ig_c)
-                return av2, None
-
-            av2, _ = jax.lax.scan(
-                chunk_body, av2,
-                (
-                    starts[: Lc * Kc].reshape(Lc, Kc),
-                    invg_v[: Lc * Kc].reshape(Lc, Kc),
-                ),
-            )
-            if rem:
-                av2, _ = launch(av2, starts[Lc * Kc:], invg_v[Lc * Kc:])
+        av2, _ = lfinito_sweep_chunked(
+            rows, offs.reshape(slab), c1.reshape(slab), order * B,
+            invg[order], av0[None, :], z_full[None, :], scalars, B,
+            rs8=rows_scale_slab(F), interpret=interp,
+        )
         av_d = av2[0]
     else:
         av0 = z_full - (hat / N) * _psum(F.grad_sum_all(z_full))
@@ -814,9 +784,17 @@ def _svrg_step_local(F, g, cfg: DPCfg, state: DPSVRGState):
 
     def inner(k, carry):
         w, zsum = carry
-        kk = jax.random.fold_in(jax.random.fold_in(kstep, k), ax)
-        i = jax.random.randint(kk, (cfg.b_loc,), 0, cfg.n_loc, dtype=jnp.int32)
-        d = F.grad_sum_diff(state.z_full, w, i)  # one row read, fused diff
+        if cfg.block:
+            # contiguous-block fast path (same (key, it, k, device)
+            # stream as the local-inner mode, so D=1 stays bit-equal)
+            start = local_block_start(kstep, k + 1, cfg.n_loc, cfg.b_loc,
+                                      cfg.sweeping)
+            d = F.grad_sum_diff_block(state.z_full, w, start, cfg.b_loc)
+        else:
+            kk = jax.random.fold_in(jax.random.fold_in(kstep, k), ax)
+            i = jax.random.randint(kk, (cfg.b_loc,), 0, cfg.n_loc,
+                                   dtype=jnp.int32)
+            d = F.grad_sum_diff(state.z_full, w, i)  # one row read
         d = _psum(d) / (cfg.b_loc * cfg.D)
         w = g.prox_only(w + gamma * (d - av), gamma)
         return w, zsum + w
@@ -874,20 +852,14 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
 
     canch = state.canch
     if cfg.fused:
-        from ciao_tpu.ops import svrg_coeff_multistep
         from ciao_tpu.ops.fused_block import (
-            SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
-            rows_scale_slab,
+            SLAB_ROWS, _pick_tile, coeff_apply_all, oracle_scalar_consts,
+            rows_scale_row, rows_scale_slab, svrg_inner_chunked,
         )
 
         m = cfg.m_fused
-        K = min(64, m)
-        Lq = m // K
-        rem = m - Lq * K
         rows, offs = F.coeff_rows_data()
-        lam = getattr(g, "lam", 0.0)
-        scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
-        mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+        scale, mode, lam = oracle_scalar_consts(F, g)
         # CPU CI: the generic Pallas interpreter — TPU interpret mode
         # deadlocks under shard_map (fused_block docstring)
         interp = jax.default_backend() != "tpu"
@@ -901,29 +873,18 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
             ]
         )[None, :]
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
-        b8 = offs.reshape(slab)
-        rs8 = rows_scale_slab(F)
-        canch8 = canch.reshape(slab)
-        av2 = av[None, :]
-
-        def body(carry, q):
-            w2, zs2 = carry
-            starts = _local_round_starts(
-                kout, q * K + 1, cfg.n_loc, B, K, cfg.sweeping
-            )
-            w2, zs2 = svrg_coeff_multistep(
-                rows, b8, canch8, starts, w2, zs2, av2, scalars, B,
-                rs8=rs8, interpret=interp,
-            )
-            return (w2, zs2), None
-
-        (w2, zs2), _ = jax.lax.scan(
-            body, (state.w[None, :], state.z[None, :]),
-            jnp.arange(Lq, dtype=jnp.int32),
+        w2, zs2, done = svrg_inner_chunked(
+            rows, offs.reshape(slab), canch.reshape(slab),
+            state.w[None, :], state.z[None, :], av[None, :], scalars, B,
+            m,
+            lambda k0, K: _local_round_starts(
+                kout, k0 + 1, cfg.n_loc, B, K, cfg.sweeping
+            ),
+            rs8=rows_scale_slab(F), interpret=interp,
         )
         w, zsum = w2[0], zs2[0]
-        if rem:
-            w, zsum = inner_unfused(Lq * K, rem, w, zsum)
+        if done < m:
+            w, zsum = inner_unfused(done, m - done, w, zsum)
         m_den = jnp.asarray(
             m, jnp.zeros((), jnp.result_type(zsum)).real.dtype
         )
@@ -1474,7 +1435,8 @@ class DPSVRG:
     reference — the multi-chip throughput path): the whole m-step inner
     loop runs purely on each device's own index block and only the
     outer boundary pays collectives (iterate-average psum + anchor
-    psum) — two per outer step instead of one per inner step (see
+    psum; ``plus=True`` adds a third, the warm-start w average) — two
+    per outer step instead of one per inner step (see
     ``_svrg_local_outer``). With ``block_sampling=True``, a rank-1
     (coefficient) oracle, f32 and an in-kernel prox (NormL1/Zero), the
     local inner loop runs as fused multi-step kernel launches on TPU
@@ -1601,6 +1563,13 @@ class DPProshi:
         batch = self.batch or mesh.shape[DATA_AXIS]
         D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPProshi")
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="DPProshi")
+        if self.local_steps > 1 and (N // D) % b_loc != 0:
+            # the local round samples contiguous blocks ONLY (random
+            # sweeping draws block starts, not indices) — a non-dividing
+            # batch would silently never touch each shard's tail rows
+            raise ValueError(
+                "DPProshi local_steps > 1 needs N/D divisible by batch/D"
+            )
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
                     alpha=float(self.alpha),
                     local_steps=self.local_steps,

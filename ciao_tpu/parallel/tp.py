@@ -152,54 +152,6 @@ def _tp_saga_rebase(F, g, cfg: TPCfg, state: TPSAGAState):
     return state._replace(av=_psum_d(F.apply_all(state.s)) / cfg.N)
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_tp(mesh, f_treedef, f_specs_leaves, g_treedef, cfg: TPCfg):
-    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
-    g_specs = jax.tree_util.tree_unflatten(
-        g_treedef, [P()] * g_treedef.num_leaves
-    )
-
-    def init_body(F, g, x0, gamma, key):
-        return _tp_saga_init(F, g, x0, gamma, key, cfg)
-
-    init_fn = jax.jit(jax.shard_map(
-        init_body, mesh=mesh,
-        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(), P()),
-        out_specs=_ST_SPECS, check_vma=False,
-    ))
-
-    def step_body(F, g, state):
-        return _tp_saga_step(F, g, cfg, state)
-
-    step_fn = jax.jit(jax.shard_map(
-        step_body, mesh=mesh,
-        in_specs=(f_specs, g_specs, _ST_SPECS),
-        out_specs=_ST_SPECS, check_vma=False,
-    ))
-
-    def run_body(F, g, state, steps):
-        def body(s, _):
-            return _tp_saga_step(F, g, cfg, s), None
-
-        return jax.lax.scan(body, state, None, length=steps)[0]
-
-    run_fn = jax.jit(
-        lambda F, g, state, steps: jax.shard_map(
-            functools.partial(run_body, steps=steps), mesh=mesh,
-            in_specs=(f_specs, g_specs, _ST_SPECS),
-            out_specs=_ST_SPECS, check_vma=False,
-        )(F, g, state),
-        static_argnames=("steps",),
-    )
-
-    rebase_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: _tp_saga_rebase(F, g, cfg, state), mesh=mesh,
-        in_specs=(f_specs, g_specs, _ST_SPECS),
-        out_specs=_ST_SPECS, check_vma=False,
-    ))
-    return init_fn, step_fn, run_fn, rebase_fn
-
-
 # ---------------------------------------------------------------------------
 # tensor-parallel Finito (coefficient mode)
 # ---------------------------------------------------------------------------
@@ -297,51 +249,6 @@ _FIN_ST_SPECS = TPFinitoState(
 )
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_tp_finito(mesh, f_treedef, f_specs_leaves, g_treedef,
-                        cfg: TPFinitoCfg):
-    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
-    g_specs = jax.tree_util.tree_unflatten(
-        g_treedef, [P()] * g_treedef.num_leaves
-    )
-
-    init_fn = jax.jit(jax.shard_map(
-        lambda F, g, x0, gamma, key: _tp_finito_init(F, g, x0, gamma, key, cfg),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(DATA_AXIS), P()),
-        out_specs=_FIN_ST_SPECS, check_vma=False,
-    ))
-
-    step_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: _tp_finito_step(F, g, cfg, state),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
-        out_specs=_FIN_ST_SPECS, check_vma=False,
-    ))
-
-    def run_body(F, g, state, steps):
-        def body(s, _):
-            return _tp_finito_step(F, g, cfg, s), None
-
-        return jax.lax.scan(body, state, None, length=steps)[0]
-
-    run_fn = jax.jit(
-        lambda F, g, state, steps: jax.shard_map(
-            functools.partial(run_body, steps=steps), mesh=mesh,
-            in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
-            out_specs=_FIN_ST_SPECS, check_vma=False,
-        )(F, g, state),
-        static_argnames=("steps",),
-    )
-
-    rebase_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: _tp_finito_rebase(F, g, cfg, state), mesh=mesh,
-        in_specs=(f_specs, g_specs, _FIN_ST_SPECS),
-        out_specs=_FIN_ST_SPECS, check_vma=False,
-    ))
-    return init_fn, step_fn, run_fn, rebase_fn
-
-
 @dataclasses.dataclass(frozen=True)
 class TPFinito:
     """Coefficient-mode Finito/MISO on a ("data", "model") mesh —
@@ -395,8 +302,8 @@ class TPFinito:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c, rebase_c = _compiled_tp_finito(
-            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "finito", mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -467,8 +374,8 @@ class TPSAGA:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c, rebase_c = _compiled_tp(
-            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "saga", mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -590,54 +497,6 @@ _LFIN_ST_SPECS = TPLFinitoState(
 )
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_tp_lfinito(mesh, f_treedef, f_specs_leaves, g_treedef,
-                         cfg: TPLFinitoCfg):
-    f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
-    g_specs = jax.tree_util.tree_unflatten(
-        g_treedef, [P()] * g_treedef.num_leaves
-    )
-
-    init_fn = jax.jit(jax.shard_map(
-        lambda F, g, x0, gamma, key: _tp_lfinito_init(F, g, x0, gamma, key,
-                                                      cfg),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(DATA_AXIS), P()),
-        out_specs=_LFIN_ST_SPECS, check_vma=False,
-    ))
-
-    step_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: _tp_lfinito_epoch(F, g, cfg, state),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
-        out_specs=_LFIN_ST_SPECS, check_vma=False,
-    ))
-
-    def run_body(F, g, state, steps):
-        def body(s, _):
-            return _tp_lfinito_epoch(F, g, cfg, s), None
-
-        return jax.lax.scan(body, state, None, length=steps)[0]
-
-    run_fn = jax.jit(
-        lambda F, g, state, steps: jax.shard_map(
-            functools.partial(run_body, steps=steps), mesh=mesh,
-            in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
-            out_specs=_LFIN_ST_SPECS, check_vma=False,
-        )(F, g, state),
-        static_argnames=("steps",),
-    )
-
-    # the per-epoch anchor refresh recomputes av exactly — storage
-    # swaps self-heal after one epoch (cf. dp._rebase_identity_local)
-    rebase_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: state, mesh=mesh,
-        in_specs=(f_specs, g_specs, _LFIN_ST_SPECS),
-        out_specs=_LFIN_ST_SPECS, check_vma=False,
-    ))
-    return init_fn, step_fn, run_fn, rebase_fn
-
-
 @dataclasses.dataclass(frozen=True)
 class TPLFinito:
     """O(n)-memory LFinito on a ("data", "model") mesh — samples AND
@@ -690,8 +549,8 @@ class TPLFinito:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c, rebase_c = _compiled_tp_lfinito(
-            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "lfinito", mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -807,49 +666,74 @@ _SVRG_ST_SPECS = TPSVRGState(
 )
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_tp_svrg(mesh, f_treedef, f_specs_leaves, g_treedef,
-                      cfg: TPSVRGCfg):
+def _tp_rebase_identity(F, g, cfg, state):
+    """LFinito/SVRG recompute their anchor exactly every epoch/outer
+    step — storage swaps self-heal after one iterate (cf.
+    dp._rebase_identity_local)."""
+    return state
+
+
+# family -> (init_local, step_local, state specs, rebase_local,
+#            init in_specs after (F, g))
+_TP_FAMILY = {
+    "saga": (_tp_saga_init, _tp_saga_step, _ST_SPECS, _tp_saga_rebase,
+             (P(MODEL_AXIS), P(), P())),
+    "finito": (_tp_finito_init, _tp_finito_step, _FIN_ST_SPECS,
+               _tp_finito_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
+    "lfinito": (_tp_lfinito_init, _tp_lfinito_epoch, _LFIN_ST_SPECS,
+                _tp_rebase_identity, (P(MODEL_AXIS), P(DATA_AXIS), P())),
+    "svrg": (_tp_svrg_init, _tp_svrg_outer, _SVRG_ST_SPECS,
+             _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_tp_family(family: str, mesh, f_treedef, f_specs_leaves,
+                        g_treedef, cfg):
+    """(init_fn, step_fn, run_fn, rebase_fn) for a TP family on a 2-D
+    mesh — the single shard_map/jit assembly shared by every family
+    (cf. dp._compiled), cached on the problem STRUCTURE."""
+    init_local, step_local, st_specs, rebase_local, init_extra = (
+        _TP_FAMILY[family]
+    )
     f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
     g_specs = jax.tree_util.tree_unflatten(
         g_treedef, [P()] * g_treedef.num_leaves
     )
 
+    def init_body(F, g, *rest):
+        return init_local(F, g, *rest, cfg)
+
     init_fn = jax.jit(jax.shard_map(
-        lambda F, g, x0, gamma, m, key: _tp_svrg_init(F, g, x0, gamma, m,
-                                                      key, cfg),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, P(MODEL_AXIS), P(), P(), P()),
-        out_specs=_SVRG_ST_SPECS, check_vma=False,
+        init_body, mesh=mesh, in_specs=(f_specs, g_specs) + init_extra,
+        out_specs=st_specs, check_vma=False,
     ))
 
     step_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: _tp_svrg_outer(F, g, cfg, state),
-        mesh=mesh,
-        in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
-        out_specs=_SVRG_ST_SPECS, check_vma=False,
+        lambda F, g, state: step_local(F, g, cfg, state), mesh=mesh,
+        in_specs=(f_specs, g_specs, st_specs),
+        out_specs=st_specs, check_vma=False,
     ))
 
     def run_body(F, g, state, steps):
         def body(s, _):
-            return _tp_svrg_outer(F, g, cfg, s), None
+            return step_local(F, g, cfg, s), None
 
         return jax.lax.scan(body, state, None, length=steps)[0]
 
     run_fn = jax.jit(
         lambda F, g, state, steps: jax.shard_map(
             functools.partial(run_body, steps=steps), mesh=mesh,
-            in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
-            out_specs=_SVRG_ST_SPECS, check_vma=False,
+            in_specs=(f_specs, g_specs, st_specs),
+            out_specs=st_specs, check_vma=False,
         )(F, g, state),
         static_argnames=("steps",),
     )
 
-    # the per-outer-step anchor refresh recomputes av exactly
     rebase_fn = jax.jit(jax.shard_map(
-        lambda F, g, state: state, mesh=mesh,
-        in_specs=(f_specs, g_specs, _SVRG_ST_SPECS),
-        out_specs=_SVRG_ST_SPECS, check_vma=False,
+        lambda F, g, state: rebase_local(F, g, cfg, state), mesh=mesh,
+        in_specs=(f_specs, g_specs, st_specs),
+        out_specs=st_specs, check_vma=False,
     ))
     return init_fn, step_fn, run_fn, rebase_fn
 
@@ -904,8 +788,8 @@ class TPSVRG:
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_treedef = jax.tree_util.tree_structure(g)
-        init_c, step_c, run_c, rebase_c = _compiled_tp_svrg(
-            mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "svrg", mesh, f_treedef, tuple(leaves), g_treedef, cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, jnp.asarray(m, jnp.int32), key)

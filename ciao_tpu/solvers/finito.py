@@ -362,18 +362,16 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     (ops.lfinito_sweep_multistep) — two passes over the oracle rows per
     epoch where the XLA path needs four. Visit order and RNG flow are
     identical to ``_lfinito_step``."""
-    from ciao_tpu.ops import lfinito_sweep_multistep
     from ciao_tpu.ops.fused_block import (
-        _pick_tile, coeff_apply_all, rows_scale_row, rows_scale_slab,
+        _pick_tile, coeff_apply_all, lfinito_sweep_chunked,
+        oracle_scalar_consts, rows_scale_row, rows_scale_slab,
     )
 
     N, B = cfg.N, cfg.batch
     d = num_blocks(N, B)
     hat = state.hat_gamma
-    lam = getattr(g, "lam", 0.0)
     rows, offs = F.coeff_rows_data()
-    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
-    mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+    scale, mode, lam = oracle_scalar_consts(F, g)
 
     z_full = g.prox_only(state.av, hat)
     tile = _pick_tile(B, N, z_full.size, esize=rows.dtype.itemsize)
@@ -412,38 +410,10 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     )[None, :]
     zf2 = z_full[None, :]
 
-    rs8 = rows_scale_slab(F)
-
-    def launch(av2, z2, st_c, ig_c):
-        return lfinito_sweep_multistep(
-            rows, b8, c8, st_c, av2, zf2, ig_c[None, :], scalars, B,
-            precision=cfg.fused_precision, rs8=rs8,
-        )
-
-    # chunk the epoch's d blocks into launches of Kc (the per-launch
-    # scalar-prefetch arrays are (Kc,); av/z carry across launches)
-    Kc = min(512, d)
-    Lc = d // Kc
-    rem = d - Lc * Kc
-    av2, z2 = av[None, :], z_full[None, :]
-    if Lc == 1 and rem == 0:
-        av2, z2 = launch(av2, z2, starts, invg_v)
-    else:
-        def chunk_body(carry, xs):
-            av2, z2 = carry
-            st_c, ig_c = xs
-            return launch(av2, z2, st_c, ig_c), None
-
-        (av2, z2), _ = jax.lax.scan(
-            chunk_body,
-            (av2, z2),
-            (
-                starts[: Lc * Kc].reshape(Lc, Kc),
-                invg_v[: Lc * Kc].reshape(Lc, Kc),
-            ),
-        )
-        if rem:
-            av2, z2 = launch(av2, z2, starts[Lc * Kc:], invg_v[Lc * Kc:])
+    av2, z2 = lfinito_sweep_chunked(
+        rows, b8, c8, starts, invg_v, av[None, :], z_full[None, :],
+        scalars, B, precision=cfg.fused_precision, rs8=rows_scale_slab(F),
+    )
     return state._replace(
         av=av2[0], z=z2[0], z_full=z_full, sweep=sweep, it=state.it + 1
     )

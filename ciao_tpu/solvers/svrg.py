@@ -121,22 +121,16 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     anchor refresh computes c(z_full_next) AND the full gradient sum in
     one further pass (ops.coeff_apply_all) — two full-A-equivalents per
     epoch total, vs four for the unfused path."""
-    from ciao_tpu.ops import svrg_coeff_multistep
     from ciao_tpu.ops.fused_block import (
-        SLAB_ROWS, _pick_tile, coeff_apply_all, rows_scale_row,
-        rows_scale_slab,
+        SLAB_ROWS, _pick_tile, coeff_apply_all, oracle_scalar_consts,
+        rows_scale_row, rows_scale_slab, svrg_inner_chunked,
     )
     from ciao_tpu.solvers.saga import _gen_block_starts
 
     B, m = cfg.batch, cfg.m_fused
-    K = min(64, m)
-    Lq = m // K
-    rem = m - Lq * K
     rows, offs = F.coeff_rows_data()
-    lam = getattr(g, "lam", 0.0)
     gamma, av = state.gamma, state.av
-    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
-    mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
+    scale, mode, lam = oracle_scalar_consts(F, g)
     scalars = jnp.stack(
         [
             scale,
@@ -147,30 +141,19 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
         ]
     )[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
-    b8 = offs.reshape(slab)
-    rs8 = rows_scale_slab(F)
-    av2 = av[None, :]
     # _gen_block_starts draws with the same stateless (key, inner-index)
     # stream as _svrg_inner_block; SAGACfg/SVRGCfg share (N, batch).
-
-    def body(carry, k0):
-        w2, zs2 = carry
-        starts = _gen_block_starts(key, k0, cfg, K)
-        w2, zs2 = svrg_coeff_multistep(
-            rows, b8, state.canch, starts, w2, zs2, av2, scalars, B,
-            precision=cfg.fused_precision, rs8=rs8,
-        )
-        return (w2, zs2), None
-
-    k0s = K * jnp.arange(Lq, dtype=jnp.int32)
-    (w2, zs2), _ = jax.lax.scan(
-        body, (state.w[None, :], state.z[None, :]), k0s
+    w2, zs2, done = svrg_inner_chunked(
+        rows, offs.reshape(slab), state.canch, state.w[None, :],
+        state.z[None, :], av[None, :], scalars, B, m,
+        lambda k0, K: _gen_block_starts(key, k0, cfg, K),
+        precision=cfg.fused_precision, rs8=rows_scale_slab(F),
     )
     w, zsum = w2[0], zs2[0]
-    if rem:
+    if done < m:
         w, zsum, _ = _svrg_inner_block(
-            F, g, cfg, state.z_full, av, gamma, w, zsum, key, rem,
-            k0=Lq * K,
+            F, g, cfg, state.z_full, av, gamma, w, zsum, key, m - done,
+            k0=done,
         )
     z_full = zsum / jnp.asarray(m, zsum.dtype)
     # anchor refresh: coefficients + gradient sum in one streaming pass

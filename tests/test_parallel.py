@@ -1005,3 +1005,34 @@ def test_dp_lfinito_local_sweep_int8_matches_stepwise(mesh):
     np.testing.assert_allclose(
         np.asarray(outs[1].av), np.asarray(outs[0].av), rtol=1e-3, atol=3e-5
     )
+
+
+def test_dp_proshi_local_rejects_nondividing_batch(mesh, sharing):
+    """Local ProShI rounds sample contiguous blocks only — a batch that
+    does not divide the shard would silently never touch the tail rows
+    (reviewed bug); the facade must reject it."""
+    F, g, L, Nb, nb, _ = sharing
+    # Nb=24 over D=8 gives n_loc=3; batch=16 -> b_loc=2 does not divide
+    with pytest.raises(ValueError, match="divisible"):
+        DPProshi(mesh=mesh, maxit=10, batch=16, local_steps=4)(
+            jnp.zeros(nb), F=F, g=g, L=jnp.asarray(L), N=Nb
+        )
+
+
+def test_dp_svrg_lockstep_block_sampling(mesh, lasso):
+    """block_sampling=True must engage the contiguous-block draw on the
+    LOCKSTEP path too (reviewed bug: the knob was silently ignored):
+    the trajectory differs from the gather path and still converges."""
+    prob, F, g = lasso
+    gamma = 1.0 / (7 * float(np.max(prob.L)))
+    xs = {}
+    for blk in (False, True):
+        x, _ = DPSVRG(mesh=mesh, maxit=500, batch=8, m=N, gamma=gamma,
+                      block_sampling=blk)(x0(prob), F=F, g=g, L=prob.L)
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+        # different sampling streams -> different EARLY trajectories
+        # (at convergence both snap to the same prox fixed point)
+        xe, _ = DPSVRG(mesh=mesh, maxit=3, batch=8, m=N, gamma=gamma,
+                       block_sampling=blk)(x0(prob), F=F, g=g, L=prob.L)
+        xs[blk] = np.asarray(xe)
+    assert not np.array_equal(xs[False], xs[True])
