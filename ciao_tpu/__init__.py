@@ -45,6 +45,7 @@ from ciao_tpu.prox import (
 )
 from ciao_tpu.solvers import (
     Finito,
+    Katyusha,
     Proshi,
     SAGA,
     SAG,
@@ -60,6 +61,7 @@ __all__ = [
     "oracles",
     "prox",
     "Finito",
+    "Katyusha",
     "Proshi",
     "SAGA",
     "SAG",

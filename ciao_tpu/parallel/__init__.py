@@ -27,6 +27,7 @@ from ciao_tpu.parallel.tp import (
 from ciao_tpu.parallel.dp import (
     DPCfg,
     DPFinito,
+    DPKatyusha,
     DPProshi,
     DPSAG,
     DPSAGA,
@@ -46,6 +47,7 @@ __all__ = [
     "shard_finite_sum",
     "DPCfg",
     "DPFinito",
+    "DPKatyusha",
     "DPProshi",
     "DPSAG",
     "DPSAGA",

@@ -122,7 +122,7 @@ class DPCfg(NamedTuple):
     fused: bool = False   # Pallas multistep kernel for the local round
     rebase_every: int = 0  # local rounds between exact av recomputes
     local: bool = False   # LFinito local sweep / SVRG local inner loop
-    m_fused: int = 0      # SVRG fused local inner length (static m)
+    m_inner: int = 0      # static inner-loop length (SVRG fused local mode; Katyusha)
     variant: str = "basic"
 
     @property
@@ -857,7 +857,7 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
             rows_scale_row, rows_scale_slab, svrg_inner_chunked,
         )
 
-        m = cfg.m_fused
+        m = cfg.m_inner
         rows, offs = F.coeff_rows_data()
         scale, mode, lam = oracle_scalar_consts(F, g)
         # CPU CI: the generic Pallas interpreter — TPU interpret mode
@@ -926,6 +926,92 @@ def _svrg_step_or_local(F, g, cfg: DPCfg, state: DPSVRGState):
     if cfg.local:
         return _svrg_local_outer(F, g, cfg, state)
     return _svrg_step_local(F, g, cfg, state)
+
+
+class DPKatyushaState(NamedTuple):
+    Lmax: jnp.ndarray
+    tau1: jnp.ndarray
+    tau2: jnp.ndarray
+    av: jnp.ndarray         # (n,) anchor μ = ∇f(x̃), replicated
+    x_tilde: jnp.ndarray    # (n,) outer iterate
+    y: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x_tilde
+
+
+def _katyusha_init_local(F, g, x0, Lmax, tau1, tau2, key, cfg: DPCfg):
+    """Sharded Katyusha bootstrap (solvers.katyusha — beyond the
+    reference): the anchor full gradient is one local pass + psum."""
+    av = _psum(F.grad_sum_all(x0)) / cfg.N
+    return DPKatyushaState(
+        Lmax=Lmax, tau1=tau1, tau2=tau2, av=av, x_tilde=x0, y=x0, z=x0,
+        key=key, it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
+    """One sharded Katyusha outer iterate. LOCKSTEP (default): each of
+    the m inner steps draws one block per device and pmean's the
+    variance-reduced direction (global inner batch b_loc·D — one
+    x-sized psum per inner step). LOCAL (``cfg.local``): the inner loop
+    runs purely on-shard against the global anchor, and the boundary
+    pmeans the three sequences (x̃ average + y/z warm starts, stacked
+    into one psum) and psums the anchor refresh — two collectives per
+    outer step total. The
+    momentum coupling keeps the direction anchored to the GLOBAL full
+    gradient in both modes; at D=1 the two coincide."""
+    N, B, m = cfg.N, cfg.b_loc, cfg.m_inner
+    rdt = jnp.zeros((), jnp.result_type(state.y)).real.dtype
+    s = (state.it - 1).astype(rdt)
+    tau1 = 2.0 / (s + 4.0) if cfg.variant == "ns" else state.tau1
+    tau2 = state.tau2
+    alpha = 1.0 / (3.0 * tau1 * state.Lmax)
+    beta = 1.0 / (3.0 * state.Lmax)
+    av, xt = state.av, state.x_tilde
+    kout = jax.random.fold_in(state.key, state.it)
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    def inner(carry, k):
+        y, z, ysum = carry
+        x = tau1 * z + tau2 * xt + (1.0 - tau1 - tau2) * y
+        if cfg.block:
+            start = local_block_start(kout, k + 1, cfg.n_loc, B,
+                                      cfg.sweeping)
+            diff = F.grad_sum_diff_block(x, xt, start, B)
+        else:
+            kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
+            i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
+            diff = F.grad_sum_diff(x, xt, i)
+        if cfg.local:
+            gr = av + diff / B                       # LOCAL estimator
+        else:
+            gr = av + _psum(diff) / (B * cfg.D)      # lockstep pmean
+        z = g.prox_only(z - alpha * gr, alpha)
+        y = g.prox_only(x - beta * gr, beta)
+        return (y, z, ysum + y), None
+
+    (y, z, ysum), _ = jax.lax.scan(
+        inner, (state.y, state.z, jnp.zeros_like(state.y)),
+        jnp.arange(m, dtype=jnp.int32),
+    )
+    if cfg.local:
+        # boundary: average the sequences across devices (stacked into
+        # ONE psum), then the exact anchor refresh psum — two
+        # collectives per outer step
+        y, z, ysum = _psum(jnp.stack([y, z, ysum])) / cfg.D
+    x_tilde = ysum / jnp.asarray(m, ysum.dtype)
+    av = _psum(F.grad_sum_all(x_tilde)) / N
+    return state._replace(
+        tau1=tau1.astype(state.tau1.dtype) if cfg.variant == "ns"
+        else state.tau1,
+        av=av, x_tilde=x_tilde, y=y, z=z, it=state.it + 1,
+    )
 
 
 def _proshi_coupling(g, av, hat_gamma):
@@ -1064,6 +1150,8 @@ _FAMILY = {
              _saga_rebase_local),
     "svrg": (_svrg_init_local, _svrg_step_or_local, DPSVRGState, True,
              _rebase_identity_local),
+    "katyusha": (_katyusha_init_local, _katyusha_step_local,
+                 DPKatyushaState, True, _rebase_identity_local),
     "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
                False, _rebase_identity_local),
 }
@@ -1497,7 +1585,7 @@ class DPSVRG:
                     alpha=0.999, plus=self.plus,
                     block=self.block_sampling, coeff=fused,
                     local=self.local_inner, fused=fused,
-                    m_fused=m if fused else 0)
+                    m_inner=m if fused else 0)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "svrg", mesh, F, g, cfg, extra_init_scalars=1
         )
@@ -1589,6 +1677,94 @@ class DPProshi:
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
         state, it = run_solver_loop(init, run, self.maxit, self.verbose, self.freq, disp, observe)
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPKatyusha:
+    """Data-parallel Katyusha (beyond the reference — accelerated
+    variance reduction; see :class:`ciao_tpu.solvers.Katyusha`).
+
+    Default (lockstep): each inner step draws one block per device and
+    pmeans the variance-reduced direction (global inner batch
+    batch = D·b_loc, one x-sized psum per inner step).
+    ``local_inner=True`` runs the whole m-step inner loop on-shard and
+    pays two collectives per outer step (stacked sequence average +
+    anchor refresh). ``m`` counts inner BATCHES per outer iterate and
+    defaults to 2N/batch; ``maxit`` counts outer iterates."""
+
+    mesh: object = None
+    batch: int = 0
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    m: Optional[int] = None
+    tau1: Optional[float] = None
+    tau2: float = 0.5
+    sigma: Optional[float] = None
+    block_sampling: bool = False
+    local_inner: bool = False
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if L is None:
+            raise ValueError("DPKatyusha: provide the smoothness moduli L")
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM,
+                                        "DPKatyusha")
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPKatyusha block_sampling needs N/D divisible by batch/D"
+            )
+        Lmax = jnp.max(jnp.asarray(L, rdt))
+        m = (2 * N) // batch if self.m is None else self.m
+        if m < 1:
+            raise ValueError("DPKatyusha: m must be >= 1")
+        ns = False
+        if self.tau1 is not None:
+            tau1 = jnp.asarray(self.tau1, rdt)
+        elif self.sigma is not None:
+            tau1 = jnp.minimum(
+                jnp.sqrt(m * batch * jnp.asarray(self.sigma, rdt)
+                         / (3.0 * Lmax)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            ns = True
+            tau1 = jnp.asarray(0.5, rdt)
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=self.block_sampling,
+                    local=self.local_inner, m_inner=m,
+                    variant="ns" if ns else "sc")
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "katyusha", mesh, F, g, cfg, extra_init_scalars=2
+        )
+        key = jax.random.PRNGKey(self.seed)
+        tau2 = jnp.asarray(self.tau2, rdt)
+        init = lambda: init_c(F, g, x0, Lmax, tau1, tau2, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):

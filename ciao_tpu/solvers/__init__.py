@@ -5,6 +5,7 @@ SAGA/SAG, SVRG/SVRG++ — mirroring the reference's public surface
 
 from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
 from ciao_tpu.solvers.finito import Finito
+from ciao_tpu.solvers.katyusha import Katyusha
 from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
 from ciao_tpu.solvers.svrg import SVRG
@@ -18,6 +19,7 @@ def iterator(solver, x0, **kwargs):
 
 __all__ = [
     "Finito",
+    "Katyusha",
     "Proshi",
     "SAGA",
     "SAG",

@@ -835,7 +835,7 @@ def test_dp_svrg_local_inner_fused_matches_stepwise(mesh):
     for fused in (False, True):
         cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
                     alpha=0.999, block=True, coeff=fused, local=True,
-                    fused=fused, m_fused=96 if fused else 0)
+                    fused=fused, m_inner=96 if fused else 0)
         init_c, step_c, run_c, _ = build_dp_functions(
             "svrg", mesh, F32, g32, cfg, extra_init_scalars=1
         )
@@ -1036,3 +1036,38 @@ def test_dp_svrg_lockstep_block_sampling(mesh, lasso):
                        block_sampling=blk)(x0(prob), F=F, g=g, L=prob.L)
         xs[blk] = np.asarray(xe)
     assert not np.array_equal(xs[False], xs[True])
+
+
+def test_dp_katyusha_converges_and_local_inner(mesh, lasso):
+    """DP Katyusha (beyond the reference): lockstep (pmean'd direction
+    per inner step) and local-inner (two collectives per outer step)
+    both reach the reference tolerance; at D=1 the modes are bit-equal
+    (same stateless streams, psum degenerates)."""
+    from ciao_tpu.parallel import DPKatyusha
+
+    prob, F, g = lasso
+    for li in (False, True):
+        x, _ = DPKatyusha(mesh=mesh, maxit=60, batch=8, local_inner=li)(
+            x0(prob), F=F, g=g, L=prob.L
+        )
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, li
+
+    x, _ = DPKatyusha(mesh=mesh, maxit=60, batch=8, sigma=1.0,
+                      block_sampling=True)(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    F1 = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh1,
+    )
+    outs = []
+    for li in (False, True):
+        xe, _ = DPKatyusha(mesh=mesh1, maxit=5, batch=4, local_inner=li)(
+            x0(prob), F=F1, g=g, L=prob.L
+        )
+        outs.append(np.asarray(xe))
+    np.testing.assert_array_equal(outs[0], outs[1])
