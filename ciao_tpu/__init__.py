@@ -22,6 +22,7 @@ to fused Pallas kernels on TPU.
 
 from ciao_tpu import oracles, prox
 from ciao_tpu.oracles import (
+    HuberRows,
     LeastSquaresRows,
     SparseLeastSquaresELL,
     HybridSparseLeastSquares,
@@ -70,6 +71,7 @@ __all__ = [
     "solution",
     "Status",
     "LeastSquaresRows",
+    "HuberRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",
     "LogisticRows",

@@ -3,6 +3,7 @@ ProximalOperators.jl — see SURVEY.md §2.2)."""
 
 from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
+from ciao_tpu.oracles.huber import HuberRows
 from ciao_tpu.oracles.logistic import LogisticRows
 from ciao_tpu.oracles.sparse import SparseLeastSquaresELL, HybridSparseLeastSquares
 from ciao_tpu.oracles.quadratic import DiagQuadratic, DenseQuadratic, SqrDistBox
@@ -13,6 +14,7 @@ __all__ = [
     "register_oracle",
     "static_field",
     "LeastSquaresRows",
+    "HuberRows",
     "LogisticRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",

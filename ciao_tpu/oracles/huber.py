@@ -1,0 +1,243 @@
+"""Row-wise Huber-loss oracle (robust regression — beyond the
+reference's oracle set, same protocol).
+
+    f_i(x) = scale · H_δ(a_i·x − b_i),
+    H_δ(r) = r²/2            for |r| ≤ δ
+           = δ·(|r| − δ/2)   otherwise
+
+    ∇f_i(x) = scale · clip(a_i·x − b_i, −δ, δ) · a_i
+
+The gradient is RANK-1 with scalar coefficient
+c_i(x) = scale·clip(margin − b_i, ±δ), so the whole coefficient-table
+machinery (``table="auto"`` solvers, TP margin/coeff split, storage
+modes) applies exactly as for :class:`LeastSquaresRows`. The clipped
+coefficient is NOT one of the fused Pallas kernels' in-kernel formulas
+(``ops.fused_block.MODE_*``), so this oracle deliberately does not
+expose ``coeff_rows_data`` — the fused gates then keep the solvers on
+the XLA coefficient paths, which stream the same row blocks.
+
+Smoothness: ∇f_i is scale·‖a_i‖²-Lipschitz (the clip only flattens it),
+same L as the least-squares row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ciao_tpu.oracles.base import (
+    SmoothOracle, parse_storage_dtype, quantize_rows, register_oracle,
+)
+
+
+def _hub_val(r, delta):
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 0.5 * r * r, delta * (a - 0.5 * delta))
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class HuberRows(SmoothOracle):
+    A: jnp.ndarray  # (N, n) rows
+    b: jnp.ndarray  # (N,) targets
+    delta: jnp.ndarray = 1.0   # Huber threshold δ (scalar)
+    scale: jnp.ndarray = 1.0   # per-term scale (reference convention: N)
+    row_scale: Optional[jnp.ndarray] = None  # (N,) int8 dequant scales
+
+    @property
+    def num_terms(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[1]
+
+    def with_storage(self, dtype=jnp.bfloat16):
+        """Copy with the rows STORED in ``dtype`` (cf.
+        ``LeastSquaresRows.with_storage``)."""
+        dtype = parse_storage_dtype(dtype)
+        if self.row_scale is not None:
+            raise ValueError("rows are already int8-quantized")
+        if jnp.dtype(dtype) == jnp.int8:
+            q, rs = quantize_rows(self.A)
+            return dataclasses.replace(self, A=q, row_scale=rs)
+        return dataclasses.replace(self, A=self.A.astype(dtype))
+
+    # ---- dense row access with optional dequant ----------------------
+    def _rows_idx(self, idx, dtype):
+        A_B = self.A[idx]
+        if self.row_scale is not None:
+            A_B = A_B.astype(dtype) * self.row_scale[idx][:, None]
+        return A_B
+
+    def _slice(self, start, size):
+        A_B = jax.lax.dynamic_slice_in_dim(self.A, start, size, 0)
+        b_B = jax.lax.dynamic_slice_in_dim(self.b, start, size, 0)
+        return A_B, b_B
+
+    def _slice_rs(self, start, size):
+        if self.row_scale is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(self.row_scale, start, size, 0)
+
+    def _coeff_from_res(self, r):
+        """c = scale·clip(residual, ±δ) — the rank-1 coefficient."""
+        return self.scale * jnp.clip(r, -self.delta, self.delta)
+
+    # ---- per-index / batch / full oracle calls ------------------------
+    def value_and_grad_i(self, x, i):
+        a = self.A[i]
+        if self.row_scale is not None:
+            a = a.astype(x.dtype) * self.row_scale[i]
+        r = jnp.dot(a, x) - self.b[i]
+        return self.scale * _hub_val(r, self.delta), self._coeff_from_res(r) * a
+
+    def value_and_grad_batch(self, x, idx):
+        A_B = self._rows_idx(idx, x.dtype)
+        r = A_B @ x - self.b[idx]
+        return self.scale * _hub_val(r, self.delta), \
+            self._coeff_from_res(r)[:, None] * A_B
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        A_B = self._rows_idx(idx, x.dtype)
+        c = self._coeff_from_res(A_B @ x - self.b[idx])
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return c @ A_B
+
+    def _margin_all(self, x):
+        if self.row_scale is not None:
+            return (self.A.astype(x.dtype) @ x) * self.row_scale
+        return self.A @ x
+
+    def grad_sum_all(self, x):
+        c = self._coeff_from_res(self._margin_all(x) - self.b)
+        if self.row_scale is not None:
+            return (c * self.row_scale) @ self.A.astype(x.dtype)
+        return c @ self.A
+
+    def _dense_all(self, dtype):
+        if self.row_scale is not None:
+            return self.A.astype(dtype) * self.row_scale[:, None]
+        return self.A
+
+    def grad_all(self, x):
+        Ad = self._dense_all(x.dtype)
+        c = self._coeff_from_res(Ad @ x - self.b)
+        return c[:, None] * Ad
+
+    def value_and_grad_all(self, x):
+        Ad = self._dense_all(x.dtype)
+        r = Ad @ x - self.b
+        return self.scale * _hub_val(r, self.delta), \
+            self._coeff_from_res(r)[:, None] * Ad
+
+    def grad_pointwise(self, xs, idx):
+        A_B = self._rows_idx(idx, xs.dtype)
+        r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
+        return self._coeff_from_res(r)[:, None] * A_B
+
+    def value_and_grad_pointwise(self, xs, idx):
+        A_B = self._rows_idx(idx, xs.dtype)
+        r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
+        return self.scale * _hub_val(r, self.delta), \
+            self._coeff_from_res(r)[:, None] * A_B
+
+    # ---- coefficient (rank-1) structure -------------------------------
+    # ∇f_i = c_i·a_i with c_i = scale·clip(a_i·x − b_i, ±δ): the (N,)
+    # coefficients exactly compress the gradient table. The clip is not
+    # an in-kernel MODE_* formula, so no coeff_rows_data — fused gates
+    # stay off and the XLA coefficient paths serve (docstring).
+
+    supports_coeff: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
+
+    def coeff_rows_scale(self):
+        return self.row_scale
+
+    def coeff_batch(self, x, idx):
+        A_B = self.A[idx]
+        if self.row_scale is not None:
+            m = (A_B.astype(x.dtype) @ x) * self.row_scale[idx]
+        else:
+            m = A_B @ x
+        return self._coeff_from_res(m - self.b[idx])
+
+    def coeff_block(self, x, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        m = (A_B.astype(x.dtype) @ x) * rs_B if rs_B is not None else A_B @ x
+        return self.scale * jnp.clip(m - b_B, -self.delta, self.delta)
+
+    def coeff_all(self, x):
+        return self._coeff_from_res(self._margin_all(x) - self.b)
+
+    def apply_rows(self, w, idx):
+        if self.row_scale is not None:
+            return (w * self.row_scale[idx]) @ self.A[idx].astype(w.dtype)
+        return w @ self.A[idx]
+
+    def apply_rows_block(self, w, start, size: int):
+        A_B, _ = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            return (w * rs_B) @ A_B.astype(w.dtype)
+        return w @ A_B
+
+    def apply_all(self, w):
+        if self.row_scale is not None:
+            return (w * self.row_scale) @ self.A.astype(w.dtype)
+        return w @ self.A
+
+    # ---- margin/coeff split (tensor-parallel column sharding) --------
+    def margin_block(self, x, start, size: int):
+        A_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(x.dtype)
+        return A_B @ x
+
+    def margin_all(self, x):
+        A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
+        return A @ x
+
+    def coeff_from_margin(self, r, start, size: int):
+        _, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            r = r * rs_B
+        return self.scale * jnp.clip(r - b_B, -self.delta, self.delta)
+
+    def coeff_from_margin_all(self, r):
+        if self.row_scale is not None:
+            r = r * self.row_scale
+        return self._coeff_from_res(r - self.b)
+
+    # ---- contiguous-block fast paths ----------------------------------
+    def grad_block(self, x, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(x.dtype) * self._slice_rs(start, size)[:, None]
+        c = self.scale * jnp.clip(A_B @ x - b_B, -self.delta, self.delta)
+        return c[:, None] * A_B
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            A_B = A_B.astype(x1.dtype) * rs_B[:, None]
+        c1 = self.scale * jnp.clip(A_B @ x1 - b_B, -self.delta, self.delta)
+        c2 = self.scale * jnp.clip(A_B @ x2 - b_B, -self.delta, self.delta)
+        return (c1 - c2) @ A_B
+
+    def grad_pointwise_block(self, xs, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        if self.row_scale is not None:
+            A_B = A_B.astype(xs.dtype) * self._slice_rs(start, size)[:, None]
+        c = self.scale * jnp.clip(
+            jnp.sum(A_B * xs, axis=-1) - b_B, -self.delta, self.delta
+        )
+        return c[:, None] * A_B

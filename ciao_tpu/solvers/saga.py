@@ -351,8 +351,11 @@ class SAGA:
         )
         fused = False
         if self.block_sampling and x0.dtype == jnp.float32:
+            # NOTE: import only NormL1 — importing Zero here would
+            # shadow the module-level Zero and break the ``g = Zero()``
+            # default above (UnboundLocalError when g is None)
             from ciao_tpu.ops import coeff_multistep_available, fused_block_available
-            from ciao_tpu.prox import NormL1, Zero
+            from ciao_tpu.prox import NormL1
 
             if coeff:
                 # multi-step fused kernel: needs the rank-1 row data and

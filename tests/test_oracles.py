@@ -216,3 +216,93 @@ def test_with_storage_rejects_unknown_mode():
     assert F.with_storage("i8").A.dtype == jnp.int8
     with pytest.raises(ValueError, match="storage mode"):
         F.with_storage("fp8")
+
+
+def test_huber_rows():
+    """HuberRows (beyond the reference's oracle set): per-index values
+    and gradients vs autodiff, all batched paths, the rank-1
+    coefficient structure, and the TP margin/coeff split — at residuals
+    straddling the δ threshold so both branches are exercised."""
+    rng = np.random.default_rng(4)
+    N, n = 10, 4
+    A = jnp.asarray(rng.standard_normal((N, n)))
+    b = jnp.asarray(rng.standard_normal(N) * 2.0)  # some |r| > delta
+    delta, scale = 0.7, float(N)
+    orc = oracles.HuberRows(
+        A=A, b=b, delta=jnp.asarray(delta), scale=jnp.asarray(scale)
+    )
+    x = jnp.asarray(rng.standard_normal(n))
+
+    def make_f(i):
+        def f(x):
+            r = A[i] @ x - b[i]
+            return scale * jnp.where(
+                jnp.abs(r) <= delta, 0.5 * r * r,
+                delta * (jnp.abs(r) - 0.5 * delta),
+            )
+        return f
+
+    funs = [make_f(i) for i in range(N)]
+    _autodiff_check(orc, funs, x)
+    _batched_paths_consistent(orc, x)
+
+    # rank-1 coefficient structure and the TP margin split
+    c = orc.coeff_all(x)
+    np.testing.assert_allclose(orc.grad_all(x), np.asarray(c)[:, None] * A,
+                               atol=1e-10)
+    np.testing.assert_allclose(orc.coeff_from_margin_all(orc.margin_all(x)),
+                               c, atol=1e-12)
+    np.testing.assert_allclose(orc.coeff_block(x, 2, 4), c[2:6], atol=1e-12)
+    np.testing.assert_allclose(orc.apply_rows_block(c[2:6], 2, 4),
+                               np.asarray(c[2:6]) @ np.asarray(A[2:6]),
+                               atol=1e-10)
+
+    # bf16 storage round-trips the API; int8 keeps per-row scales exact
+    o16 = orc.with_storage()
+    assert o16.A.dtype == jnp.bfloat16
+    oq = orc.with_storage("int8")
+    assert oq.A.dtype == jnp.int8
+    cq = oq.coeff_all(x.astype(jnp.float32))
+    assert np.isfinite(np.asarray(cq)).all()
+
+
+def test_huber_end_to_end_robustness():
+    """Huber regression end-to-end through four solver families: all
+    converge to the SAME optimum (cross-solver fixed-point agreement at
+    1e-6), and that optimum is robust — closer in x-space to the clean
+    planted signal than the least-squares solution when outliers
+    corrupt 10% of the targets."""
+    import ciao_tpu
+
+    rng = np.random.default_rng(7)
+    N, n = 128, 8
+    A = rng.standard_normal((N, n))
+    x_true = rng.standard_normal(n)
+    y = A @ x_true + 0.01 * rng.standard_normal(N)
+    out = rng.choice(N, size=N // 10, replace=False)
+    y[out] += 40.0 * rng.standard_normal(out.size)  # gross outliers
+
+    delta = 0.5
+    F = ciao_tpu.HuberRows(
+        A=jnp.asarray(A), b=jnp.asarray(y), delta=jnp.asarray(delta),
+        scale=jnp.asarray(float(N)),
+    )
+    L = float(N) * (A * A).sum(axis=1)
+    z0 = jnp.zeros(n)
+
+    xs = {}
+    xs["saga"], _ = ciao_tpu.SAGA(maxit=40000)(z0, F=F, L=L, N=N)
+    xs["finito"], _ = ciao_tpu.Finito(maxit=20000, sweeping=2)(
+        z0, F=F, L=L, N=N
+    )
+    xs["svrg"], _ = ciao_tpu.SVRG(
+        maxit=300, m=N, gamma=1.0 / (10 * max(L))
+    )(z0, F=F, L=L, N=N)
+    xs["katyusha"], _ = ciao_tpu.Katyusha(maxit=200)(z0, F=F, L=L, N=N)
+    ref = np.asarray(xs["katyusha"])
+    for name, x in xs.items():
+        np.testing.assert_allclose(np.asarray(x), ref, atol=1e-5, err_msg=name)
+
+    # robustness vs plain least squares on the corrupted targets
+    x_ls = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert np.linalg.norm(ref - x_true) < 0.25 * np.linalg.norm(x_ls - x_true)
