@@ -315,6 +315,42 @@ def bench_secondary():
             log(f"time-to-rel-1e-3 [{label}]: NOT reached within "
                 f"{MAX_ROUNDS * 256} epochs ({dt:.2f}s) — do not quote")
 
+    # Katyusha (beyond the reference): same time-to-target benchmark as
+    # the staged SAGA rows above — acceleration pays in EPOCHS, so wall
+    # time competes with narrow-storage SAGA despite identical per-step
+    # bandwidth (one block row-read per inner step).
+    from ciao_tpu.solvers.katyusha import (
+        KatyushaCfg, katyusha_init, katyusha_run,
+    )
+
+    mk = 2 * Np // BATCH
+    kcfg = KatyushaCfg(N=Np, batch=BATCH, m=mk, block=True, ns=True)
+    kkey = jax.random.PRNGKey(0)
+    Lm = jnp.max(jnp.asarray(prob.L, jnp.float32))
+    stk0 = katyusha_init(
+        Fp, gp, jnp.zeros(npx, jnp.float32), Lm,
+        jnp.asarray(0.5, jnp.float32), jnp.asarray(0.5, jnp.float32),
+        kkey, kcfg,
+    )
+    _ = float(katyusha_run(Fp, gp, stk0, kcfg, 8).x_tilde[0])  # warm
+    t0 = time.perf_counter()
+    stk = stk0
+    k_outers = 0
+    reached_k = False
+    for _r in range(64):
+        if float(cost_fn(Ap, bp, stk.x_tilde)) <= target:
+            reached_k = True
+            break
+        stk = katyusha_run(Fp, gp, stk, kcfg, 8)
+        k_outers += 8
+    dt = time.perf_counter() - t0
+    if reached_k:
+        log(f"time-to-rel-1e-3, {Np}x{npx} planted Lasso [katyusha f32]: "
+            f"{dt:.2f}s ({k_outers} outer steps ≈ {3 * k_outers} epochs)")
+    else:
+        log(f"time-to-rel-1e-3 [katyusha f32]: NOT reached in "
+            f"{k_outers} outer steps ({dt:.2f}s)")
+
     # DP local-update rounds at D=1 on the real chip: the multi-chip
     # throughput mode's per-chip cost (K fused local steps = one kernel
     # launch per round + the round-boundary collective, here a no-op

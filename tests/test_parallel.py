@@ -1071,3 +1071,29 @@ def test_dp_katyusha_converges_and_local_inner(mesh, lasso):
         )
         outs.append(np.asarray(xe))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_dp_huber_oracle(mesh):
+    """HuberRows under DP: the sharded paths (grad_sum_diff, coeff
+    tables, psums) serve the robust-regression oracle; DP SAGA and DP
+    Katyusha agree on the fixed point."""
+    from ciao_tpu.oracles import HuberRows
+    from ciao_tpu.parallel import DPKatyusha
+
+    rng = np.random.default_rng(7)
+    Np, npx = 64, 8
+    A = rng.standard_normal((Np, npx))
+    x_true = rng.standard_normal(npx)
+    y = A @ x_true + 0.01 * rng.standard_normal(Np)
+    y[rng.choice(Np, 6, replace=False)] += 30.0
+    F = shard_finite_sum(
+        HuberRows(A=jnp.asarray(A), b=jnp.asarray(y),
+                  delta=jnp.asarray(0.5), scale=jnp.asarray(float(Np))),
+        mesh,
+    )
+    L = float(Np) * (A * A).sum(axis=1)
+    z0 = jnp.zeros(npx)
+    xs, _ = DPSAGA(mesh=mesh, maxit=30000, batch=8)(z0, F=F, L=L)
+    xk, _ = DPKatyusha(mesh=mesh, maxit=120, batch=8)(z0, F=F, L=L)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xk), atol=1e-4)
+    assert np.linalg.norm(np.asarray(xk) - x_true) < 0.1
