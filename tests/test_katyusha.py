@@ -130,3 +130,45 @@ def test_katyusha_complex_dtype():
     x, _ = ciao_tpu.Katyusha(maxit=40)(z0, F=F, g=g, L=prob.L, N=N)
     assert x.dtype == prob.A.dtype
     assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_katyusha_checkpoint_resume_and_storage(tmp_path, lasso):
+    """Checkpoint at outer step k and resume: the continuation matches
+    the straight-through run exactly (stateless (key, it) streams).
+    Narrow row storage rides the oracle: bf16 rows converge to the
+    bf16 resolution floor; the anchor refresh self-heals a storage
+    switch (rebase identity)."""
+    from ciao_tpu import checkpoint
+    from ciao_tpu.solvers.base import loop, take
+
+    prob, F, g = lasso
+    solver = ciao_tpu.Katyusha(maxit=40)
+    z0 = x0(prob)
+    st_full = loop(take(iter(solver.iterator(z0, F=F, g=g, L=prob.L, N=N)), 10))
+    it1 = solver.iterator(z0, F=F, g=g, L=prob.L, N=N)
+    st_mid = loop(take(iter(it1), 5))
+    checkpoint.save(tmp_path / "kat.npz", st_mid)
+    restored = checkpoint.load(tmp_path / "kat.npz")
+    it2 = solver.iterator(z0, F=F, g=g, L=prob.L, N=N)
+    resumed = loop(take(checkpoint.resume_iterator(it2, restored), 6))
+    np.testing.assert_allclose(
+        np.asarray(resumed.x_tilde), np.asarray(st_full.x_tilde),
+        rtol=1e-12, atol=1e-14,
+    )
+
+    # bf16 rows: iterates stay f32, trajectory lands near the optimum
+    # at bf16 gradient resolution
+    prob32 = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.float32,
+                        well_conditioned=True)
+    F16 = ciao_tpu.LeastSquaresRows(
+        A=jnp.asarray(prob32.A, jnp.float32),
+        b=jnp.asarray(prob32.b, jnp.float32),
+        scale=jnp.asarray(float(N), jnp.float32),
+    ).with_storage()
+    g32 = NormL1(lam=jnp.asarray(prob32.lam, jnp.float32))
+    x, _ = ciao_tpu.Katyusha(maxit=60)(
+        jnp.zeros(n, jnp.float32), F=F16, g=g32, L=prob32.L, N=N
+    )
+    assert x.dtype == jnp.float32
+    rel = (prob32.cost(np.asarray(x)) - prob32.f_star) / abs(prob32.f_star)
+    assert rel < 2e-2, rel
