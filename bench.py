@@ -344,6 +344,9 @@ def bench_secondary():
         stk = katyusha_run(Fp, gp, stk, kcfg, 8)
         k_outers += 8
     dt = time.perf_counter() - t0
+    # the loop checks at chunk TOPS — recheck so a final-chunk finish
+    # is not logged as a miss (same pattern as the staged-SAGA rows)
+    reached_k = reached_k or float(cost_fn(Ap, bp, stk.x_tilde)) <= target
     if reached_k:
         log(f"time-to-rel-1e-3, {Np}x{npx} planted Lasso [katyusha f32]: "
             f"{dt:.2f}s ({k_outers} outer steps ≈ {3 * k_outers} epochs)")

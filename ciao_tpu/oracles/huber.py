@@ -171,7 +171,7 @@ class HuberRows(SmoothOracle):
         A_B, b_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)
         m = (A_B.astype(x.dtype) @ x) * rs_B if rs_B is not None else A_B @ x
-        return self.scale * jnp.clip(m - b_B, -self.delta, self.delta)
+        return self._coeff_from_res(m - b_B)
 
     def coeff_all(self, x):
         return self._coeff_from_res(self._margin_all(x) - self.b)
@@ -209,7 +209,7 @@ class HuberRows(SmoothOracle):
         rs_B = self._slice_rs(start, size)
         if rs_B is not None:
             r = r * rs_B
-        return self.scale * jnp.clip(r - b_B, -self.delta, self.delta)
+        return self._coeff_from_res(r - b_B)
 
     def coeff_from_margin_all(self, r):
         if self.row_scale is not None:
@@ -221,23 +221,30 @@ class HuberRows(SmoothOracle):
         A_B, b_B = self._slice(start, size)
         if self.row_scale is not None:
             A_B = A_B.astype(x.dtype) * self._slice_rs(start, size)[:, None]
-        c = self.scale * jnp.clip(A_B @ x - b_B, -self.delta, self.delta)
+        c = self._coeff_from_res(A_B @ x - b_B)
         return c[:, None] * A_B
 
     def grad_sum_diff_block(self, x1, x2, start, size: int):
+        # int8 path mirrors LeastSquaresRows: the clip only needs the
+        # SCALAR margins, so the per-row scale touches the (B,) vectors
+        # and the raw block feeds both dots — no dequantized (B, n)
+        # buffer is ever materialized
         A_B, b_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)
         if rs_B is not None:
-            A_B = A_B.astype(x1.dtype) * rs_B[:, None]
-        c1 = self.scale * jnp.clip(A_B @ x1 - b_B, -self.delta, self.delta)
-        c2 = self.scale * jnp.clip(A_B @ x2 - b_B, -self.delta, self.delta)
+            Ad = A_B.astype(x1.dtype)
+            m1 = (Ad @ x1) * rs_B
+            m2 = (Ad @ x2) * rs_B
+            c1 = self._coeff_from_res(m1 - b_B)
+            c2 = self._coeff_from_res(m2 - b_B)
+            return ((c1 - c2) * rs_B) @ Ad
+        c1 = self._coeff_from_res(A_B @ x1 - b_B)
+        c2 = self._coeff_from_res(A_B @ x2 - b_B)
         return (c1 - c2) @ A_B
 
     def grad_pointwise_block(self, xs, start, size: int):
         A_B, b_B = self._slice(start, size)
         if self.row_scale is not None:
             A_B = A_B.astype(xs.dtype) * self._slice_rs(start, size)[:, None]
-        c = self.scale * jnp.clip(
-            jnp.sum(A_B * xs, axis=-1) - b_B, -self.delta, self.delta
-        )
+        c = self._coeff_from_res(jnp.sum(A_B * xs, axis=-1) - b_B)
         return c[:, None] * A_B

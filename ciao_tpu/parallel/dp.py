@@ -1711,6 +1711,15 @@ class DPKatyusha:
     local_inner: bool = False
     seed: int = 0
 
+    def __post_init__(self):
+        # same validity envelope as the single-chip Katyusha facade:
+        # the inner coupling x = τ₁z + τ₂x̃ + (1−τ₁−τ₂)y must stay a
+        # convex combination
+        assert self.maxit > 0 and self.freq > 0
+        assert 0.0 < self.tau2 < 1.0
+        if self.tau1 is not None:
+            assert 0.0 < self.tau1 <= 1.0 - self.tau2
+
     def _setup(self, x0, F, g, L, N):
         mesh = self.mesh if self.mesh is not None else make_mesh()
         x0 = jnp.asarray(x0)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ciao_tpu import HuberRows, Katyusha
-from ciao_tpu.parallel import DPKatyusha, make_mesh, shard_finite_sum
+from ciao_tpu.parallel import DATA_AXIS, DPKatyusha, make_mesh, shard_finite_sum
 
 
 def main():
@@ -53,7 +53,7 @@ def main():
 
     # data-parallel on all available devices
     mesh = make_mesh()
-    D = mesh.shape["data"]
+    D = mesh.shape[DATA_AXIS]
     Fd = shard_finite_sum(F, mesh)
     x_dp, _ = DPKatyusha(mesh=mesh, maxit=60, batch=8 * D)(z0, F=Fd, L=L)
     err_dp = np.linalg.norm(np.asarray(x_dp) - x_true)
