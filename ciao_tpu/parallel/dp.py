@@ -1202,7 +1202,8 @@ def _compiled(family: str, mesh, f_treedef, f_specs_leaves, g_treedef,
 
     def run_body(F, g, state, steps):
         def body(s, _):
-            return step_local(F, g, cfg, s), None
+            with jax.named_scope(f"dp_{family}_step"):
+                return step_local(F, g, cfg, s), None
 
         return jax.lax.scan(body, state, None, length=steps)[0]
 

@@ -717,7 +717,8 @@ def _compiled_tp_family(family: str, mesh, f_treedef, f_specs_leaves,
 
     def run_body(F, g, state, steps):
         def body(s, _):
-            return step_local(F, g, cfg, s), None
+            with jax.named_scope(f"tp_{family}_step"):
+                return step_local(F, g, cfg, s), None
 
         return jax.lax.scan(body, state, None, length=steps)[0]
 

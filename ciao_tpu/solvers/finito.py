@@ -670,7 +670,8 @@ def finito_run(F, g, state, cfg: FinitoCfg, variant: str, steps: int):
     step = _guarded(_STEPS[variant])
 
     def body(s, _):
-        return step(F, g, cfg, s), None
+        with jax.named_scope(f"finito_{variant}_step"):
+            return step(F, g, cfg, s), None
 
     return jax.lax.scan(body, state, None, length=steps)[0]
 

@@ -134,7 +134,8 @@ def _katyusha_step(F, g, cfg: KatyushaCfg, state: KatyushaState):
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def katyusha_run(F, g, state, cfg: KatyushaCfg, steps: int):
     def body(s, _):
-        return _katyusha_step(F, g, cfg, s), None
+        with jax.named_scope("katyusha_outer"):
+            return _katyusha_step(F, g, cfg, s), None
 
     return jax.lax.scan(body, state, None, length=steps)[0]
 

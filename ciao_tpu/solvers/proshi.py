@@ -119,7 +119,8 @@ def _proshi_step(F, g, cfg: ProshiCfg, state: ProshiState) -> ProshiState:
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def proshi_run(F, g, state, cfg: ProshiCfg, steps: int):
     def body(s, _):
-        return _proshi_step(F, g, cfg, s), None
+        with jax.named_scope("proshi_step"):
+            return _proshi_step(F, g, cfg, s), None
 
     return jax.lax.scan(body, state, None, length=steps)[0]
 

@@ -287,7 +287,8 @@ def saga_run(F, g, state, cfg: SAGACfg, steps: int):
         return _saga_run_fused(F, g, state, cfg, steps)
 
     def body(s, _):
-        return _saga_step(F, g, cfg, s), None
+        with jax.named_scope("saga_step"):
+            return _saga_step(F, g, cfg, s), None
 
     return jax.lax.scan(body, state, None, length=steps)[0]
 

@@ -230,7 +230,8 @@ def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def svrg_run(F, g, state, cfg: SVRGCfg, steps: int):
     def body(s, _):
-        return _svrg_step(F, g, cfg, s), None
+        with jax.named_scope("svrg_outer"):
+            return _svrg_step(F, g, cfg, s), None
 
     return jax.lax.scan(body, state, None, length=steps)[0]
 
