@@ -282,3 +282,24 @@ def test_hybrid_trajectory_equals_dense(hybrid_pair, family):
                                           jax.random.PRNGKey(2), cfg), cfg, 3)
             outs.append(st.z_full)
     _close(outs[0], outs[1], tol=1e-8)
+
+
+def test_katyusha_sparse_trajectory_equals_dense(pair):
+    """Katyusha on the ELL oracle == Katyusha on the dense oracle
+    (identical math, different layout) — the accelerated solver rides
+    grad_sum_diff_block like SVRG, so sparse problems get acceleration
+    for free."""
+    import ciao_tpu
+
+    Fd, Fs, prob = pair
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    L = np.asarray([float(N) * float(jnp.sum(Fs.val[i] ** 2))
+                    for i in range(N)])
+    x0 = jnp.zeros(n)
+    outs = []
+    for F in (Fd, Fs):
+        x, _ = ciao_tpu.Katyusha(maxit=6, batch=16, block_sampling=True)(
+            x0, F=F, g=g, L=L, N=N
+        )
+        outs.append(x)
+    _close(outs[0], outs[1], tol=1e-8)
