@@ -135,3 +135,14 @@ def test_saga_sag(logistic):
     states = list(take(iter(it), 2))
     x1, _ = SAGA(gamma=gamma, maxit=1)(x0, F=F, g=g, L=prob.L, N=8)
     np.testing.assert_array_equal(np.asarray(solution(states[0])), np.asarray(x1))
+
+
+def test_katyusha_logistic(logistic):
+    """Katyusha (beyond the reference) on the reference's hardcoded
+    L1-logistic problem: the accelerated method reaches the same
+    hardcoded x_star at the reference's ∞-norm tolerance in a fraction
+    of the budget (the logistic oracle exercises the non-lsq
+    coefficient formula through grad_sum_diff)."""
+    prob, F, g, x0 = logistic
+    x, _ = ciao_tpu.Katyusha(maxit=120)(x0, F=F, g=g, L=prob.L, N=8)
+    check(prob, x)
