@@ -43,6 +43,19 @@ from ciao_tpu.prox import (
     IndSimplex,
     NormNuclear,
     Zero,
+    NormL0,
+    NormL21,
+    NormLinf,
+    IndBallL1,
+    IndBallLinf,
+    IndNonnegative,
+    IndNonpositive,
+    IndHalfspace,
+    IndPoint,
+    IndAffine,
+    IndSphereL2,
+    LogBarrier,
+    HingeLoss,
 )
 from ciao_tpu.solvers import (
     Finito,
@@ -89,4 +102,17 @@ __all__ = [
     "IndSimplex",
     "NormNuclear",
     "Zero",
+    "NormL0",
+    "NormL21",
+    "NormLinf",
+    "IndBallL1",
+    "IndBallLinf",
+    "IndNonnegative",
+    "IndNonpositive",
+    "IndHalfspace",
+    "IndPoint",
+    "IndAffine",
+    "IndSphereL2",
+    "LogBarrier",
+    "HingeLoss",
 ]

@@ -1,5 +1,7 @@
 """Prox kernel library (replaces ProximalOperators.jl's nonsmooth side;
-SURVEY.md §2.2). Separable ops fuse into Pallas TPU kernels on device."""
+SURVEY.md §2.2). The solvers' fused Pallas paths handle the hot
+separable proxes in-kernel (ops/fused_block); everything here is the
+identical closed-form XLA formula, usable standalone and on CPU CI."""
 
 from ciao_tpu.prox.base import ProxOperator, register_prox
 from ciao_tpu.prox.separable import (
@@ -12,6 +14,21 @@ from ciao_tpu.prox.separable import (
     IndBallL2,
     IndSimplex,
     NormNuclear,
+)
+from ciao_tpu.prox.extended import (
+    NormL0,
+    NormL21,
+    NormLinf,
+    IndBallL1,
+    IndBallLinf,
+    IndNonnegative,
+    IndNonpositive,
+    IndHalfspace,
+    IndPoint,
+    IndAffine,
+    IndSphereL2,
+    LogBarrier,
+    HingeLoss,
 )
 
 __all__ = [
@@ -26,4 +43,17 @@ __all__ = [
     "IndBallL2",
     "IndSimplex",
     "NormNuclear",
+    "NormL0",
+    "NormL21",
+    "NormLinf",
+    "IndBallL1",
+    "IndBallLinf",
+    "IndNonnegative",
+    "IndNonpositive",
+    "IndHalfspace",
+    "IndPoint",
+    "IndAffine",
+    "IndSphereL2",
+    "LogBarrier",
+    "HingeLoss",
 ]
