@@ -21,6 +21,7 @@ from ciao_tpu.parallel.tp import (
     TPLFinito,
     TPSAGA,
     TPSVRG,
+    TPKatyusha,
     data_model_specs,
     shard_finite_sum_2d,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "TPLFinito",
     "TPSAGA",
     "TPSVRG",
+    "TPKatyusha",
     "data_model_specs",
     "shard_finite_sum_2d",
 ]

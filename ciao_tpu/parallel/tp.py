@@ -666,6 +666,103 @@ _SVRG_ST_SPECS = TPSVRGState(
 )
 
 
+class TPKatyushaState(NamedTuple):
+    Lmax: jnp.ndarray       # scalar smoothness bound (drives α, β)
+    tau1: jnp.ndarray       # scalar momentum weight of the CURRENT epoch
+    tau2: jnp.ndarray       # scalar anchor weight (constant)
+    av: jnp.ndarray         # (n,) anchor μ = ∇f(x̃), P("model")
+    x_tilde: jnp.ndarray    # (n,) outer iterate, P("model")
+    y: jnp.ndarray          # (n,) gradient-step sequence, P("model")
+    z: jnp.ndarray          # (n,) mirror-step sequence, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x_tilde
+
+
+class TPKatyushaCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    m: int = 1          # inner steps per outer iterate (static)
+    ns: bool = False    # non-strongly-convex τ₁ₛ = 2/(s+4) schedule
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_katyusha_init(F, g, x0, Lmax, tau1, tau2, key, cfg: TPKatyushaCfg):
+    """2-D-sharded Katyusha bootstrap (cf. dp._katyusha_init_local): the
+    anchor full gradient is one "model" margin psum + one "data" psum."""
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    av = _psum_d(F.apply_all(c)) / cfg.N
+    return TPKatyushaState(
+        Lmax=Lmax, tau1=tau1, tau2=tau2, av=av, x_tilde=x0, y=x0, z=x0,
+        key=key, it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_katyusha_outer(F, g, cfg: TPKatyushaCfg, state: TPKatyushaState):
+    """One Katyusha outer iterate on the ("data","model") mesh (the
+    three-sequence coupling of solvers.katyusha on the TPSVRG data
+    path). The anchor coefficients are recomputed ONCE per outer step;
+    each inner step pays one (B,)-sized "model" margin psum at x and
+    one x-shard-sized "data" psum of the variance-reduced direction —
+    every vector update is coordinate-local (separable prox)."""
+    N, B, m = cfg.N, cfg.b_loc, cfg.m
+    rdt = jnp.zeros((), jnp.result_type(state.y)).real.dtype
+    s = (state.it - 1).astype(rdt)
+    tau1 = 2.0 / (s + 4.0) if cfg.ns else state.tau1
+    tau2 = state.tau2
+    alpha = 1.0 / (3.0 * tau1 * state.Lmax)
+    beta = 1.0 / (3.0 * state.Lmax)
+    av, xt = state.av, state.x_tilde
+    row = jax.lax.axis_index(DATA_AXIS)
+    kstep = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+    d_loc = cfg.n_loc // B
+
+    rf = _psum_m(F.margin_all(xt))
+    cf = F.coeff_from_margin_all(rf)          # (n_loc,) anchor coefficients
+
+    def inner(carry, k):
+        y, z, ysum = carry
+        x = tau1 * z + tau2 * xt + (1.0 - tau1 - tau2) * y
+        kk = jax.random.fold_in(kstep, k)
+        start = jax.random.randint(kk, (), 0, d_loc, dtype=jnp.int32) * B
+        rx = _psum_m(F.margin_block(x, start, B))
+        cb = F.coeff_from_margin(rx, start, B)
+        cfb = jax.lax.dynamic_slice_in_dim(cf, start, B)
+        # ∇̃ = μ + mean over the global B·D inner batch of (live − anchor)
+        gr = av + _psum_d(F.apply_rows_block(cb - cfb, start, B)) / (B * cfg.D)
+        z = g.prox_only(z - alpha * gr, alpha)
+        y = g.prox_only(x - beta * gr, beta)
+        return (y, z, ysum + y), None
+
+    (y, z, ysum), _ = jax.lax.scan(
+        inner, (state.y, state.z, jnp.zeros_like(state.y)),
+        jnp.arange(m, dtype=jnp.int32),
+    )
+    x_tilde = ysum / jnp.asarray(m, ysum.dtype)
+    rf2 = _psum_m(F.margin_all(x_tilde))
+    av_next = _psum_d(F.apply_all(F.coeff_from_margin_all(rf2))) / N
+    return state._replace(
+        tau1=tau1.astype(state.tau1.dtype) if cfg.ns else state.tau1,
+        av=av_next, x_tilde=x_tilde, y=y, z=z, it=state.it + 1,
+    )
+
+
+_KAT_ST_SPECS = TPKatyushaState(
+    Lmax=P(), tau1=P(), tau2=P(), av=P(MODEL_AXIS), x_tilde=P(MODEL_AXIS),
+    y=P(MODEL_AXIS), z=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
 def _tp_rebase_identity(F, g, cfg, state):
     """LFinito/SVRG recompute their anchor exactly every epoch/outer
     step — storage swaps self-heal after one iterate (cf.
@@ -684,6 +781,8 @@ _TP_FAMILY = {
                 _tp_rebase_identity, (P(MODEL_AXIS), P(DATA_AXIS), P())),
     "svrg": (_tp_svrg_init, _tp_svrg_outer, _SVRG_ST_SPECS,
              _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
+    "katyusha": (_tp_katyusha_init, _tp_katyusha_outer, _KAT_ST_SPECS,
+                 _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P(), P())),
 }
 
 
@@ -808,6 +907,107 @@ class TPSVRG:
         state, it = run_solver_loop(
             init, run, self._effective_maxit(), self.verbose, self.freq,
             disp, observe,
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPKatyusha:
+    """Katyusha on a ("data", "model") mesh — samples AND coordinates
+    sharded (beyond the reference; see :class:`ciao_tpu.solvers.
+    Katyusha`). Requires a rank-1 oracle and a separable prox.
+    ``batch`` is the per-data-row inner block size (global inner batch
+    = batch·D); ``m`` counts inner BATCHES per outer iterate and
+    defaults to 2N/(batch·D); ``maxit`` counts outer iterates.
+    ``sigma`` sets the strongly-convex τ₁; without it the τ₁ₛ = 2/(s+4)
+    non-strongly-convex epoch schedule runs."""
+
+    mesh: object = None
+    batch: int = 1
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    m: Optional[int] = None
+    tau1: Optional[float] = None
+    tau2: float = 0.5
+    sigma: Optional[float] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert 0.0 < self.tau2 < 1.0
+        if self.tau1 is not None:
+            assert 0.0 < self.tau1 <= 1.0 - self.tau2
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPKatyusha needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPKatyusha shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPKatyusha needs a rank-1 (coefficient) oracle")
+        if L is None:
+            raise ValueError("TPKatyusha: provide the smoothness moduli L")
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError(
+                "TPKatyusha: need N divisible by D and N/D by batch"
+            )
+        if x0.size % M != 0:
+            raise ValueError("TPKatyusha: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        Lmax = jnp.max(jnp.asarray(L, rdt))
+        m = (2 * N) // (self.batch * D) if self.m is None else self.m
+        if m < 1:
+            raise ValueError("TPKatyusha: m must be >= 1")
+        ns = False
+        if self.tau1 is not None:
+            tau1 = jnp.asarray(self.tau1, rdt)
+        elif self.sigma is not None:
+            tau1 = jnp.minimum(
+                jnp.sqrt(m * self.batch * D * jnp.asarray(self.sigma, rdt)
+                         / (3.0 * Lmax)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            ns = True
+            tau1 = jnp.asarray(0.5, rdt)  # epoch 0 value of 2/(s+4)
+        cfg = TPKatyushaCfg(N=N, D=D, M=M, b_loc=self.batch, m=m, ns=ns)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_treedef = jax.tree_util.tree_structure(g)
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "katyusha", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        tau2 = jnp.asarray(self.tau2, rdt)
+        init = lambda: init_c(F, g, x0, Lmax, tau1, tau2, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 

@@ -1097,3 +1097,45 @@ def test_dp_huber_oracle(mesh):
     xk, _ = DPKatyusha(mesh=mesh, maxit=120, batch=8)(z0, F=F, L=L)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xk), atol=1e-4)
     assert np.linalg.norm(np.asarray(xk) - x_true) < 0.1
+
+
+def test_tp_katyusha_converges_and_shards():
+    """TPKatyusha on a (4 data x 2 model) mesh (beyond the reference —
+    accelerated variance reduction on the TPSVRG data path): anchor
+    coefficients recomputed once per outer step, inner steps pay one
+    (B,)-margin "model" psum + one x-shard "data" psum; the three
+    momentum sequences stay coordinate-sharded."""
+    from ciao_tpu.parallel import TPKatyusha, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = TPKatyusha(mesh=mesh2, maxit=300, batch=4)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.x_tilde.sharding.spec == P(MODEL_AXIS)
+    assert st.av.sharding.spec == P(MODEL_AXIS)
+    assert st.y.sharding.spec == P(MODEL_AXIS)
+    # init state is iteration #1: solution(init) == x0 (SVRG convention)
+    np.testing.assert_allclose(np.asarray(st.solution), 0.0)
+
+
+def test_tp_katyusha_rejects_nonseparable_prox():
+    from ciao_tpu.parallel import TPKatyusha, make_mesh_2d
+    from ciao_tpu.prox import NormL2
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    with pytest.raises(ValueError, match="separable"):
+        TPKatyusha(mesh=mesh2)(
+            x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
+        )
