@@ -124,6 +124,7 @@ class DPCfg(NamedTuple):
     local: bool = False   # LFinito local sweep / SVRG local inner loop
     m_inner: int = 0      # static inner-loop length (SVRG fused local mode; Katyusha)
     variant: str = "basic"
+    tol_b: float = 1e-9   # adaptive backtracking underflow bound
 
     @property
     def n_loc(self):
@@ -153,6 +154,29 @@ class DPFinitoCoeffState(NamedTuple):
     c: jnp.ndarray          # (N,) sharded coefficients
     zb: jnp.ndarray         # (D·d_loc, n) sharded per-block anchors
     invg: jnp.ndarray       # (D·d_loc,) sharded Σ 1/γ_i per block
+    hat_gamma: jnp.ndarray
+    av: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.z
+
+
+class DPFinitoAdaptiveState(NamedTuple):
+    """Sharded adaptive-Finito state (cf. solvers.finito.
+    FinitoAdaptiveState): the three N-tables (s, gradf, fi_x) and the
+    per-index stepsizes shard by index block; the aggregate (hat_γ, av,
+    z) replicates — the backtracking loop runs LOCKSTEP on every device
+    against broadcast owner-row data."""
+
+    s: jnp.ndarray          # (N, n) sharded iterate table
+    gradf: jnp.ndarray      # (N, n) sharded gradient table
+    fi_x: jnp.ndarray       # (N,) sharded cost table
+    gamma: jnp.ndarray      # (N,) sharded stepsizes
     hat_gamma: jnp.ndarray
     av: jnp.ndarray
     z: jnp.ndarray
@@ -228,6 +252,8 @@ class DPProshiState(NamedTuple):
 
 _SHARDED_FIELDS = {
     "s": P(DATA_AXIS, None),
+    "gradf": P(DATA_AXIS, None),
+    "fi_x": P(DATA_AXIS),
     "gamma": P(DATA_AXIS),
     "c": P(DATA_AXIS),
     "zb": P(DATA_AXIS, None),
@@ -424,6 +450,215 @@ def _finito_coeff_step_or_round(F, g, cfg: DPCfg, state):
     if cfg.local_steps > 1:
         return _finito_coeff_local_round(F, g, cfg, state)
     return _finito_coeff_step_local(F, g, cfg, state)
+
+
+def _global_single_index(key, it, N: int, sweeping: int):
+    """Replicated single-index schedule for the adaptive variant: one
+    GLOBAL index per step, identical on every device (stateless
+    (key, it) derivation — reference Finito_adaptive.jl:106-118, with
+    adaptive-cyclic starting at index 1 and the first shuffled epoch in
+    natural order, as in the single-chip path)."""
+    if sweeping == Sweep.CYCLIC:
+        return ((it - 1) % N).astype(jnp.int32)
+    if sweeping == Sweep.SHUFFLED:
+        epoch = (it - 1) // N
+        pos = (it - 1) % N
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, epoch), N
+        ).astype(jnp.int32)
+        nat = jnp.arange(N, dtype=jnp.int32)
+        order = jnp.where(epoch == 0, nat, perm)
+        return order[pos]
+    return jax.random.randint(
+        jax.random.fold_in(key, it), (), 0, N, dtype=jnp.int32
+    )
+
+
+def _finito_adaptive_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded adaptive-Finito bootstrap (reference
+    Finito_adaptive.jl:60-97; cf. solvers.finito.finito_adaptive_init):
+    the finite-difference L probe with doubling-perturbation retry runs
+    per-shard (row-local, no collectives — per-device trip counts may
+    differ), then hat_γ and av are one stacked psum. ``gamma`` is
+    ignored — the variant derives its stepsizes from the probe."""
+    del gamma
+    N, n_loc = cfg.N, cfg.n_loc
+    rdt = real_dtype_of(x0)
+    fi_x, G0 = F.value_and_grad_all(x0)              # local tables at x0
+    s = jnp.broadcast_to(x0, G0.shape)
+
+    xeps = x0 + jnp.ones_like(x0)
+    G1 = F.grad_all(xeps)
+    nmg0 = jnp.sqrt(jnp.sum(jnp.abs(G1 - G0) ** 2, axis=1)).astype(rdt)
+    eps = jnp.finfo(rdt).eps
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    def need_retry(c):
+        nmg, t, k = c
+        return jnp.any(nmg < eps)
+
+    def retry(c):
+        nmg, t, k = c
+        k, sub = jax.random.split(k)
+        signs = jax.random.rademacher(sub, G0.shape, dtype=rdt)
+        xs = x0[None, :] + t[:, None] * signs.astype(x0.dtype)
+        Gp = F.grad_pointwise(xs, jnp.arange(n_loc))
+        nmg_new = jnp.sqrt(jnp.sum(jnp.abs(Gp - G0) ** 2, axis=1)).astype(rdt)
+        bad = nmg < eps
+        return jnp.where(bad, nmg_new, nmg), jnp.where(bad, t * 2, t), k
+
+    t0 = jnp.ones((n_loc,), rdt)
+    probe_key = jax.random.fold_in(jax.random.fold_in(key, 0x9E3779B9), ax)
+    nmg, t_final, _ = jax.lax.while_loop(
+        need_retry, retry, (nmg0, t0, probe_key)
+    )
+
+    n_dim = x0.size
+    L_int = nmg / (t_final * jnp.sqrt(jnp.asarray(float(n_dim), rdt))) / N
+    gam = jnp.asarray(cfg.alpha, rdt) / L_int
+    # one stacked psum: [Σ 1/γ, Σ s/γ − Σ G0/N] over the shards
+    part = jnp.concatenate([
+        jnp.sum(1.0 / gam)[None].astype(x0.dtype),
+        jnp.sum(s / gam[:, None], axis=0) - jnp.sum(G0, axis=0) / N,
+    ])
+    tot = _psum(part)
+    hat_gamma = (1.0 / jnp.real(tot[0])).astype(rdt)
+    av = hat_gamma * tot[1:]
+    z = g.prox_only(av, hat_gamma)
+    return DPFinitoAdaptiveState(
+        s=s, gradf=G0, fi_x=fi_x, gamma=gam, hat_gamma=hat_gamma, av=av,
+        z=z, key=key, it=jnp.ones((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _finito_adaptive_step_local(F, g, cfg: DPCfg, state):
+    """One sharded adaptive-Finito step (reference
+    Finito_adaptive.jl:100-155). LOCKSTEP design: the global index's
+    owner broadcasts its row state (s_i, ∇f_i, f_i(x_i), γ_i) in one
+    stacked psum, then EVERY device runs the identical backtracking
+    while_loop on replicated data — each backtrack iteration pays one
+    scalar psum for f_i(z) (only the owner's oracle holds row i), and
+    the closed-form (av, hat_γ) rescales are replicated algebra. The
+    final table writes land only on the owner's shard."""
+    from ciao_tpu.solvers.base import Status
+
+    N = cfg.N
+    rdt = real_dtype_of(state.av)
+    eps = jnp.finfo(rdt).eps
+    i_glob = _global_single_index(state.key, state.it, N, cfg.sweeping)
+    ax = jax.lax.axis_index(DATA_AXIS)
+    owner = i_glob // cfg.n_loc
+    i_loc = i_glob % cfg.n_loc
+    mine = ax == owner
+
+    def bcast_vec(v):
+        return _psum(jnp.where(mine, v, jnp.zeros_like(v)))
+
+    rows = bcast_vec(jnp.stack([state.s[i_loc], state.gradf[i_loc]]))
+    s_i, gradf_i = rows[0], rows[1]
+    scal = bcast_vec(jnp.stack([
+        state.fi_x[i_loc].astype(rdt), state.gamma[i_loc].astype(rdt)
+    ]))
+    fi_xi, gamma_i = scal[0], scal[1]
+
+    def sqnorm(v):
+        return jnp.sum(jnp.abs(v) ** 2).astype(rdt)
+
+    def fi_at(z):
+        val = F.value_i(z, i_loc).astype(rdt)
+        return _psum(jnp.where(mine, val, jnp.zeros_like(val)))
+
+    class Carry(NamedTuple):
+        gi: jnp.ndarray
+        hat: jnp.ndarray
+        av: jnp.ndarray
+        z: jnp.ndarray
+        res: jnp.ndarray
+        done: jnp.ndarray
+        abort: jnp.ndarray
+
+    def cond(c: Carry):
+        return ~c.done
+
+    def body(c: Carry):
+        abort_now = c.gi < cfg.tol_b / N
+        fi_z = fi_at(c.z)
+        model = (
+            fi_xi
+            + jnp.real(jnp.vdot(gradf_i, c.res)).astype(rdt)
+            + (0.5 * N * cfg.alpha / c.gi) * sqnorm(c.res)
+        )
+        tolv = 10 * eps * (1 + jnp.abs(fi_z))
+        satisfied = fi_z <= model + tolv
+        done = abort_now | satisfied
+        gi_new = c.gi * jnp.asarray(0.8, rdt)
+        av1 = c.av / c.hat
+        av1 = av1 + s_i / gi_new - s_i / c.gi
+        hat_new = 1.0 / (1.0 / c.hat + 1.0 / gi_new - 1.0 / c.gi)
+        av1 = av1 * hat_new
+        z_new = g.prox_only(av1, hat_new)
+        res_new = z_new - s_i
+        keep = done
+
+        def pick(a, b):
+            return jnp.where(keep, a, b)
+
+        return Carry(
+            gi=pick(c.gi, gi_new), hat=pick(c.hat, hat_new),
+            av=jnp.where(keep, c.av, av1), z=jnp.where(keep, c.z, z_new),
+            res=jnp.where(keep, c.res, res_new), done=done,
+            abort=c.abort | abort_now,
+        )
+
+    c0 = Carry(
+        gi=gamma_i, hat=state.hat_gamma, av=state.av, z=state.z,
+        res=state.z - s_i, done=jnp.zeros((), bool),
+        abort=jnp.zeros((), bool),
+    )
+    c = jax.lax.while_loop(cond, body, c0)
+
+    key, _ = jax.random.split(state.key)
+
+    def aborted(_):
+        return state._replace(
+            key=key, status=jnp.asarray(Status.GAMMA_UNDERFLOW, jnp.int32)
+        )
+
+    def update(_):
+        def owner_set(table, row, val):
+            cur = table[row]
+            return table.at[row].set(
+                jnp.where(mine, val.astype(cur.dtype), cur)
+            )
+
+        gamma = owner_set(state.gamma, i_loc, c.gi)
+        hat = c.hat
+        av = c.av + (hat / c.gi) * (c.z - s_i)
+        s = owner_set(state.s, i_loc, c.z)
+        av = av + (hat / N) * gradf_i
+        fi_new_loc, g_new_loc = F.value_and_grad_i(c.z, i_loc)
+        g_new = bcast_vec(g_new_loc)
+        fi_new = _psum(jnp.where(
+            mine, fi_new_loc.astype(rdt), jnp.zeros((), rdt)
+        ))
+        fi_x = owner_set(state.fi_x, i_loc, fi_new)
+        gradf = owner_set(state.gradf, i_loc, g_new)
+        av = av - (hat / N) * g_new
+        z = g.prox_only(av, hat)
+        return DPFinitoAdaptiveState(
+            s=s, gradf=gradf, fi_x=fi_x, gamma=gamma, hat_gamma=hat,
+            av=av, z=z, key=key, it=state.it + 1, status=state.status,
+        )
+
+    def step(st):
+        return jax.lax.cond(c.abort, aborted, update, None)
+
+    # status guard: once aborted, the state freezes (reference returns
+    # nothing and iteration stops; here the abort is a carried enum)
+    return jax.lax.cond(
+        state.status == Status.RUNNING, step, lambda st: st, state
+    )
 
 
 def _lfinito_init_local(F, g, x0, gamma, key, cfg: DPCfg):
@@ -1144,6 +1379,10 @@ _FAMILY = {
         _finito_coeff_init_local, _finito_coeff_step_or_round,
         DPFinitoCoeffState, False, _finito_coeff_rebase_local,
     ),
+    "finito_adaptive": (
+        _finito_adaptive_init_local, _finito_adaptive_step_local,
+        DPFinitoAdaptiveState, False, _rebase_identity_local,
+    ),
     "lfinito": (_lfinito_init_local, _lfinito_step_or_local, DPLFinitoState,
                 False, _rebase_identity_local),
     "saga": (_saga_init_local, _saga_step_or_round, DPSAGAState, True,
@@ -1273,8 +1512,16 @@ class DPFinito:
 
     Same knobs as :class:`ciao_tpu.solvers.Finito` where they apply;
     ``batch`` is the GLOBAL minibatch (split evenly across the data
-    axis). The adaptive variant stays single-chip — its backtracking
-    serializes on a global scalar (SURVEY.md §7 hard-parts).
+    axis).
+
+    ``adaptive=True`` runs the backtracking variant (reference
+    ``Finito_adaptive.jl``) with the three N-tables sharded: the
+    per-step single index is global (reference parity — no minibatch),
+    its owner broadcasts the row state in one stacked psum, and the
+    backtracking loop runs lockstep on every device with one scalar
+    psum per backtrack iteration (SURVEY.md §7 flags this as the
+    hardest variant to distribute; the win is sharded table MEMORY and
+    a sharded init probe, not step throughput).
 
     ``local_steps > 1`` selects the LOCAL-UPDATE mode (beyond the
     reference — the multi-chip throughput path): each device runs that
@@ -1300,11 +1547,13 @@ class DPFinito:
     gamma: Optional[object] = None
     sweeping: int = 1
     LFinito: bool = False
+    adaptive: bool = False
     batch: int = 0          # 0 -> one index per device
     maxit: int = 10000
     verbose: bool = False
     freq: int = 10000
     alpha: float = 0.999
+    tol_b: float = 1e-9
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     local_steps: int = 1
     rebase_every: int = 50  # local rounds between exact av recomputes
@@ -1319,6 +1568,8 @@ class DPFinito:
         if g is None:
             g = Zero()
         rdt = real_dtype_of(x0)
+        if self.adaptive:
+            return self._setup_adaptive(mesh, x0, F, g, N, rdt)
         batch = self.batch or mesh.shape[DATA_AXIS]
         D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping, "DPFinito")
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
@@ -1396,6 +1647,42 @@ class DPFinito:
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, n: run_c(F, g, s, n)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def _setup_adaptive(self, mesh, x0, F, g, N, rdt):
+        """Adaptive (backtracking) variant over the mesh: stepsizes come
+        from the sharded finite-difference probe, γ/L inputs are unused
+        (reference parity), and the step is single-GLOBAL-index."""
+        if self.LFinito or self.local_steps > 1 or self.local_sweep:
+            raise ValueError(
+                "DPFinito adaptive=True is exclusive with LFinito/"
+                "local_steps/local_sweep (reference Finito.jl:80-116)"
+            )
+        if self.batch not in (0, 1):
+            raise ValueError(
+                "DPFinito adaptive=True is single-index (the reference "
+                "adaptive variant has no minibatch, Finito_adaptive.jl:162)"
+            )
+        D = mesh.shape[DATA_AXIS]
+        if N % D != 0:
+            raise ValueError(
+                f"DPFinito: N={N} must divide evenly over the {D}-device "
+                f"data axis"
+            )
+        cfg = DPCfg(
+            N=N, D=D, b_loc=1, sweeping=self.sweeping,
+            alpha=float(self.alpha), tol_b=float(self.tol_b),
+            variant="adaptive",
+        )
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "finito_adaptive", mesh, F, g, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        gamma_dummy = jnp.zeros((N,), rdt)
+        init = lambda: init_c(F, g, x0, gamma_dummy, key)
         step = lambda s: step_c(F, g, s)
         run = lambda s, n: run_c(F, g, s, n)
         rebase = lambda s: rebase_c(F, g, s)

@@ -1139,3 +1139,51 @@ def test_tp_katyusha_rejects_nonseparable_prox():
         TPKatyusha(mesh=mesh2)(
             x0(prob), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
         )
+
+
+def test_dp_finito_adaptive_converges_and_shards(mesh, lasso):
+    """DP adaptive Finito (reference Finito_adaptive.jl over the mesh —
+    SURVEY.md §7's hardest-to-distribute variant): the three N-tables
+    shard by index block, the global single index's owner broadcasts
+    its row state in one stacked psum, and the backtracking loop runs
+    lockstep with one scalar psum per backtrack iteration."""
+    prob, F, g = lasso
+    solver = DPFinito(mesh=mesh, adaptive=True, sweeping=2, maxit=8000)
+    x, _ = solver(x0(prob), F=F, g=g)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g)))
+    assert st.s.sharding.spec == P(DATA_AXIS, None)
+    assert st.gradf.sharding.spec == P(DATA_AXIS, None)
+    assert st.fi_x.sharding.spec == P(DATA_AXIS)
+    assert st.gamma.sharding.spec == P(DATA_AXIS)
+    # stepsizes come from the probe, not from L (which is never passed)
+    assert np.all(np.asarray(st.gamma) > 0)
+
+
+def test_dp_finito_adaptive_matches_single_chip_cyclic(mesh, lasso):
+    """Under cyclic sweeping the DP-adaptive index stream equals the
+    single-chip one (0,1,2,...), the probe is deterministic, and the
+    backtracking algebra is identical — trajectories agree to fp
+    reduction-order noise."""
+    prob, F, g = lasso
+    x_dp, _ = DPFinito(mesh=mesh, adaptive=True, sweeping=2, maxit=500)(
+        x0(prob), F=F, g=g
+    )
+    F1 = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    x_sc, _ = ciao_tpu.Finito(adaptive=True, sweeping=2, maxit=500)(
+        x0(prob), F=F1, g=g, N=N
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_dp), np.asarray(x_sc), rtol=0, atol=1e-10
+    )
+
+
+def test_dp_finito_adaptive_validates(mesh, lasso):
+    prob, F, g = lasso
+    with pytest.raises(ValueError, match="exclusive"):
+        DPFinito(mesh=mesh, adaptive=True, LFinito=True)(x0(prob), F=F, g=g)
+    with pytest.raises(ValueError, match="single-index"):
+        DPFinito(mesh=mesh, adaptive=True, batch=8)(x0(prob), F=F, g=g)
