@@ -111,6 +111,15 @@ class SmoothOracle(abc.ABC):
     subclasses override them when a fused matmul (MXU) path exists.
     """
 
+    #: True when every gradient is coordinatewise in x — coordinate j of
+    #: ``grad f_i(x)`` depends only on ``x[j]`` (diagonal quadratics, box
+    #: distances, sums thereof). Such oracles evaluate correct LOCAL
+    #: gradient columns on a coordinate shard with NO collective, which
+    #: is what the tensor-parallel sharing path (``parallel.TPProshi``)
+    #: requires. Row oracles (least-squares/logistic margins) are NOT:
+    #: their gradients go through the full row dot ``a_i·x``.
+    coordinate_separable: bool = False
+
     # --- required -----------------------------------------------------
     @property
     @abc.abstractmethod

@@ -28,6 +28,10 @@ class SumOracle(SmoothOracle):
     def num_terms(self) -> int:
         return self.terms[0].num_terms
 
+    @property
+    def coordinate_separable(self) -> bool:
+        return all(t.coordinate_separable for t in self.terms)
+
     def value_and_grad_i(self, x, i):
         vals, grads = zip(*(t.value_and_grad_i(x, i) for t in self.terms))
         return sum(vals), sum(grads)
@@ -73,6 +77,8 @@ class SumOracle(SmoothOracle):
 @dataclasses.dataclass(frozen=True)
 class ZeroOracle(SmoothOracle):
     """f_i == 0 for all i — the reference's default F (Finito.jl:78)."""
+
+    coordinate_separable = True
 
     n_terms: int = dataclasses.field(metadata={"static": True})
     example: jnp.ndarray = None  # shape/dtype template for gradients

@@ -26,6 +26,8 @@ class DiagQuadratic(SmoothOracle):
     d: jnp.ndarray  # (N, n) diagonal of Q_i
     q: jnp.ndarray  # (N, n) linear term
 
+    coordinate_separable = True  # grad = d ⊙ x + q, coordinatewise
+
     @property
     def num_terms(self) -> int:
         return self.d.shape[0]
@@ -110,6 +112,8 @@ class SqrDistBox(SmoothOracle):
     hi: jnp.ndarray
     eta: jnp.ndarray
     n_terms: int = dataclasses.field(metadata={"static": True}, default=1)
+
+    coordinate_separable = True  # grad = eta (x − clip(x)), coordinatewise
 
     @property
     def num_terms(self) -> int:

@@ -22,6 +22,7 @@ from ciao_tpu.parallel.tp import (
     TPSAGA,
     TPSVRG,
     TPKatyusha,
+    TPProshi,
     data_model_specs,
     shard_finite_sum_2d,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "TPSAGA",
     "TPSVRG",
     "TPKatyusha",
+    "TPProshi",
     "data_model_specs",
     "shard_finite_sum_2d",
 ]

@@ -35,6 +35,7 @@ from ciao_tpu.prox import Zero
 from ciao_tpu.solvers.base import (
     SolverIterable,
     real_dtype_of,
+    resolve_gamma_array,
     run_solver_loop,
 )
 
@@ -86,6 +87,23 @@ def data_model_specs(F, N: int):
         return P()
 
     return jax.tree_util.tree_map(spec, F)
+
+
+def model_prox_specs(g, n: int):
+    """Placement for the prox's pytree under coordinate sharding:
+    coordinate-length (n,) parameter leaves (per-coordinate box bounds,
+    weights) shard over "model" alongside the iterate; scalars and
+    everything else replicate. Without this a vector prox parameter
+    stays full-length inside the shard and broadcasts the local
+    (n/M,)-iterate back to (n,)."""
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", None)
+        if shape is None:
+            shape = np.shape(leaf)
+        return P(MODEL_AXIS) if len(shape) == 1 and shape[0] == n else P()
+
+    return jax.tree_util.tree_map(spec, g)
 
 
 def shard_finite_sum_2d(F, mesh, N: Optional[int] = None):
@@ -301,9 +319,12 @@ class TPFinito:
                           sweeping=self.sweeping)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
-        g_treedef = jax.tree_util.tree_structure(g)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
         init_c, step_c, run_c, rebase_c = _compiled_tp_family(
-            "finito", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+            "finito", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -373,9 +394,12 @@ class TPSAGA:
         cfg = TPCfg(N=N, D=D, M=M, b_loc=self.batch, sag=self.SAG_flag)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
-        g_treedef = jax.tree_util.tree_structure(g)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
         init_c, step_c, run_c, rebase_c = _compiled_tp_family(
-            "saga", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+            "saga", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -548,9 +572,12 @@ class TPLFinito:
                            sweeping=self.sweeping)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
-        g_treedef = jax.tree_util.tree_structure(g)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
         init_c, step_c, run_c, rebase_c = _compiled_tp_family(
-            "lfinito", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+            "lfinito", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, key)
@@ -763,6 +790,111 @@ _KAT_ST_SPECS = TPKatyushaState(
 )
 
 
+class TPProshiState(NamedTuple):
+    """ProShI sharing-problem state on the ("data","model") mesh: the
+    (N, n) block-variable table shards over BOTH axes, γ over "data",
+    the coupling pair (av, z) over "model" (replicated across data)."""
+
+    s: jnp.ndarray          # (N, n) block table, P("data","model")
+    gamma: jnp.ndarray      # (N,), P("data")
+    hat_gamma: jnp.ndarray  # scalar Σγ (global)
+    av: jnp.ndarray         # (n,) Σ_i s_i, P("model")
+    z: jnp.ndarray          # (n,) coupling variable, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        # pure view of the N block solutions x_i = s_i + γ_i z (the
+        # reference mutates its table here, ProShI_basic.jl:127-132)
+        return self.s + self.gamma[:, None] * self.z[None, :]
+
+
+class TPProshiCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    sweeping: int
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_proshi_init(F, g, x0, gamma, key, cfg: TPProshiCfg):
+    """2-D-sharded ProShI bootstrap (reference ProShI_basic.jl:45-90).
+
+    The oracle must be coordinate-separable (``F.coordinate_separable``):
+    its per-block gradients are then coordinatewise in x, so local
+    gradient COLUMNS are exact with no "model" collective — the only
+    cross-device traffic in the whole family is the (n/M)-sized "data"
+    psum of the coupling sum Σ s_i."""
+    from ciao_tpu.parallel.dp import _rows
+
+    n_loc, N = cfg.n_loc, cfg.N
+    G = _rows(F, x0, n_loc)                   # local rows × local columns
+    s = x0[None, :] - (gamma / N)[:, None] * G
+    hat_gamma = _psum_d(jnp.sum(gamma))
+    av = _psum_d(jnp.sum(s, axis=0))
+    z = _tp_proshi_coupling(g, av, hat_gamma)
+    return TPProshiState(
+        s=s, gamma=gamma, hat_gamma=hat_gamma, av=av, z=z, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_proshi_coupling(g, av, hat_gamma):
+    z = g.prox_only(av, hat_gamma)            # separable: local coordinates
+    return (z - av) / hat_gamma
+
+
+def _tp_proshi_step(F, g, cfg: TPProshiCfg, state: TPProshiState):
+    """One ProShI block step (reference ProShI_basic.jl:93-125) on the
+    2-D mesh. The index schedule folds only the DATA axis — every member
+    of a data row's model group draws the same block, so the table
+    columns stay consistent. One (n/M)-sized "data" psum per step."""
+    from ciao_tpu.parallel.dp import local_block_start, local_indices
+    from ciao_tpu.sampling import Sweep
+
+    N, B = cfg.N, cfg.b_loc
+    if cfg.sweeping != Sweep.RANDOM:
+        start = local_block_start(state.key, state.it, cfg.n_loc, B,
+                                  cfg.sweeping)
+        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+        s_old = jax.lax.dynamic_slice_in_dim(state.s, start, B, 0)
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise_block(s_tmp, start, B)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        s = jax.lax.dynamic_update_slice_in_dim(state.s, s_new, start, 0)
+    else:
+        idx = local_indices(state.key, state.it, cfg.n_loc, B, cfg.sweeping)
+        gi = state.gamma[idx]
+        s_old = state.s[idx]
+        s_tmp = s_old + gi[:, None] * state.z[None, :]
+        G_B = F.grad_pointwise(s_tmp, idx)
+        s_new = s_tmp - (gi / N)[:, None] * G_B
+        s = state.s.at[idx].set(s_new)
+    av = state.av + _psum_d(jnp.sum(s_new - s_old, axis=0))
+    z = _tp_proshi_coupling(g, av, state.hat_gamma)
+    return state._replace(s=s, av=av, z=z, it=state.it + 1)
+
+
+def _tp_proshi_rebase(F, g, cfg: TPProshiCfg, state: TPProshiState):
+    """Exact coupling recompute av = Σ s_i (delta-drift control; the
+    sharing oracles have no storage modes so this is never REQUIRED,
+    but the iterator surface keeps the knob uniform across families)."""
+    av = _psum_d(jnp.sum(state.s, axis=0))
+    return state._replace(av=av, z=_tp_proshi_coupling(g, av, state.hat_gamma))
+
+
+_PROSHI_ST_SPECS = TPProshiState(
+    s=P(DATA_AXIS, MODEL_AXIS), gamma=P(DATA_AXIS), hat_gamma=P(),
+    av=P(MODEL_AXIS), z=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
 def _tp_rebase_identity(F, g, cfg, state):
     """LFinito/SVRG recompute their anchor exactly every epoch/outer
     step — storage swaps self-heal after one iterate (cf.
@@ -783,12 +915,14 @@ _TP_FAMILY = {
              _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
     "katyusha": (_tp_katyusha_init, _tp_katyusha_outer, _KAT_ST_SPECS,
                  _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P(), P())),
+    "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
+               _tp_proshi_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
 }
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_tp_family(family: str, mesh, f_treedef, f_specs_leaves,
-                        g_treedef, cfg):
+                        g_treedef, g_specs_leaves, cfg):
     """(init_fn, step_fn, run_fn, rebase_fn) for a TP family on a 2-D
     mesh — the single shard_map/jit assembly shared by every family
     (cf. dp._compiled), cached on the problem STRUCTURE."""
@@ -796,9 +930,7 @@ def _compiled_tp_family(family: str, mesh, f_treedef, f_specs_leaves,
         _TP_FAMILY[family]
     )
     f_specs = jax.tree_util.tree_unflatten(f_treedef, list(f_specs_leaves))
-    g_specs = jax.tree_util.tree_unflatten(
-        g_treedef, [P()] * g_treedef.num_leaves
-    )
+    g_specs = jax.tree_util.tree_unflatten(g_treedef, list(g_specs_leaves))
 
     def init_body(F, g, *rest):
         return init_local(F, g, *rest, cfg)
@@ -887,9 +1019,12 @@ class TPSVRG:
         cfg = TPSVRGCfg(N=N, D=D, M=M, b_loc=self.batch, plus=self.plus)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
-        g_treedef = jax.tree_util.tree_structure(g)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
         init_c, step_c, run_c, rebase_c = _compiled_tp_family(
-            "svrg", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+            "svrg", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: init_c(F, g, x0, gamma, jnp.asarray(m, jnp.int32), key)
@@ -907,6 +1042,99 @@ class TPSVRG:
         state, it = run_solver_loop(
             init, run, self._effective_maxit(), self.verbose, self.freq,
             disp, observe,
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPProshi:
+    """ProShI (sharing formulation) on a ("data","model") mesh — the
+    N block variables shard over "data" AND their coordinates over
+    "model" (beyond the reference, which has no parallelism; SURVEY.md
+    §2.3). Requires a COORDINATE-SEPARABLE smooth oracle
+    (``F.coordinate_separable`` — diagonal quadratics, box distances,
+    sums thereof: the sharing test family, test_sharing.jl:13-24) and a
+    separable prox: gradients and the coupling
+    z = (prox_g(Σsᵢ, Σγ) − Σsᵢ)/Σγ are then coordinatewise, so the ONLY
+    per-step collective is the (n/M)-sized "data" psum of the coupling
+    delta — no "model" collective anywhere. ``batch`` is GLOBAL (split
+    over the data axis); the schedule folds only the data-axis index,
+    so at M=1 the trajectory equals :class:`DPProshi` exactly."""
+
+    mesh: object = None
+    gamma: Optional[object] = None
+    sweeping: int = 1
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 10000
+    alpha: float = 0.999
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.maxit > 0 and self.freq > 0
+        assert self.sweeping in (1, 2, 3)
+
+    def _setup(self, x0, F, g, L, N):
+        from ciao_tpu.parallel.dp import _validate_mesh_batch
+
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPProshi needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        M = mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPProshi shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "coordinate_separable", False):
+            raise ValueError(
+                "TPProshi needs a coordinate-separable oracle (gradients "
+                "coordinatewise in x: DiagQuadratic, SqrDistBox, sums "
+                f"thereof) — got {type(F).__name__}"
+            )
+        if x0.size % M != 0:
+            raise ValueError("TPProshi: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping,
+                                        "TPProshi")
+        gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt,
+                                    who="TPProshi")
+        cfg = TPProshiCfg(N=N, D=D, M=M, b_loc=b_loc, sweeping=self.sweeping)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "proshi", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.hat_gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
         )
         return state.solution, it
 
@@ -991,9 +1219,12 @@ class TPKatyusha:
         cfg = TPKatyushaCfg(N=N, D=D, M=M, b_loc=self.batch, m=m, ns=ns)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
-        g_treedef = jax.tree_util.tree_structure(g)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
         init_c, step_c, run_c, rebase_c = _compiled_tp_family(
-            "katyusha", mesh, f_treedef, tuple(leaves), g_treedef, cfg
+            "katyusha", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
         )
         key = jax.random.PRNGKey(self.seed)
         tau2 = jnp.asarray(self.tau2, rdt)

@@ -1187,3 +1187,124 @@ def test_dp_finito_adaptive_validates(mesh, lasso):
         DPFinito(mesh=mesh, adaptive=True, LFinito=True)(x0(prob), F=F, g=g)
     with pytest.raises(ValueError, match="single-index"):
         DPFinito(mesh=mesh, adaptive=True, batch=8)(x0(prob), F=F, g=g)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel ProShI (sharing formulation, coordinate-separable oracles)
+# ---------------------------------------------------------------------------
+
+def _sharing_24():
+    """The DP fixture's 24-block sharing problem, unsharded (the
+    reference's 3 blocks replicated 8x, test_sharing.jl:13-24)."""
+    reps = 8
+    base_d = np.array([[1.0, 2.0], [-1.0, 3.0], [0.0, 10.0]])
+    d = np.tile(base_d, (reps, 1))
+    q = np.ones_like(d)
+    Nb, nb = d.shape
+    eta = Nb * 10.0
+    L = np.abs(d).max(axis=1) + eta
+    F = SumOracle(
+        terms=(
+            DiagQuadratic(d=jnp.asarray(d), q=jnp.asarray(q)),
+            SqrDistBox(
+                lo=jnp.asarray(-2.0), hi=jnp.asarray(2.0),
+                eta=jnp.asarray(eta), n_terms=Nb,
+            ),
+        )
+    )
+    g = IndBox(lo=-jnp.inf, hi=jnp.asarray(np.ones(nb)))
+    return F, g, jnp.asarray(L), Nb, nb
+
+
+def test_tp_proshi_matches_dp_and_shards():
+    """TPProshi on a (4 data x 2 model) mesh: the block table shards
+    over BOTH axes and — because the sharing oracles are coordinate-
+    separable and the index schedule folds only the data axis — the
+    trajectory equals DPProshi on the same 4-device data axis exactly."""
+    from ciao_tpu.parallel import TPProshi, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+
+    F, g, L, Nb, nb = _sharing_24()
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2, N=Nb)
+    solver = TPProshi(mesh=mesh2, maxit=10000, batch=8, sweeping=2)
+    x, it = solver(jnp.zeros(nb), F=F2, g=g, L=L, N=Nb)
+    assert x.shape == (Nb, nb)
+    got = np.asarray(jnp.sum(x, axis=0))
+    assert np.all(got <= 1.0 + 1e-6)  # the coupling constraint holds
+
+    mesh = make_mesh(4, devices=jax.devices()[:4])
+    Fd = shard_finite_sum(F, mesh, N=Nb)
+    xd, _ = DPProshi(mesh=mesh, maxit=10000, batch=8, sweeping=2)(
+        jnp.zeros(nb), F=Fd, g=g, L=L, N=Nb
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xd),
+                               rtol=1e-12, atol=1e-12)
+
+    st = next(iter(solver.iterator(jnp.zeros(nb), F=F2, g=g, L=L, N=Nb)))
+    assert st.s.sharding.spec == P(DATA_AXIS, MODEL_AXIS)
+    assert st.gamma.sharding.spec == P(DATA_AXIS)
+    assert st.av.sharding.spec == P(MODEL_AXIS)
+    assert st.z.sharding.spec == P(MODEL_AXIS)
+    # round-trip invariant: av is the exact global block sum at init
+    np.testing.assert_allclose(
+        np.asarray(st.av), np.asarray(jnp.sum(st.s, axis=0)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("sweeping", [1, 3])
+def test_tp_proshi_random_and_shuffled_converge(sweeping):
+    from ciao_tpu.parallel import TPProshi, make_mesh_2d, shard_finite_sum_2d
+
+    F, g, L, Nb, nb = _sharing_24()
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2, N=Nb)
+    x, _ = TPProshi(mesh=mesh2, maxit=10000, batch=8, sweeping=sweeping)(
+        jnp.zeros(nb), F=F2, g=g, L=L, N=Nb
+    )
+    x_cyc, _ = TPProshi(mesh=mesh2, maxit=10000, batch=8, sweeping=2)(
+        jnp.zeros(nb), F=F2, g=g, L=L, N=Nb
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(x, axis=0)), np.asarray(jnp.sum(x_cyc, axis=0)),
+        atol=2e-2,
+    )
+
+
+def test_tp_proshi_validates():
+    from ciao_tpu.parallel import TPProshi, make_mesh_2d
+    from ciao_tpu.prox import NormL2
+
+    F, g, L, Nb, nb = _sharing_24()
+    mesh2 = make_mesh_2d(4, 2)
+    with pytest.raises(ValueError, match="separable"):
+        TPProshi(mesh=mesh2)(jnp.zeros(nb), F=F, g=NormL2(lam=jnp.asarray(1.0)),
+                             L=L, N=Nb)
+    # row oracles (gradient needs the full a_i·x dot) must be rejected
+    prob = make_lasso(N=Nb, n=nb, p=1, seed=0)
+    F_rows = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(Nb)),
+    )
+    with pytest.raises(ValueError, match="coordinate-separable"):
+        TPProshi(mesh=mesh2)(jnp.zeros(nb), F=F_rows, g=g, L=L, N=Nb)
+
+
+def test_tp_vector_prox_params():
+    """Per-coordinate prox parameters must shard over "model" with the
+    iterate (model_prox_specs): a vector-lam L1 on TPSAGA agrees with
+    the same run under a scalar lam of equal value."""
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d, shard_finite_sum_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(F, mesh2)
+    g_vec = NormL1(lam=jnp.full((n,), prob.lam))
+    g_sc = NormL1(lam=jnp.asarray(prob.lam))
+    xv, _ = TPSAGA(mesh=mesh2, maxit=500, batch=8)(x0(prob), F=F, g=g_vec, L=prob.L)
+    xs, _ = TPSAGA(mesh=mesh2, maxit=500, batch=8)(x0(prob), F=F, g=g_sc, L=prob.L)
+    np.testing.assert_allclose(np.asarray(xv), np.asarray(xs), rtol=1e-12, atol=1e-12)
