@@ -5,7 +5,12 @@ from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.huber import HuberRows
 from ciao_tpu.oracles.logistic import LogisticRows
-from ciao_tpu.oracles.sparse import SparseLeastSquaresELL, HybridSparseLeastSquares
+from ciao_tpu.oracles.sparse import (
+    SparseLeastSquaresELL,
+    HybridSparseLeastSquares,
+    SparseLogisticELL,
+    HybridSparseLogistic,
+)
 from ciao_tpu.oracles.quadratic import DiagQuadratic, DenseQuadratic, SqrDistBox
 from ciao_tpu.oracles.compose import SumOracle, ZeroOracle, CustomOracle, Precompose
 
@@ -18,6 +23,8 @@ __all__ = [
     "LogisticRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",
+    "SparseLogisticELL",
+    "HybridSparseLogistic",
     "DiagQuadratic",
     "DenseQuadratic",
     "SqrDistBox",

@@ -381,3 +381,354 @@ class HybridSparseLeastSquares(SmoothOracle):
         cold = jnp.sum(val_B * jnp.take_along_axis(xs, idx_B, axis=1), axis=1)
         c = self.scale * (dense + cold - self.b[idx])
         return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+
+def _sigmoid_coeff(y_B, m):
+    """Logistic rank-1 coefficient c = −y σ(−y·m) from the margin m
+    (reference test_logistic_l1.jl:34-41; cf. logistic.LogisticRows)."""
+    return -y_B * jax.nn.sigmoid(-y_B * m)
+
+
+def _log1pexp(t):
+    return jnp.logaddexp(0.0, t)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class SparseLogisticELL(SmoothOracle):
+    """Sparse logistic-loss rows in ELL layout — the sparse counterpart
+    of :class:`~ciao_tpu.oracles.LogisticRows` (rcv1-style L1-logistic
+    is THE workload this shape exists for: doc×term features at ~0.1 %
+    density with ±1 labels):
+
+        f_i(x) = log(1 + exp(-y_i <a_i, x>))
+        grad f_i(x) = -y_i σ(-y_i <a_i, x>) a_i     (rank-1: coeff mode)
+
+    Layout and padding conventions are :class:`SparseLeastSquaresELL`'s
+    (idx 0 / value 0.0 padding slots; static (N, K) shapes so every
+    batched op is a gather or scatter-add). The Lipschitz modulus of
+    grad f_i is ``0.25 * |a_i|^2`` (test_logistic_l1.jl:40)."""
+
+    idx: jnp.ndarray     # (N, K) int32 column indices, 0-padded
+    val: jnp.ndarray     # (N, K) values, 0.0-padded
+    y: jnp.ndarray       # (N,) labels in {-1, +1}
+    n_dim: int = static_field(default=0)
+
+    @property
+    def num_terms(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.n_dim
+
+    @property
+    def nnz_per_row(self) -> int:
+        return self.idx.shape[1]
+
+    @classmethod
+    def from_dense(cls, A, y, K: int | None = None):
+        """Build from a dense (N, n) matrix (test/bench helper)."""
+        import numpy as np
+
+        A = np.asarray(A)
+        N, n = A.shape
+        nnz = (A != 0).sum(axis=1)
+        K = int(K if K is not None else max(1, nnz.max()))
+        idx = np.zeros((N, K), np.int32)
+        val = np.zeros((N, K), A.dtype)
+        for i in range(N):
+            (cols,) = np.nonzero(A[i])
+            cols = cols[:K]
+            idx[i, : len(cols)] = cols
+            val[i, : len(cols)] = A[i, cols]
+        return cls(
+            idx=jnp.asarray(idx), val=jnp.asarray(val),
+            y=jnp.asarray(y), n_dim=n,
+        )
+
+    # --- single-term ---------------------------------------------------
+    def value_and_grad_i(self, x, i):
+        m = jnp.sum(self.val[i] * x[self.idx[i]])
+        t = -self.y[i] * m
+        c = -self.y[i] * jax.nn.sigmoid(t)
+        grad = jnp.zeros_like(x).at[self.idx[i]].add(c * self.val[i])
+        return _log1pexp(t), grad
+
+    # --- internals (shared idioms with SparseLeastSquaresELL) ----------
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        idx_B = lax.dynamic_slice_in_dim(self.idx, start, size, 0)
+        val_B = lax.dynamic_slice_in_dim(self.val, start, size, 0)
+        y_B = lax.dynamic_slice_in_dim(self.y, start, size, 0)
+        return idx_B, val_B, y_B
+
+    @staticmethod
+    def _margin(x, idx_B, val_B):
+        return jnp.sum(val_B * jnp.take(x, idx_B, axis=0), axis=1)
+
+    def _apply(self, w, idx_B, val_B):
+        flat_idx = idx_B.reshape(-1)
+        flat_val = (w[:, None] * val_B).reshape(-1)
+        return jnp.zeros(self.n_dim, flat_val.dtype).at[flat_idx].add(flat_val)
+
+    # --- coefficient (rank-1) protocol ----------------------------------
+    supports_coeff: bool = static_field(default=True)
+    coeff_mode = 1  # logistic formula (no fused kernel: no coeff_rows_data)
+
+    def coeff_batch(self, x, idx):
+        m = self._margin(x, self.idx[idx], self.val[idx])
+        return _sigmoid_coeff(self.y[idx], m)
+
+    def coeff_block(self, x, start, size: int):
+        idx_B, val_B, y_B = self._slice(start, size)
+        return _sigmoid_coeff(y_B, self._margin(x, idx_B, val_B))
+
+    def coeff_all(self, x):
+        return _sigmoid_coeff(self.y, self._margin(x, self.idx, self.val))
+
+    def apply_rows(self, w, idx):
+        return self._apply(w, self.idx[idx], self.val[idx])
+
+    def apply_rows_block(self, w, start, size: int):
+        idx_B, val_B, _ = self._slice(start, size)
+        return self._apply(w, idx_B, val_B)
+
+    def apply_all(self, w):
+        return self._apply(w, self.idx, self.val)
+
+    # --- batched gradient paths -----------------------------------------
+    def grad_sum_all(self, x):
+        return self.apply_all(self.coeff_all(x))
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        c = self.coeff_batch(x, idx)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return self.apply_rows(c, idx)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        # logistic coefficients are NOT linear in the margin: compute
+        # both and difference (cf. LogisticRows.grad_sum_diff_block)
+        idx_B, val_B, y_B = self.idx[idx], self.val[idx], self.y[idx]
+        c1 = _sigmoid_coeff(y_B, self._margin(x1, idx_B, val_B))
+        c2 = _sigmoid_coeff(y_B, self._margin(x2, idx_B, val_B))
+        d = c1 - c2
+        if mask is not None:
+            d = jnp.where(mask, d, 0)
+        return self._apply(d, idx_B, val_B)
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        idx_B, val_B, y_B = self._slice(start, size)
+        c1 = _sigmoid_coeff(y_B, self._margin(x1, idx_B, val_B))
+        c2 = _sigmoid_coeff(y_B, self._margin(x2, idx_B, val_B))
+        return self._apply(c1 - c2, idx_B, val_B)
+
+    def _dense_rows(self, c, idx_B, val_B):
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), c.dtype)
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
+
+    def grad_block(self, x, start, size: int):
+        idx_B, val_B, y_B = self._slice(start, size)
+        c = _sigmoid_coeff(y_B, self._margin(x, idx_B, val_B))
+        return self._dense_rows(c, idx_B, val_B)
+
+    def grad_batch(self, x, idx):
+        idx_B, val_B, y_B = self.idx[idx], self.val[idx], self.y[idx]
+        c = _sigmoid_coeff(y_B, self._margin(x, idx_B, val_B))
+        return self._dense_rows(c, idx_B, val_B)
+
+    def grad_pointwise(self, xs, idx):
+        idx_B, val_B, y_B = self.idx[idx], self.val[idx], self.y[idx]
+        m = jnp.sum(val_B * jnp.take_along_axis(xs, idx_B, axis=1), axis=1)
+        c = _sigmoid_coeff(y_B, m)
+        return self._dense_rows(c, idx_B, val_B)
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class HybridSparseLogistic(SmoothOracle):
+    """Hot/cold split sparse logistic rows — the power-law layout of
+    :class:`HybridSparseLeastSquares` (dense hot columns ride the
+    MXU/bandwidth fast paths; only the tail pays the ~125 M elem/s
+    scalar routing bound, PERF.md) with the logistic loss of
+    :class:`SparseLogisticELL`:
+
+        margin_i = <A_hot[i], x[hot_cols]> + Σ_k val[i,k]·x[idx[i,k]]
+        f_i(x) = log(1 + exp(-y_i margin_i))
+
+    Padding conventions as in the least-squares hybrid."""
+
+    A_hot: jnp.ndarray     # (N, D) dense hot-column values (D lane-padded)
+    hot_cols: jnp.ndarray  # (D,) int32 original column ids
+    idx: jnp.ndarray       # (N, K) int32 cold-column ids, 0-padded
+    val: jnp.ndarray       # (N, K) cold values, 0.0-padded
+    y: jnp.ndarray         # (N,) labels in {-1, +1}
+    n_dim: int = static_field(default=0)
+
+    dp_replicated = ("hot_cols",)
+
+    @property
+    def num_terms(self) -> int:
+        return self.A_hot.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.n_dim
+
+    @property
+    def hot_width(self) -> int:
+        return self.A_hot.shape[1]
+
+    @property
+    def nnz_per_row(self) -> int:
+        return self.idx.shape[1]
+
+    def with_storage(self, dtype=jnp.bfloat16):
+        """Copy with the DENSE hot block stored in ``dtype`` (the ELL
+        tail stays full precision — routing-bound, not bandwidth-bound)."""
+        return dataclasses.replace(self, A_hot=self.A_hot.astype(dtype))
+
+    @classmethod
+    def from_dense(cls, A, y, D: int, K: int | None = None):
+        """Split a dense (N, n) matrix like
+        ``HybridSparseLeastSquares.from_dense`` (labels instead of b)."""
+        import numpy as np
+
+        A = np.asarray(A)
+        N, n = A.shape
+        counts = (A != 0).sum(axis=0)
+        D_pad = max(128, -(-D // 128) * 128)
+        hot = np.argsort(-counts)[:min(D, n)]
+        hot_cols = np.zeros(D_pad, np.int32)
+        hot_cols[: len(hot)] = hot
+        A_hot = np.zeros((N, D_pad), A.dtype)
+        A_hot[:, : len(hot)] = A[:, hot]
+        cold_mask = np.ones(n, bool)
+        cold_mask[hot] = False
+        A_cold = A * cold_mask[None, :]
+        nnz = (A_cold != 0).sum(axis=1)
+        K = int(K if K is not None else max(1, nnz.max()))
+        idx = np.zeros((N, K), np.int32)
+        val = np.zeros((N, K), A.dtype)
+        for i in range(N):
+            (cols,) = np.nonzero(A_cold[i])
+            cols = cols[:K]
+            idx[i, : len(cols)] = cols
+            val[i, : len(cols)] = A_cold[i, cols]
+        return cls(
+            A_hot=jnp.asarray(A_hot), hot_cols=jnp.asarray(hot_cols),
+            idx=jnp.asarray(idx), val=jnp.asarray(val),
+            y=jnp.asarray(y), n_dim=n,
+        )
+
+    # --- single-term ----------------------------------------------------
+    def value_and_grad_i(self, x, i):
+        m = (jnp.sum(self.A_hot[i].astype(x.dtype) * x[self.hot_cols])
+             + jnp.sum(self.val[i] * x[self.idx[i]]))
+        t = -self.y[i] * m
+        c = -self.y[i] * jax.nn.sigmoid(t)
+        grad = jnp.zeros_like(x)
+        grad = grad.at[self.hot_cols].add(c * self.A_hot[i].astype(x.dtype))
+        grad = grad.at[self.idx[i]].add(c * self.val[i])
+        return _log1pexp(t), grad
+
+    # --- internals -------------------------------------------------------
+    def _slice(self, start, size):
+        import jax.lax as lax
+
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, size, 0)
+        return sl(self.A_hot), sl(self.idx), sl(self.val), sl(self.y)
+
+    def _margin_parts(self, x, Ah_B, idx_B, val_B):
+        x_hot = x[self.hot_cols]
+        dense = Ah_B.astype(x.dtype) @ x_hot
+        cold = jnp.sum(val_B * jnp.take(x, idx_B, axis=0), axis=1)
+        return dense + cold
+
+    def _apply_parts(self, w, Ah_B, idx_B, val_B):
+        out = jnp.zeros(self.n_dim, w.dtype)
+        out = out.at[self.hot_cols].add(w @ Ah_B.astype(w.dtype))
+        flat_idx = idx_B.reshape(-1)
+        flat_val = (w[:, None] * val_B).reshape(-1)
+        return out.at[flat_idx].add(flat_val)
+
+    # --- coefficient (rank-1) protocol ------------------------------------
+    supports_coeff: bool = static_field(default=True)
+    coeff_mode = 1
+
+    def coeff_batch(self, x, idx):
+        m = self._margin_parts(x, self.A_hot[idx], self.idx[idx],
+                               self.val[idx])
+        return _sigmoid_coeff(self.y[idx], m)
+
+    def coeff_block(self, x, start, size: int):
+        Ah_B, idx_B, val_B, y_B = self._slice(start, size)
+        return _sigmoid_coeff(y_B, self._margin_parts(x, Ah_B, idx_B, val_B))
+
+    def coeff_all(self, x):
+        return _sigmoid_coeff(
+            self.y, self._margin_parts(x, self.A_hot, self.idx, self.val))
+
+    def apply_rows(self, w, idx):
+        return self._apply_parts(w, self.A_hot[idx], self.idx[idx],
+                                 self.val[idx])
+
+    def apply_rows_block(self, w, start, size: int):
+        Ah_B, idx_B, val_B, _ = self._slice(start, size)
+        return self._apply_parts(w, Ah_B, idx_B, val_B)
+
+    def apply_all(self, w):
+        return self._apply_parts(w, self.A_hot, self.idx, self.val)
+
+    # --- batched gradient paths --------------------------------------------
+    def grad_sum_all(self, x):
+        return self.apply_all(self.coeff_all(x))
+
+    def grad_sum_batch(self, x, idx, mask=None):
+        c = self.coeff_batch(x, idx)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return self.apply_rows(c, idx)
+
+    def grad_sum_diff(self, x1, x2, idx, mask=None):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        y_B = self.y[idx]
+        c1 = _sigmoid_coeff(y_B, self._margin_parts(x1, Ah_B, idx_B, val_B))
+        c2 = _sigmoid_coeff(y_B, self._margin_parts(x2, Ah_B, idx_B, val_B))
+        d = c1 - c2
+        if mask is not None:
+            d = jnp.where(mask, d, 0)
+        return self._apply_parts(d, Ah_B, idx_B, val_B)
+
+    def grad_sum_diff_block(self, x1, x2, start, size: int):
+        Ah_B, idx_B, val_B, y_B = self._slice(start, size)
+        c1 = _sigmoid_coeff(y_B, self._margin_parts(x1, Ah_B, idx_B, val_B))
+        c2 = _sigmoid_coeff(y_B, self._margin_parts(x2, Ah_B, idx_B, val_B))
+        return self._apply_parts(c1 - c2, Ah_B, idx_B, val_B)
+
+    def _dense_rows(self, c, Ah_B, idx_B, val_B):
+        B = idx_B.shape[0]
+        rows = jnp.zeros((B, self.n_dim), c.dtype)
+        rows = rows.at[:, self.hot_cols].add(c[:, None] * Ah_B.astype(c.dtype))
+        return rows.at[jnp.arange(B)[:, None], idx_B].add(c[:, None] * val_B)
+
+    def grad_block(self, x, start, size: int):
+        Ah_B, idx_B, val_B, y_B = self._slice(start, size)
+        c = _sigmoid_coeff(y_B, self._margin_parts(x, Ah_B, idx_B, val_B))
+        return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+    def grad_batch(self, x, idx):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        c = _sigmoid_coeff(
+            self.y[idx], self._margin_parts(x, Ah_B, idx_B, val_B))
+        return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+    def grad_pointwise(self, xs, idx):
+        Ah_B, idx_B, val_B = self.A_hot[idx], self.idx[idx], self.val[idx]
+        dense = jnp.sum(Ah_B.astype(xs.dtype) * xs[:, self.hot_cols], axis=1)
+        cold = jnp.sum(val_B * jnp.take_along_axis(xs, idx_B, axis=1), axis=1)
+        c = _sigmoid_coeff(self.y[idx], dense + cold)
+        return self._dense_rows(c, Ah_B, idx_B, val_B)

@@ -303,3 +303,131 @@ def test_katyusha_sparse_trajectory_equals_dense(pair):
         )
         outs.append(x)
     _close(outs[0], outs[1], tol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# sparse logistic rows (ELL + hybrid) — rcv1-style L1-logistic
+# ---------------------------------------------------------------------------
+
+from ciao_tpu.oracles import (  # noqa: E402
+    HybridSparseLogistic,
+    LogisticRows,
+    SparseLogisticELL,
+)
+
+
+@pytest.fixture(scope="module")
+def logit_pair():
+    """(dense logistic oracle, ELL logistic oracle, labels) on a
+    K-sparse row matrix with ±1 labels."""
+    rng = np.random.default_rng(11)
+    A = np.zeros((N, n))
+    for i in range(N):
+        cols = rng.choice(n, size=K, replace=False)
+        A[i, cols] = rng.standard_normal(K)
+    x_true = rng.standard_normal(n)
+    y = np.sign(A @ x_true + 0.1 * rng.standard_normal(N))
+    Fd = LogisticRows(X=jnp.asarray(A), y=jnp.asarray(y))
+    Fs = SparseLogisticELL.from_dense(A, y, K=K)
+    assert Fs.idx.shape == (N, K) and Fs.dim == n
+    return Fd, Fs, A, y
+
+
+def test_logistic_ell_protocol_matches_dense(logit_pair):
+    Fd, Fs, _, _ = logit_pair
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    idx = jnp.asarray([3, 17, 99, 64], jnp.int32)
+    _close(Fs.coeff_all(x), Fd.coeff_all(x))
+    _close(Fs.coeff_batch(x, idx), Fd.coeff_batch(x, idx))
+    _close(Fs.coeff_block(x, 16, 32), Fd.coeff_block(x, 16, 32))
+    w = jnp.asarray(np.random.default_rng(3).standard_normal(4))
+    _close(Fs.apply_rows(w, idx), Fd.apply_rows(w, idx))
+    wN = jnp.asarray(np.random.default_rng(4).standard_normal(N))
+    _close(Fs.apply_all(wN), Fd.apply_all(wN))
+    _close(Fs.grad_sum_all(x), Fd.grad_sum_all(x))
+    x2 = x + 0.3
+    _close(Fs.grad_sum_diff_block(x, x2, 32, 32),
+           Fd.grad_sum_diff_block(x, x2, 32, 32))
+    mask = jnp.asarray([True, False, True, True])
+    _close(Fs.grad_sum_batch(x, idx, mask), Fd.grad_sum_batch(x, idx, mask))
+    _close(Fs.grad_block(x, 0, 16), Fd.grad_block(x, 0, 16))
+    _close(Fs.grad_batch(x, idx), Fd.grad_batch(x, idx))
+    xs = jnp.asarray(np.random.default_rng(6).standard_normal((4, n)))
+    _close(Fs.grad_pointwise(xs, idx), Fd.grad_pointwise(xs, idx))
+    v1, g1 = Fs.value_and_grad_i(x, 7)
+    v2, g2 = Fd.value_and_grad_i(x, 7)
+    _close(v1, v2)
+    _close(g1, g2)
+
+
+def test_hybrid_logistic_protocol_matches_dense():
+    A, _ = _power_law_matrix(N_H, n_H, seed=13)
+    rng = np.random.default_rng(14)
+    y = np.sign(A @ rng.standard_normal(n_H) + 0.1 * rng.standard_normal(N_H))
+    y[y == 0] = 1.0
+    Fd = LogisticRows(X=jnp.asarray(A), y=jnp.asarray(y))
+    Fh = HybridSparseLogistic.from_dense(A, y, D=4)
+    assert Fh.hot_width == 128 and Fh.dim == n_H
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n_H))
+    idx = jnp.asarray([3, 17, 99, 64], jnp.int32)
+    _close(Fh.coeff_all(x), Fd.coeff_all(x))
+    _close(Fh.coeff_block(x, 16, 32), Fd.coeff_block(x, 16, 32))
+    _close(Fh.grad_sum_all(x), Fd.grad_sum_all(x))
+    x2 = x + 0.3
+    _close(Fh.grad_sum_diff(x, x2, idx), Fd.grad_sum_diff(x, x2, idx))
+    _close(Fh.grad_sum_diff_block(x, x2, 32, 32),
+           Fd.grad_sum_diff_block(x, x2, 32, 32))
+    _close(Fh.grad_batch(x, idx), Fd.grad_batch(x, idx))
+    wN = jnp.asarray(np.random.default_rng(4).standard_normal(N_H))
+    _close(Fh.apply_all(wN), Fd.apply_all(wN))
+    v1, g1 = Fh.value_and_grad_i(x, 7)
+    v2, g2 = Fd.value_and_grad_i(x, 7)
+    _close(v1, v2)
+    _close(g1, g2)
+    # bf16 hot block: coefficients track f32 at storage precision
+    Fb = Fh.with_storage()
+    assert Fb.A_hot.dtype == jnp.bfloat16
+    cb = np.asarray(Fb.coeff_all(x.astype(Fh.val.dtype)))
+    assert np.allclose(np.asarray(Fh.coeff_all(x)), cb, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("family", ["saga", "svrg", "katyusha"])
+def test_sparse_logistic_trajectory_equals_dense(logit_pair, family):
+    """Sparse logistic drives each solver down the dense oracle's exact
+    trajectory (identical math, different layout)."""
+    import ciao_tpu
+
+    Fd, Fs, A, y = logit_pair
+    g = NormL1(lam=jnp.asarray(1.0 / N))
+    L = 0.25 * (A ** 2).sum(axis=1)
+    x0 = jnp.zeros(n)
+    outs = []
+    for F in (Fd, Fs):
+        if family == "saga":
+            x, _ = ciao_tpu.SAGA(maxit=300, batch=16, block_sampling=True)(
+                x0, F=F, g=g, L=L, N=N)
+        elif family == "svrg":
+            gam = 1.0 / (10.0 * float(L.max()))
+            x, _ = ciao_tpu.SVRG(maxit=4, m=8, batch=16, block_sampling=True,
+                                 gamma=gam)(x0, F=F, g=g, L=L, N=N)
+        else:
+            x, _ = ciao_tpu.Katyusha(maxit=6, batch=16, block_sampling=True)(
+                x0, F=F, g=g, L=L, N=N)
+        outs.append(x)
+    _close(outs[0], outs[1], tol=1e-8)
+
+
+def test_sparse_logistic_reference_acceptance():
+    """The reference's L1-logistic problem (8 hardcoded 5-dim samples,
+    hardcoded x_star, test_logistic_l1.jl:12-29) through the ELL oracle:
+    ∞-norm error < 1e-4 — sparse layout loses nothing on the reference's
+    own acceptance test."""
+    import ciao_tpu
+    from ciao_tpu.utils import make_logistic_l1
+
+    prob = make_logistic_l1()
+    Fs = SparseLogisticELL.from_dense(prob.X, prob.y, K=prob.X.shape[1])
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    x, _ = ciao_tpu.Finito(maxit=9000, sweeping=2)(
+        jnp.zeros(prob.X.shape[1]), F=Fs, g=g, L=prob.L, N=prob.X.shape[0])
+    assert float(jnp.max(jnp.abs(x - jnp.asarray(prob.x_star)))) < 1e-4
