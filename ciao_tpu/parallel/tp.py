@@ -307,6 +307,15 @@ class TPFinito:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPFinito needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPFinito shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
         if self.sweeping not in (1, 2, 3):
             raise ValueError(f"sweeping must be 1, 2 or 3; got {self.sweeping}")
         if N % D != 0 or (N // D) % self.batch != 0:
@@ -379,6 +388,15 @@ class TPSAGA:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPSAGA needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPSAGA shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
         if N % D != 0 or (N // D) % self.batch != 0:
             raise ValueError("TPSAGA: need N divisible by D and N/D by batch")
         if x0.size % M != 0:
@@ -560,6 +578,15 @@ class TPLFinito:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPLFinito needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPLFinito shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
         if self.sweeping not in (1, 2, 3):
             raise ValueError(f"sweeping must be 1, 2 or 3; got {self.sweeping}")
         if N % D != 0 or (N // D) % self.batch != 0:
@@ -1004,6 +1031,15 @@ class TPSVRG:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPSVRG needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPSVRG shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
         if N % D != 0 or (N // D) % self.batch != 0:
             raise ValueError("TPSVRG: need N divisible by D and N/D by batch")
         if x0.size % M != 0:
@@ -1191,6 +1227,15 @@ class TPKatyusha:
             )
         if not getattr(F, "supports_coeff", False):
             raise ValueError("TPKatyusha needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPKatyusha shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
         if L is None:
             raise ValueError("TPKatyusha: provide the smoothness moduli L")
         if N % D != 0 or (N // D) % self.batch != 0:

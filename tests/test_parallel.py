@@ -1308,3 +1308,26 @@ def test_tp_vector_prox_params():
     xv, _ = TPSAGA(mesh=mesh2, maxit=500, batch=8)(x0(prob), F=F, g=g_vec, L=prob.L)
     xs, _ = TPSAGA(mesh=mesh2, maxit=500, batch=8)(x0(prob), F=F, g=g_sc, L=prob.L)
     np.testing.assert_allclose(np.asarray(xv), np.asarray(xs), rtol=1e-12, atol=1e-12)
+
+
+def test_tp_rejects_sparse_ell_oracles():
+    """Sparse ELL layouts carry GLOBAL column ids — a coordinate shard
+    cannot evaluate its slots locally, so the TP facades must reject
+    them with a clear error (before this guard the failure surfaced as
+    a confusing device_put divisibility error, or — had K divided the
+    model axis — silently wrong margins)."""
+    from ciao_tpu.oracles import SparseLeastSquaresELL
+    from ciao_tpu.parallel import TPSAGA, TPKatyusha, make_mesh_2d
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((N, n))
+    A[np.abs(A) < 1.2] = 0
+    b = rng.standard_normal(N)
+    Fs = SparseLeastSquaresELL.from_dense(A, b, float(N))
+    L = (A ** 2).sum(axis=1) * N
+    mesh2 = make_mesh_2d(4, 2)
+    g = NormL1(lam=jnp.asarray(0.1))
+    with pytest.raises(ValueError, match="DP-only"):
+        TPSAGA(mesh=mesh2, batch=4)(jnp.zeros(n), F=Fs, g=g, L=L)
+    with pytest.raises(ValueError, match="DP-only"):
+        TPKatyusha(mesh=mesh2, batch=4)(jnp.zeros(n), F=Fs, g=g, L=L)
