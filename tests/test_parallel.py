@@ -1331,3 +1331,25 @@ def test_tp_rejects_sparse_ell_oracles():
         TPSAGA(mesh=mesh2, batch=4)(jnp.zeros(n), F=Fs, g=g, L=L)
     with pytest.raises(ValueError, match="DP-only"):
         TPKatyusha(mesh=mesh2, batch=4)(jnp.zeros(n), F=Fs, g=g, L=L)
+
+
+def test_tp_complex_dtype():
+    """Complex support under TP (the reference's dtype sweep,
+    test_lasso.jl:3): the coordinate-sharded margins/coefficients keep
+    c128 and converge at the reference tolerance."""
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d, shard_finite_sum_2d
+
+    prob = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.complex128)
+    mesh2 = make_mesh_2d(4, 2)
+    F = shard_finite_sum_2d(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh2,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(n, prob.A.dtype)
+    x, _ = TPSAGA(mesh=mesh2, maxit=3000, batch=8)(z0, F=F, g=g, L=prob.L)
+    assert x.dtype == prob.A.dtype
+    assert float(np.real(prob.cost(np.asarray(x)) - prob.f_star)) < 1e-4
