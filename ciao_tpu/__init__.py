@@ -60,6 +60,7 @@ from ciao_tpu.prox import (
 from ciao_tpu.solvers import (
     Finito,
     Katyusha,
+    SARAH,
     Proshi,
     SAGA,
     SAG,
@@ -76,6 +77,7 @@ __all__ = [
     "prox",
     "Finito",
     "Katyusha",
+    "SARAH",
     "Proshi",
     "SAGA",
     "SAG",

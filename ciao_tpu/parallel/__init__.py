@@ -22,6 +22,7 @@ from ciao_tpu.parallel.tp import (
     TPSAGA,
     TPSVRG,
     TPKatyusha,
+    TPSARAH,
     TPProshi,
     data_model_specs,
     shard_finite_sum_2d,
@@ -33,6 +34,7 @@ from ciao_tpu.parallel.dp import (
     DPProshi,
     DPSAG,
     DPSAGA,
+    DPSARAH,
     DPSVRG,
     build_dp_functions,
     local_indices,
@@ -53,6 +55,7 @@ __all__ = [
     "DPProshi",
     "DPSAG",
     "DPSAGA",
+    "DPSARAH",
     "DPSVRG",
     "build_dp_functions",
     "local_indices",
@@ -61,6 +64,7 @@ __all__ = [
     "TPSAGA",
     "TPSVRG",
     "TPKatyusha",
+    "TPSARAH",
     "TPProshi",
     "data_model_specs",
     "shard_finite_sum_2d",

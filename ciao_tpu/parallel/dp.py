@@ -1249,6 +1249,76 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
     )
 
 
+class DPSARAHState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    eta: jnp.ndarray        # scalar ProxSARAH damping
+    x_tilde: jnp.ndarray    # (n,) outer iterate, replicated
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x_tilde
+
+
+def _sarah_init_local(F, g, x0, gamma, eta, key, cfg: DPCfg):
+    """Sharded SARAH bootstrap (solvers.sarah — beyond the reference):
+    table-free, so only the oracle rows shard; no gradient work at init
+    (the full-pass v₀ belongs to the outer step)."""
+    return DPSARAHState(
+        gamma=gamma, eta=eta, x_tilde=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _sarah_step_local(F, g, cfg: DPCfg, state: DPSARAHState):
+    """One sharded SARAH outer iterate (cf. solvers.sarah._sarah_step).
+    LOCKSTEP (default): each of the m inner steps draws one block per
+    device and pmeans the recursive-estimator innovation (global inner
+    batch b_loc·D — one x-sized psum per inner step; the recursion
+    itself stays replicated). LOCAL (``cfg.local``): each device runs
+    its own recursive chain from the shared full-gradient bootstrap
+    against purely-local innovations, and the boundary pmeans the final
+    iterate — with the next outer step's exact v₀ psum that is two
+    collectives per outer step total. At D=1 the two modes coincide
+    bit-exactly (same stateless streams, psum over one device)."""
+    from ciao_tpu.solvers.sarah import _damped_prox
+
+    N, B, m = cfg.N, cfg.b_loc, cfg.m_inner
+    gamma, eta = state.gamma, state.eta
+    kout = jax.random.fold_in(state.key, state.it)
+    ax = jax.lax.axis_index(DATA_AXIS)
+
+    v0 = _psum(F.grad_sum_all(state.x_tilde)) / N
+    w_prev = state.x_tilde
+    w = _damped_prox(g, w_prev, v0, gamma, eta)
+
+    def inner(carry, k):
+        w_prev, w, v = carry
+        if cfg.block:
+            start = local_block_start(kout, k + 1, cfg.n_loc, B,
+                                      cfg.sweeping)
+            diff = F.grad_sum_diff_block(w, w_prev, start, B)
+        else:
+            kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
+            i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
+            diff = F.grad_sum_diff(w, w_prev, i)
+        if cfg.local:
+            v = v + diff / B                      # LOCAL recursion
+        else:
+            v = v + _psum(diff) / (B * cfg.D)     # lockstep pmean
+        w_next = _damped_prox(g, w, v, gamma, eta)
+        return (w, w_next, v), None
+
+    (_, w, _), _ = jax.lax.scan(
+        inner, (w_prev, w, v0), jnp.arange(m, dtype=jnp.int32)
+    )
+    if cfg.local:
+        w = _psum(w) / cfg.D   # boundary: average the local chains
+    return state._replace(x_tilde=w, it=state.it + 1)
+
+
 def _proshi_coupling(g, av, hat_gamma):
     z = g.prox_only(av, hat_gamma)
     return (z - av) / hat_gamma
@@ -1391,6 +1461,8 @@ _FAMILY = {
              _rebase_identity_local),
     "katyusha": (_katyusha_init_local, _katyusha_step_local,
                  DPKatyushaState, True, _rebase_identity_local),
+    "sarah": (_sarah_init_local, _sarah_step_local, DPSARAHState, True,
+              _rebase_identity_local),
     "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
                False, _rebase_identity_local),
 }
@@ -2059,6 +2131,92 @@ class DPKatyusha:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.tau1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPSARAH:
+    """Data-parallel SARAH/ProxSARAH (beyond the reference — recursive
+    variance reduction; see :class:`ciao_tpu.solvers.SARAH`).
+
+    Default (lockstep): each inner step draws one block per device and
+    pmeans the estimator innovation (global inner batch batch = D·b_loc,
+    one x-sized psum per inner step). ``local_inner=True`` runs each
+    device's recursive chain on-shard from the shared full-gradient
+    bootstrap and pays two collectives per outer step (final-iterate
+    average + the next bootstrap psum). ``m`` counts inner steps per
+    outer iterate and defaults to N // batch; ``maxit`` counts outer
+    iterates."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 0
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    m: Optional[int] = None
+    eta: float = 1.0
+    block_sampling: bool = False
+    local_inner: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0
+        assert 0.0 < self.eta <= 1.0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM,
+                                        "DPSARAH")
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPSARAH block_sampling needs N/D divisible by batch/D"
+            )
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "DPSARAH: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            gamma = 1.0 / (2.0 * jnp.max(jnp.asarray(L, rdt)))
+        m = N // batch if self.m is None else self.m
+        if m < 1:
+            raise ValueError("DPSARAH: m must be >= 1")
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=self.block_sampling,
+                    local=self.local_inner, m_inner=m)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "sarah", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(self.seed)
+        eta = jnp.asarray(self.eta, rdt)
+        init = lambda: init_c(F, g, x0, gamma, eta, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

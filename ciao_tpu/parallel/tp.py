@@ -817,6 +817,87 @@ _KAT_ST_SPECS = TPKatyushaState(
 )
 
 
+class TPSARAHState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    eta: jnp.ndarray        # scalar ProxSARAH damping
+    x_tilde: jnp.ndarray    # (n,) outer iterate, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x_tilde
+
+
+class TPSARAHCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    m: int = 1          # inner steps per outer iterate (static)
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_sarah_init(F, g, x0, gamma, eta, key, cfg: TPSARAHCfg):
+    """2-D-sharded SARAH bootstrap (cf. dp._sarah_init_local): no
+    gradient work at init — the full-pass v₀ belongs to the outer
+    step, so solution(init) == x0."""
+    return TPSARAHState(
+        gamma=gamma, eta=eta, x_tilde=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_sarah_outer(F, g, cfg: TPSARAHCfg, state: TPSARAHState):
+    """One SARAH outer iterate on the ("data","model") mesh (the
+    recursive estimator of solvers.sarah on the TPSVRG data path).
+    Unlike SVRG/Katyusha the estimator's reference point MOVES every
+    inner step, so each step needs the block margins at BOTH w_t and
+    w_{t−1} — stacked into ONE (2,B)-sized "model" psum — followed by
+    one x-shard-sized "data" psum of the innovation. The damped prox is
+    coordinate-local (separable g)."""
+    from ciao_tpu.solvers.sarah import _damped_prox
+
+    N, B, m = cfg.N, cfg.b_loc, cfg.m
+    gamma, eta = state.gamma, state.eta
+    row = jax.lax.axis_index(DATA_AXIS)
+    kstep = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+    d_loc = cfg.n_loc // B
+
+    rf = _psum_m(F.margin_all(state.x_tilde))
+    v0 = _psum_d(F.apply_all(F.coeff_from_margin_all(rf))) / N
+    w_prev = state.x_tilde
+    w = _damped_prox(g, w_prev, v0, gamma, eta)
+
+    def inner(carry, k):
+        w_prev, w, v = carry
+        kk = jax.random.fold_in(kstep, k)
+        start = jax.random.randint(kk, (), 0, d_loc, dtype=jnp.int32) * B
+        r2 = _psum_m(jnp.stack([
+            F.margin_block(w, start, B),
+            F.margin_block(w_prev, start, B),
+        ]))
+        cb = F.coeff_from_margin(r2[0], start, B)
+        cp = F.coeff_from_margin(r2[1], start, B)
+        v = v + _psum_d(F.apply_rows_block(cb - cp, start, B)) / (B * cfg.D)
+        w_next = _damped_prox(g, w, v, gamma, eta)
+        return (w, w_next, v), None
+
+    (_, w, _), _ = jax.lax.scan(
+        inner, (w_prev, w, v0), jnp.arange(m, dtype=jnp.int32)
+    )
+    return state._replace(x_tilde=w, it=state.it + 1)
+
+
+_SARAH_ST_SPECS = TPSARAHState(
+    gamma=P(), eta=P(), x_tilde=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
 class TPProshiState(NamedTuple):
     """ProShI sharing-problem state on the ("data","model") mesh: the
     (N, n) block-variable table shards over BOTH axes, γ over "data",
@@ -942,6 +1023,8 @@ _TP_FAMILY = {
              _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
     "katyusha": (_tp_katyusha_init, _tp_katyusha_outer, _KAT_ST_SPECS,
                  _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P(), P())),
+    "sarah": (_tp_sarah_init, _tp_sarah_outer, _SARAH_ST_SPECS,
+              _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
     "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
                _tp_proshi_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
 }
@@ -1282,6 +1365,110 @@ class TPKatyusha:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.tau1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPSARAH:
+    """SARAH/ProxSARAH on a ("data", "model") mesh — samples AND
+    coordinates sharded (beyond the reference; see :class:`ciao_tpu.
+    solvers.SARAH`). Requires a rank-1 oracle with the margin protocol
+    and a separable prox. ``batch`` is the per-data-row inner block
+    size (global inner batch = batch·D); ``m`` counts inner steps per
+    outer iterate and defaults to N/(batch·D); ``maxit`` counts outer
+    iterates."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 1
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    m: Optional[int] = None
+    eta: float = 1.0
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert 0.0 < self.eta <= 1.0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPSARAH needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPSARAH shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPSARAH needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            # sparse ELL layouts carry GLOBAL column ids in their idx
+            # tables — a coordinate shard cannot evaluate its slots
+            # locally, so these oracles are DP/single-chip only
+            raise ValueError(
+                "TPSARAH shards coordinates and needs the margin "
+                "protocol (margin_block/coeff_from_margin — dense "
+                f"row oracles); {type(F).__name__} is DP-only"
+            )
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError(
+                "TPSARAH: need N divisible by D and N/D by batch"
+            )
+        if x0.size % M != 0:
+            raise ValueError("TPSARAH: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "TPSARAH: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            gamma = 1.0 / (2.0 * jnp.max(jnp.asarray(L, rdt)))
+        m = N // (self.batch * D) if self.m is None else self.m
+        if m < 1:
+            raise ValueError("TPSARAH: m must be >= 1")
+        cfg = TPSARAHCfg(N=N, D=D, M=M, b_loc=self.batch, m=m)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "sarah", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        eta = jnp.asarray(self.eta, rdt)
+        init = lambda: init_c(F, g, x0, gamma, eta, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

@@ -8,6 +8,7 @@ from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
 from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
+from ciao_tpu.solvers.sarah import SARAH
 from ciao_tpu.solvers.svrg import SVRG
 
 
@@ -20,6 +21,7 @@ def iterator(solver, x0, **kwargs):
 __all__ = [
     "Finito",
     "Katyusha",
+    "SARAH",
     "Proshi",
     "SAGA",
     "SAG",

@@ -1073,6 +1073,71 @@ def test_dp_katyusha_converges_and_local_inner(mesh, lasso):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_dp_sarah_converges_and_local_inner(mesh, lasso):
+    """DP SARAH (beyond the reference — recursive variance reduction):
+    lockstep (pmean'd innovation per inner step) and local-inner (two
+    collectives per outer step) both reach the reference tolerance; at
+    D=1 the modes are bit-equal (same stateless streams, psum
+    degenerates)."""
+    from ciao_tpu.parallel import DPSARAH
+
+    prob, F, g = lasso
+    for li in (False, True):
+        x, _ = DPSARAH(mesh=mesh, maxit=30, batch=8, m=N, local_inner=li)(
+            x0(prob), F=F, g=g, L=prob.L
+        )
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, li
+
+    x, _ = DPSARAH(mesh=mesh, maxit=30, batch=8, m=N, eta=0.8,
+                   block_sampling=True)(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    F1 = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh1,
+    )
+    outs = []
+    for li in (False, True):
+        xe, _ = DPSARAH(mesh=mesh1, maxit=5, batch=4, local_inner=li)(
+            x0(prob), F=F1, g=g, L=prob.L
+        )
+        outs.append(np.asarray(xe))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_tp_sarah_converges_and_shards():
+    """TPSARAH on a (4 data x 2 model) mesh: the moving reference point
+    makes each inner step pay a stacked (2,B)-margin "model" psum (at
+    w_t AND w_{t−1}) + one x-shard "data" psum; the iterate stays
+    coordinate-sharded. Non-separable prox rejected."""
+    from ciao_tpu.parallel import TPSARAH, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+    from ciao_tpu.prox import NormL2
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    Fd = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    F = shard_finite_sum_2d(Fd, mesh2)
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = TPSARAH(mesh=mesh2, maxit=30, batch=4, m=N)
+    x, _ = solver(x0(prob), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(x0(prob), F=F, g=g, L=prob.L)))
+    assert st.x_tilde.sharding.spec == P(MODEL_AXIS)
+    # init does no gradient work: solution(init) == x0
+    np.testing.assert_allclose(np.asarray(st.solution), 0.0)
+    with pytest.raises(ValueError, match="separable"):
+        TPSARAH(mesh=mesh2)(
+            x0(prob), F=Fd, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
+        )
+
+
 def test_dp_huber_oracle(mesh):
     """HuberRows under DP: the sharded paths (grad_sum_diff, coeff
     tables, psums) serve the robust-regression oracle; DP SAGA and DP
