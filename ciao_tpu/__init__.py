@@ -56,6 +56,8 @@ from ciao_tpu.prox import (
     IndSphereL2,
     LogBarrier,
     HingeLoss,
+    MCP,
+    SCAD,
 )
 from ciao_tpu.solvers import (
     Finito,
@@ -117,4 +119,6 @@ __all__ = [
     "IndSphereL2",
     "LogBarrier",
     "HingeLoss",
+    "MCP",
+    "SCAD",
 ]

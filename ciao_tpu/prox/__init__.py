@@ -29,6 +29,8 @@ from ciao_tpu.prox.extended import (
     IndSphereL2,
     LogBarrier,
     HingeLoss,
+    MCP,
+    SCAD,
 )
 
 __all__ = [
@@ -56,4 +58,6 @@ __all__ = [
     "IndSphereL2",
     "LogBarrier",
     "HingeLoss",
+    "MCP",
+    "SCAD",
 ]

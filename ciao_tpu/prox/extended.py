@@ -328,3 +328,84 @@ class HingeLoss(ProxOperator):
         z_lin = x + t * y
         z_kink = y  # y in {-1, +1} so y*z = 1 at the kink
         return jnp.where(yx >= 1, x, jnp.where(yx < 1 - t, z_lin, z_kink))
+
+
+@register_prox
+@dataclasses.dataclass(frozen=True)
+class MCP(ProxOperator):
+    """Minimax concave penalty (Zhang 2010; nonconvex, elementwise):
+
+      g(t) = lam*|t| - t^2/(2*beta)        for |t| <= beta*lam
+             beta*lam^2/2                  otherwise
+
+    The reference framework advertises "possibly nonconvex g"
+    (README.md:6-12) but ProximalOperators' tested surface stops at
+    NormL0; MCP/SCAD are the standard debiased sparse penalties. Prox
+    (firm threshold, exact for gamma < beta):
+
+      |v| <= gamma*lam     -> 0
+      |v| <= beta*lam      -> softsign(v)*(|v| - gamma*lam)/(1 - gamma/beta)
+      otherwise            -> v
+    """
+
+    lam: jnp.ndarray = 1.0
+    beta: jnp.ndarray = 3.0
+
+    def value(self, x):
+        dt = jnp.result_type(jnp.asarray(x).real)
+        a = jnp.abs(x)
+        lam, beta = self.lam, self.beta
+        inner = lam * a - a * a / (2 * beta)
+        return jnp.sum(
+            jnp.where(a <= beta * lam, inner, beta * lam * lam / 2)
+        ).astype(dt)
+
+    def prox_only(self, x, gamma):
+        a = jnp.abs(x)
+        lam, beta = self.lam, self.beta
+        thr = gamma * lam
+        firm = _softsign(x) * (a - thr) / (1 - gamma / beta)
+        z = jnp.where(a <= thr, jnp.zeros_like(x),
+                      jnp.where(a <= beta * lam, firm, x))
+        return z.astype(x.dtype)
+
+
+@register_prox
+@dataclasses.dataclass(frozen=True)
+class SCAD(ProxOperator):
+    """Smoothly clipped absolute deviation (Fan & Li 2001; nonconvex,
+    elementwise):
+
+      g(t) = lam*|t|                                  for |t| <= lam
+             (2*a*lam*|t| - t^2 - lam^2)/(2*(a-1))    for lam < |t| <= a*lam
+             (a+1)*lam^2/2                            otherwise
+
+    Prox (generalized Fan-Li thresholding, exact for gamma < a - 1):
+
+      |v| <= lam*(1+gamma)  -> soft(v, gamma*lam)
+      |v| <= a*lam          -> ((a-1)*v - softsign(v)*a*gamma*lam)/(a-1-gamma)
+      otherwise             -> v
+    """
+
+    lam: jnp.ndarray = 1.0
+    a: jnp.ndarray = 3.7
+
+    def value(self, x):
+        dt = jnp.result_type(jnp.asarray(x).real)
+        t = jnp.abs(x)
+        lam, a = self.lam, self.a
+        mid = (2 * a * lam * t - t * t - lam * lam) / (2 * (a - 1))
+        v = jnp.where(
+            t <= lam, lam * t,
+            jnp.where(t <= a * lam, mid, (a + 1) * lam * lam / 2),
+        )
+        return jnp.sum(v).astype(dt)
+
+    def prox_only(self, x, gamma):
+        t = jnp.abs(x)
+        lam, a = self.lam, self.a
+        soft = _softsign(x) * jnp.maximum(t - gamma * lam, 0)
+        mid = ((a - 1) * x - _softsign(x) * a * gamma * lam) / (a - 1 - gamma)
+        z = jnp.where(t <= lam * (1 + gamma), soft,
+                      jnp.where(t <= a * lam, mid, x))
+        return z.astype(x.dtype)

@@ -255,3 +255,98 @@ def test_extended_ops_in_saga_facade():
     x = np.asarray(x)
     assert np.all(x >= -1e-12)
     np.testing.assert_allclose(x, x_true, atol=1e-3)
+
+
+# ------------------------------------------------------------ MCP / SCAD
+
+
+@pytest.mark.parametrize("x0", [0.05, 0.4, -0.9, 1.6, -2.5, 4.0, 0.0])
+@pytest.mark.parametrize("gamma", [0.5, 1.0])
+def test_mcp_vs_bruteforce(x0, gamma):
+    lam, beta = 0.5, 3.0  # needs gamma < beta
+    g = prox.MCP(lam=lam, beta=beta)
+
+    def pen(u):
+        a = abs(u)
+        return lam * a - a * a / (2 * beta) if a <= beta * lam \
+            else beta * lam * lam / 2
+
+    z = float(g.prox_only(jnp.array([x0]), gamma)[0])
+    z_ref = _num_prox(pen, x0, gamma)
+    np.testing.assert_allclose(z, z_ref, atol=2e-2)
+    np.testing.assert_allclose(float(g.value(jnp.array([x0]))), pen(x0),
+                               rtol=1e-6, atol=1e-12)
+
+
+@pytest.mark.parametrize("x0", [0.05, 0.6, -0.8, 1.2, -1.6, 2.2, 0.0])
+@pytest.mark.parametrize("gamma", [0.5, 1.0])
+def test_scad_vs_bruteforce(x0, gamma):
+    lam, a = 0.5, 3.7  # needs gamma < a - 1
+    g = prox.SCAD(lam=lam, a=a)
+
+    def pen(u):
+        t = abs(u)
+        if t <= lam:
+            return lam * t
+        if t <= a * lam:
+            return (2 * a * lam * t - t * t - lam * lam) / (2 * (a - 1))
+        return (a + 1) * lam * lam / 2
+
+    z = float(g.prox_only(jnp.array([x0]), gamma)[0])
+    z_ref = _num_prox(pen, x0, gamma)
+    np.testing.assert_allclose(z, z_ref, atol=2e-2)
+    np.testing.assert_allclose(float(g.value(jnp.array([x0]))), pen(x0),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_mcp_scad_unbiasedness_and_l1_limits():
+    """The debiasing property that motivates these penalties: large
+    coefficients pass through UNSHRUNK (prox = identity beyond
+    beta*lam / a*lam), unlike NormL1's constant shift; small ones are
+    thresholded to exactly 0 like L1."""
+    big = jnp.array([5.0, -7.0])
+    small = jnp.array([0.2, -0.1])
+    for g in (prox.MCP(lam=0.5, beta=3.0), prox.SCAD(lam=0.5, a=3.7)):
+        np.testing.assert_allclose(np.asarray(g.prox_only(big, 1.0)),
+                                   np.asarray(big))
+        np.testing.assert_allclose(np.asarray(g.prox_only(small, 1.0)), 0.0)
+        # soft-threshold would have moved the big entries by gamma*lam
+        l1 = prox.NormL1(lam=jnp.asarray(0.5)).prox_only(big, 1.0)
+        assert not np.allclose(np.asarray(l1), np.asarray(big))
+
+
+def test_mcp_scad_separable_and_solver_integration():
+    """Both are elementwise (TP-safe, separable=True) and drive a
+    solver: MCP-regularized least squares recovers the planted support
+    without the L1 shrinkage bias (coefficients match the oracle
+    least-squares refit on the support)."""
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.utils.problems import make_lasso
+    import ciao_tpu
+
+    assert prox.MCP().separable and prox.SCAD().separable
+    N, n = 64, 8
+    pr = make_lasso(N=N, n=n, p=3, seed=5, well_conditioned=True)
+    F = LeastSquaresRows(A=jnp.asarray(pr.A), b=jnp.asarray(pr.b),
+                         scale=jnp.asarray(float(N)))
+    g = prox.MCP(lam=jnp.asarray(pr.lam), beta=jnp.asarray(20.0))
+    x, _ = ciao_tpu.SARAH(maxit=60)(jnp.zeros(n, pr.A.dtype), F=F, g=g,
+                                    L=pr.L, N=N)
+    x = np.asarray(x)
+    supp = np.abs(x) > 1e-8
+    # exact support recovery of the planted solution
+    np.testing.assert_array_equal(supp, np.abs(np.asarray(pr.x_star)) > 0)
+    # stationarity: x is a fixed point of the prox-gradient map
+    grad = np.asarray(pr.A).T @ (np.asarray(pr.A) @ x - np.asarray(pr.b))
+    gam = 1.0 / (2.0 * float(np.max(pr.L)) / N)  # step w.r.t. mean loss
+    fp = np.asarray(g.prox_only(jnp.asarray(x - gam * grad), gam))
+    np.testing.assert_allclose(x, fp, atol=1e-6)
+    # and the debiasing claim: closer to the LS refit than L1's solution
+    A_s = np.asarray(pr.A)[:, supp]
+    x_ls, *_ = np.linalg.lstsq(A_s, np.asarray(pr.b), rcond=None)
+    gl1 = prox.NormL1(lam=jnp.asarray(pr.lam))
+    xl1, _ = ciao_tpu.SARAH(maxit=60)(jnp.zeros(n, pr.A.dtype), F=F, g=gl1,
+                                      L=pr.L, N=N)
+    err_mcp = np.linalg.norm(x[supp] - x_ls)
+    err_l1 = np.linalg.norm(np.asarray(xl1)[supp] - x_ls)
+    assert err_mcp < err_l1, (err_mcp, err_l1)
