@@ -61,6 +61,8 @@ from ciao_tpu.prox import (
 )
 from ciao_tpu.solvers import (
     Finito,
+    FISTA,
+    ForwardBackward,
     Katyusha,
     SARAH,
     Proshi,
@@ -78,6 +80,8 @@ __all__ = [
     "oracles",
     "prox",
     "Finito",
+    "ForwardBackward",
+    "FISTA",
     "Katyusha",
     "SARAH",
     "Proshi",

@@ -30,6 +30,8 @@ from ciao_tpu.parallel.tp import (
 from ciao_tpu.parallel.dp import (
     DPCfg,
     DPFinito,
+    DPFISTA,
+    DPForwardBackward,
     DPKatyusha,
     DPProshi,
     DPSAG,
@@ -51,6 +53,8 @@ __all__ = [
     "shard_finite_sum",
     "DPCfg",
     "DPFinito",
+    "DPForwardBackward",
+    "DPFISTA",
     "DPKatyusha",
     "DPProshi",
     "DPSAG",

@@ -1249,6 +1249,45 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
     )
 
 
+class DPFBState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    t: jnp.ndarray          # scalar Nesterov sequence (1.0 when not fast)
+    x: jnp.ndarray          # (n,) iterate, replicated
+    y: jnp.ndarray          # (n,) extrapolated point
+    key: jnp.ndarray        # unused (deterministic method); uniform state
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _fb_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded ISTA/FISTA bootstrap (solvers.fb — beyond the
+    reference): table-free; only the oracle rows shard."""
+    rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
+    return DPFBState(
+        gamma=gamma, t=jnp.ones((), rdt), x=x0, y=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _fb_step_local(F, g, cfg: DPCfg, state: DPFBState):
+    """One sharded forward-backward step: the full gradient is one
+    local streaming pass + ONE x-sized psum; prox and extrapolation
+    replicate (cf. solvers.fb._fb_step)."""
+    gamma = state.gamma
+    grad = _psum(F.grad_sum_all(state.y)) / cfg.N
+    x_new = g.prox_only(state.y - gamma * grad, gamma)
+    if cfg.variant == "fista":
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
+        y_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+    else:
+        t_new, y_new = state.t, x_new
+    return state._replace(t=t_new, x=x_new, y=y_new, it=state.it + 1)
+
+
 class DPSARAHState(NamedTuple):
     gamma: jnp.ndarray      # scalar stepsize
     eta: jnp.ndarray        # scalar ProxSARAH damping
@@ -1463,6 +1502,8 @@ _FAMILY = {
                  DPKatyushaState, True, _rebase_identity_local),
     "sarah": (_sarah_init_local, _sarah_step_local, DPSARAHState, True,
               _rebase_identity_local),
+    "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
+           _rebase_identity_local),
     "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
                False, _rebase_identity_local),
 }
@@ -2226,3 +2267,75 @@ class DPSARAH:
         x0_orig = x0
         x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
         return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPForwardBackward:
+    """Data-parallel ISTA/FISTA (beyond the reference — the
+    deterministic full-gradient baseline; see :class:`ciao_tpu.solvers.
+    ForwardBackward`). Each step is one local streaming pass over the
+    device's row shard + ONE x-sized psum; ``fast=True`` is FISTA."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    fast: bool = False
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        D = mesh.shape[DATA_AXIS]
+        if N % D != 0:
+            raise ValueError(
+                f"DPForwardBackward: N={N} must divide evenly over the "
+                f"{D}-device data axis"
+            )
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "DPForwardBackward: provide the smoothness moduli L, "
+                    "or a stepsize γ"
+                )
+            gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
+        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999,
+                    variant="fista" if self.fast else "ista")
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "fb", mesh, F, g, cfg
+        )
+        key = jax.random.PRNGKey(0)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def DPFISTA(**kwargs) -> DPForwardBackward:
+    """``DPForwardBackward(fast=True)``."""
+    return DPForwardBackward(fast=True, **kwargs)

@@ -4,6 +4,7 @@ SAGA/SAG, SVRG/SVRG++ — mirroring the reference's public surface
 ``iterator``, ``solution``)."""
 
 from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
+from ciao_tpu.solvers.fb import FISTA, ForwardBackward
 from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
 from ciao_tpu.solvers.proshi import Proshi
@@ -20,6 +21,8 @@ def iterator(solver, x0, **kwargs):
 
 __all__ = [
     "Finito",
+    "ForwardBackward",
+    "FISTA",
     "Katyusha",
     "SARAH",
     "Proshi",
