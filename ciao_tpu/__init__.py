@@ -64,6 +64,7 @@ from ciao_tpu.solvers import (
     FISTA,
     ForwardBackward,
     Katyusha,
+    PointSAGA,
     SARAH,
     Proshi,
     SAGA,
@@ -83,6 +84,7 @@ __all__ = [
     "ForwardBackward",
     "FISTA",
     "Katyusha",
+    "PointSAGA",
     "SARAH",
     "Proshi",
     "SAGA",

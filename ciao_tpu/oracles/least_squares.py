@@ -332,3 +332,42 @@ class LeastSquaresRows(SmoothOracle):
         r = jnp.sum(A_B * xs, axis=-1) - self.b[idx]
         vals = 0.5 * self.scale * jnp.real(r * jnp.conj(r))
         return vals, self.scale * jnp.conj(A_B) * r[:, None]
+
+    # ---- proximal-point structure (Point-SAGA) ------------------------
+    # prox of ONE row term is again rank-1: prox_{γf_j}(z) = z − γθ·conj(a_j)
+    # with the SCALAR θ = scale·(a_j·z − b_j)/(1 + γ·scale·|a_j|²) — the
+    # closed-form Sherman–Morrison shift. ``pointprox_*`` evaluates, for
+    # each row j of a batch, θ_j at z_j = v + γ·c_j·conj(a_j) (c_j the
+    # table coefficient) and returns (θ_B, Σ_j (c_j − θ_j)·conj(a_j)),
+    # so the whole batched Point-SAGA step is one margin dot + one apply
+    # dot over the same streamed rows — byte-identical to the SAGA
+    # coefficient step.
+
+    supports_pointprox = True
+
+    def _pointprox_core(self, A_B, b_B, rs_B, v, c_B, gamma):
+        if rs_B is not None:
+            Ad = A_B.astype(v.dtype)
+            mv = (Ad @ v) * rs_B
+            na2 = jnp.sum(Ad * Ad, axis=1) * (rs_B * rs_B)
+        else:
+            mv = A_B @ v
+            na2 = jnp.sum(jnp.real(A_B * jnp.conj(A_B)), axis=1)
+        mz = mv + gamma * c_B * na2
+        theta = self.scale * (mz - b_B) / (1.0 + gamma * self.scale * na2)
+        w = c_B - theta
+        if rs_B is not None:
+            u = (w * rs_B) @ A_B.astype(w.dtype)
+        else:
+            u = w @ jnp.conj(A_B)
+        return theta, u
+
+    def pointprox_block(self, v, c_B, gamma, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        return self._pointprox_core(A_B, b_B, self._slice_rs(start, size),
+                                    v, c_B, gamma)
+
+    def pointprox_batch(self, v, c_B, gamma, idx):
+        rs_B = None if self.row_scale is None else self.row_scale[idx]
+        return self._pointprox_core(self.A[idx], self.b[idx], rs_B,
+                                    v, c_B, gamma)

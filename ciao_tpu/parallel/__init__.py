@@ -33,6 +33,7 @@ from ciao_tpu.parallel.dp import (
     DPFISTA,
     DPForwardBackward,
     DPKatyusha,
+    DPPointSAGA,
     DPProshi,
     DPSAG,
     DPSAGA,
@@ -56,6 +57,7 @@ __all__ = [
     "DPForwardBackward",
     "DPFISTA",
     "DPKatyusha",
+    "DPPointSAGA",
     "DPProshi",
     "DPSAG",
     "DPSAGA",

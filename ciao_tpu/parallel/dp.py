@@ -1249,6 +1249,56 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
     )
 
 
+class DPPointSAGAState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    c: jnp.ndarray          # (N,) prox-coefficient table, sharded
+    av: jnp.ndarray         # (n,) table mean, replicated
+    x: jnp.ndarray          # (n,) iterate, replicated
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _point_saga_init_local(F, g, x0, gamma, key, cfg: DPCfg):
+    """Sharded Point-SAGA bootstrap (solvers.point_saga — beyond the
+    reference): local coefficient shard + one psum'd table mean."""
+    c = F.coeff_all(x0)
+    av = _psum(F.apply_all(c)) / cfg.N
+    return DPPointSAGAState(
+        gamma=gamma, c=c, av=av, x=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _point_saga_step_local(F, g, cfg: DPCfg, state: DPPointSAGAState):
+    """One sharded Point-SAGA step: each device proxes a block of its
+    own rows around the shared shifted iterate; the block contributions
+    u = Σ(c−θ)·conj(a) are ONE x-sized psum (cf.
+    solvers.point_saga._point_saga_step)."""
+    N, B = cfg.N, cfg.b_loc
+    gamma = state.gamma
+    v = state.x - gamma * state.av
+    start = local_block_start(state.key, state.it, cfg.n_loc, B,
+                              cfg.sweeping)
+    c_B = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    theta, u_loc = F.pointprox_block(v, c_B, gamma, start, B)
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, theta, start, 0)
+    u = _psum(u_loc)
+    x = v + (gamma / (B * cfg.D)) * u
+    av = state.av - u / N
+    return state._replace(c=c, av=av, x=x, it=state.it + 1)
+
+
+def _point_saga_rebase_local(F, g, cfg: DPCfg, state: DPPointSAGAState):
+    """Exact table-mean recompute from the local coefficient shards
+    (one apply + psum) — required after an oracle storage swap."""
+    return state._replace(av=_psum(F.apply_all(state.c)) / cfg.N)
+
+
 class DPFBState(NamedTuple):
     gamma: jnp.ndarray      # scalar stepsize
     t: jnp.ndarray          # scalar Nesterov sequence (1.0 when not fast)
@@ -1504,6 +1554,8 @@ _FAMILY = {
               _rebase_identity_local),
     "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
            _rebase_identity_local),
+    "point_saga": (_point_saga_init_local, _point_saga_step_local,
+                   DPPointSAGAState, True, _point_saga_rebase_local),
     "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
                False, _rebase_identity_local),
 }
@@ -2339,3 +2391,86 @@ class DPForwardBackward:
 def DPFISTA(**kwargs) -> DPForwardBackward:
     """``DPForwardBackward(fast=True)``."""
     return DPForwardBackward(fast=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPPointSAGA:
+    """Data-parallel Point-SAGA (beyond the reference — proximal-point
+    incremental solver; see :class:`ciao_tpu.solvers.PointSAGA`). The
+    (N,) prox-coefficient table shards by index block; each step every
+    device proxes one contiguous block of its own rows (global batch
+    = D·b_loc) and the only cross-device traffic is one x-sized psum.
+    Solves min (1/N)Σf_i — no separate composite g (the method's
+    scope); requires a ``supports_pointprox`` oracle."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    sweeping: int = 1
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is not None and not isinstance(g, Zero):
+            raise ValueError(
+                "DPPointSAGA solves min (1/N)Σ f_i(x) — no separate "
+                "composite g (see PointSAGA)"
+            )
+        g = Zero()
+        if not getattr(F, "supports_pointprox", False):
+            raise ValueError(
+                "DPPointSAGA needs a scalar-loss row oracle with the "
+                f"pointprox protocol; {type(F).__name__} does not "
+                "support it"
+            )
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, self.sweeping,
+                                        "DPPointSAGA")
+        if (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPPointSAGA: per-device block batch/D must divide N/D"
+            )
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "DPPointSAGA: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            gamma = 1.0 / (3.0 * jnp.max(jnp.asarray(L, rdt)))
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
+                    alpha=0.999)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "point_saga", mesh, F, g, cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)

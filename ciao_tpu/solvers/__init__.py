@@ -7,6 +7,7 @@ from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
 from ciao_tpu.solvers.fb import FISTA, ForwardBackward
 from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
+from ciao_tpu.solvers.point_saga import PointSAGA
 from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
 from ciao_tpu.solvers.sarah import SARAH
@@ -26,6 +27,7 @@ __all__ = [
     "Katyusha",
     "SARAH",
     "Proshi",
+    "PointSAGA",
     "SAGA",
     "SAG",
     "SVRG",
