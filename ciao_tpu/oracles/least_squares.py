@@ -371,3 +371,24 @@ class LeastSquaresRows(SmoothOracle):
         rs_B = None if self.row_scale is None else self.row_scale[idx]
         return self._pointprox_core(self.A[idx], self.b[idx], rs_B,
                                     v, c_B, gamma)
+
+    # margin-split Point-SAGA pieces for tensor-parallel column
+    # sharding: partial row square-norms (un-descaled for int8, like
+    # margin_block) are psum'd over "model" by the caller, then the θ
+    # solve applies the affine parts after the reduction.
+    def pointprox_sqnorm_block(self, start, size: int):
+        A_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            Ad = A_B.astype(jnp.float32)
+            return jnp.sum(Ad * Ad, axis=1)
+        return jnp.sum(jnp.real(A_B * jnp.conj(A_B)), axis=1)
+
+    def pointprox_theta_block(self, m_raw, na2_raw, c_B, gamma, start,
+                              size: int):
+        _, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            m_raw = m_raw * rs_B
+            na2_raw = na2_raw * (rs_B * rs_B)
+        mz = m_raw + gamma * c_B * na2_raw
+        return self.scale * (mz - b_B) / (1.0 + gamma * self.scale * na2_raw)

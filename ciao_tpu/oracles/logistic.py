@@ -254,6 +254,25 @@ class LogisticRows(SmoothOracle):
         return self._pointprox_core(self.X[idx], self.y[idx], rs_B,
                                     v, c_B, gamma)
 
+    # margin-split Point-SAGA pieces for tensor-parallel column
+    # sharding (see LeastSquaresRows.pointprox_sqnorm_block).
+    def pointprox_sqnorm_block(self, start, size: int):
+        X_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            Xd = X_B.astype(jnp.float32)
+            return jnp.sum(Xd * Xd, axis=1)
+        return jnp.sum(X_B * X_B, axis=1)
+
+    def pointprox_theta_block(self, m_raw, na2_raw, c_B, gamma, start,
+                              size: int):
+        _, y_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            m_raw = m_raw * rs_B
+            na2_raw = na2_raw * (rs_B * rs_B)
+        mz = m_raw + gamma * c_B * na2_raw
+        return _logistic_pointprox_theta(mz, y_B, gamma * na2_raw, c_B)
+
     # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
     def _slice(self, start, size):
         X_B = jax.lax.dynamic_slice_in_dim(self.X, start, size, 0)

@@ -23,6 +23,9 @@ from ciao_tpu.parallel.tp import (
     TPSVRG,
     TPKatyusha,
     TPSARAH,
+    TPFISTA,
+    TPForwardBackward,
+    TPPointSAGA,
     TPProshi,
     data_model_specs,
     shard_finite_sum_2d,
@@ -71,6 +74,9 @@ __all__ = [
     "TPSVRG",
     "TPKatyusha",
     "TPSARAH",
+    "TPPointSAGA",
+    "TPForwardBackward",
+    "TPFISTA",
     "TPProshi",
     "data_model_specs",
     "shard_finite_sum_2d",

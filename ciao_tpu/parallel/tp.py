@@ -898,6 +898,138 @@ _SARAH_ST_SPECS = TPSARAHState(
 )
 
 
+class TPPointSAGAState(NamedTuple):
+    gamma: jnp.ndarray   # scalar stepsize
+    c: jnp.ndarray       # (N,) prox-coefficient table, P("data")
+    av: jnp.ndarray      # (n,) table mean, P("model")
+    x: jnp.ndarray       # (n,) iterate, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+class TPPointSAGACfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    b_loc: int
+    sweeping: int = 1
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_point_saga_init(F, g, x0, gamma, key, cfg: TPPointSAGACfg):
+    """2-D-sharded Point-SAGA bootstrap (cf. dp._point_saga_init_local):
+    coefficient shard from one "model" margin psum, table mean from one
+    "data" psum."""
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    av = _psum_d(F.apply_all(c)) / cfg.N
+    return TPPointSAGAState(
+        gamma=gamma, c=c, av=av, x=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_point_saga_step(F, g, cfg: TPPointSAGACfg, state: TPPointSAGAState):
+    """One Point-SAGA block step on the ("data","model") mesh. The
+    per-row prox needs the block margins AND the full row square-norms
+    at the shifted iterate — both partial over the coordinate shard, so
+    they stack into ONE (2,B)-sized "model" psum; the θ solve then runs
+    replicated within each model group, and the block contribution
+    u = Σ(c−θ)·conj(a) is one x-shard-sized "data" psum (the same
+    two-collective shape as every TP family)."""
+    from ciao_tpu.parallel.dp import local_block_start
+
+    N, B = cfg.N, cfg.b_loc
+    gamma = state.gamma
+    v = state.x - gamma * state.av
+    start = local_block_start(state.key, state.it, cfg.n_loc, B,
+                              cfg.sweeping)
+    c_B = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    mv_part = F.margin_block(v, start, B)
+    na2_part = F.pointprox_sqnorm_block(start, B).astype(mv_part.dtype)
+    r2 = _psum_m(jnp.stack([mv_part, na2_part]))
+    theta = F.pointprox_theta_block(r2[0], jnp.real(r2[1]), c_B, gamma,
+                                    start, B)
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, theta, start, 0)
+    u = _psum_d(F.apply_rows_block(c_B - theta, start, B))
+    x = v + (gamma / (B * cfg.D)) * u
+    av = state.av - u / N
+    return state._replace(c=c, av=av, x=x, it=state.it + 1)
+
+
+def _tp_point_saga_rebase(F, g, cfg: TPPointSAGACfg, state: TPPointSAGAState):
+    """Exact table-mean recompute (one apply + "data" psum) — required
+    after an oracle storage swap."""
+    return state._replace(av=_psum_d(F.apply_all(state.c)) / cfg.N)
+
+
+_PS_ST_SPECS = TPPointSAGAState(
+    gamma=P(), c=P(DATA_AXIS), av=P(MODEL_AXIS), x=P(MODEL_AXIS), key=P(),
+    it=P(), status=P(),
+)
+
+
+class TPFBState(NamedTuple):
+    gamma: jnp.ndarray   # scalar stepsize
+    t: jnp.ndarray       # scalar Nesterov sequence
+    x: jnp.ndarray       # (n,) iterate, P("model")
+    y: jnp.ndarray       # (n,) extrapolated point, P("model")
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+class TPFBCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    fast: bool = False
+
+    @property
+    def n_loc(self):
+        return self.N // self.D
+
+
+def _tp_fb_init(F, g, x0, gamma, cfg: TPFBCfg):
+    rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
+    return TPFBState(
+        gamma=gamma, t=jnp.ones((), rdt), x=x0, y=x0,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_fb_step(F, g, cfg: TPFBCfg, state: TPFBState):
+    """One 2-D-sharded ISTA/FISTA step: full-gradient margins psum over
+    "model", the gradient shard psum over "data", prox + extrapolation
+    coordinate-local (separable g)."""
+    gamma = state.gamma
+    r = _psum_m(F.margin_all(state.y))
+    grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+    x_new = g.prox_only(state.y - gamma * grad, gamma)
+    if cfg.fast:
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
+        y_new = x_new + ((state.t - 1.0) / t_new) * (x_new - state.x)
+    else:
+        t_new, y_new = state.t, x_new
+    return state._replace(t=t_new, x=x_new, y=y_new, it=state.it + 1)
+
+
+_FB_ST_SPECS = TPFBState(
+    gamma=P(), t=P(), x=P(MODEL_AXIS), y=P(MODEL_AXIS), it=P(), status=P(),
+)
+
+
 class TPProshiState(NamedTuple):
     """ProShI sharing-problem state on the ("data","model") mesh: the
     (N, n) block-variable table shards over BOTH axes, γ over "data",
@@ -1025,6 +1157,10 @@ _TP_FAMILY = {
                  _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P(), P())),
     "sarah": (_tp_sarah_init, _tp_sarah_outer, _SARAH_ST_SPECS,
               _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
+    "point_saga": (_tp_point_saga_init, _tp_point_saga_step, _PS_ST_SPECS,
+                   _tp_point_saga_rebase, (P(MODEL_AXIS), P(), P())),
+    "fb": (_tp_fb_init, _tp_fb_step, _FB_ST_SPECS,
+           _tp_rebase_identity, (P(MODEL_AXIS), P())),
     "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
                _tp_proshi_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
 }
@@ -1478,3 +1614,190 @@ class TPSARAH:
         x0_orig = x0
         x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
         return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPPointSAGA:
+    """Point-SAGA on a ("data", "model") mesh — samples AND coordinates
+    sharded (beyond the reference; see :class:`ciao_tpu.solvers.
+    PointSAGA`). Per step: one stacked (2,B)-sized "model" psum (block
+    margins + row square-norms at the shifted iterate), a replicated
+    scalar θ solve, and one x-shard-sized "data" psum. Solves
+    min (1/N)Σf_i (no composite g); needs the pointprox margin
+    protocol (dense least-squares / logistic rows)."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 1
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    sweeping: int = 1
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPPointSAGA needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is not None and not isinstance(g, Zero):
+            raise ValueError(
+                "TPPointSAGA solves min (1/N)Σ f_i(x) — no separate "
+                "composite g (see PointSAGA)"
+            )
+        g = Zero()
+        if not (getattr(F, "supports_pointprox", False)
+                and hasattr(F, "pointprox_sqnorm_block")):
+            raise ValueError(
+                "TPPointSAGA needs a scalar-loss row oracle with the "
+                f"pointprox margin protocol; {type(F).__name__} does "
+                "not support it"
+            )
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError(
+                "TPPointSAGA: need N divisible by D and N/D by batch"
+            )
+        if x0.size % M != 0:
+            raise ValueError("TPPointSAGA: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "TPPointSAGA: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            gamma = 1.0 / (3.0 * jnp.max(jnp.asarray(L, rdt)))
+        cfg = TPPointSAGACfg(N=N, D=D, M=M, b_loc=self.batch,
+                             sweeping=self.sweeping)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "point_saga", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, gamma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPForwardBackward:
+    """ISTA/FISTA on a ("data", "model") mesh (beyond the reference;
+    see :class:`ciao_tpu.solvers.ForwardBackward`). One "model" margin
+    psum + one "data" gradient-shard psum per full-gradient step;
+    ``fast=True`` is FISTA. Requires a rank-1 oracle with the margin
+    protocol and a separable prox."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+    fast: bool = False
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPForwardBackward needs a ('data','model') mesh "
+                "(make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPForwardBackward shards coordinates — the prox must be "
+                f"separable (got {type(g).__name__})"
+            )
+        if not hasattr(F, "margin_all"):
+            raise ValueError(
+                "TPForwardBackward needs the margin protocol (dense row "
+                f"oracles); {type(F).__name__} is DP-only"
+            )
+        if N % D != 0:
+            raise ValueError("TPForwardBackward: need N divisible by D")
+        if x0.size % M != 0:
+            raise ValueError(
+                "TPForwardBackward: need n divisible by the model axis"
+            )
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        else:
+            if L is None:
+                raise ValueError(
+                    "TPForwardBackward: provide the smoothness moduli L, "
+                    "or a stepsize γ"
+                )
+            gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
+        cfg = TPFBCfg(N=N, D=D, M=M, fast=self.fast)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "fb", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        init = lambda: init_c(F, g, x0, gamma)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def TPFISTA(**kwargs) -> TPForwardBackward:
+    """``TPForwardBackward(fast=True)``."""
+    return TPForwardBackward(fast=True, **kwargs)

@@ -101,3 +101,26 @@ def test_dp_fista_matches_single_chip():
     np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_sc),
                                rtol=1e-9, atol=1e-12)
     assert prob.cost(np.asarray(x_dp)) - prob.f_star < 1e-4
+
+
+def test_tp_fista_matches_single_chip():
+    """TPFISTA on a (4 data x 2 model) mesh: deterministic method —
+    the 2-D-sharded trajectory must equal the single-chip one."""
+    from ciao_tpu.parallel import TPFISTA, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.prox import NormL2
+
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(n, prob.A.dtype)
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2)
+    x_tp, _ = TPFISTA(mesh=mesh2, maxit=200)(z0, F=F2, g=g, L=prob.L, N=N)
+    x_sc, _ = ciao_tpu.FISTA(maxit=200)(z0, F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_allclose(np.asarray(x_tp), np.asarray(x_sc),
+                               rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="separable"):
+        TPFISTA(mesh=mesh2)(z0, F=F, g=NormL2(lam=jnp.asarray(1.0)),
+                            L=prob.L, N=N)

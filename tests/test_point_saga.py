@@ -158,3 +158,27 @@ def test_dp_point_saga(lsq):
         DPPointSAGA(mesh=mesh, maxit=2)(
             z0, F=Fd, g=ciao_tpu.NormL1(lam=jnp.asarray(0.1)), L=L, N=N
         )
+
+
+def test_tp_point_saga_converges_and_shards(lsq):
+    """TPPointSAGA on a (4 data x 2 model) mesh: the stacked
+    margins+square-norms "model" psum feeds a replicated θ solve; the
+    coefficient table stays data-sharded, the iterate model-sharded."""
+    from jax.sharding import PartitionSpec as P
+    from ciao_tpu.parallel import TPPointSAGA, make_mesh_2d, shard_finite_sum_2d
+    from ciao_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    A, x_true, F, L = lsq
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2)
+    z0 = jnp.zeros(n)
+    solver = TPPointSAGA(mesh=mesh2, maxit=1500, batch=4)
+    x, _ = solver(z0, F=F2, L=L, N=N)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-4
+    st = next(iter(solver.iterator(z0, F=F2, L=L, N=N)))
+    assert st.x.sharding.spec == P(MODEL_AXIS)
+    assert st.c.sharding.spec == P(DATA_AXIS)
+    with pytest.raises(ValueError, match="composite"):
+        TPPointSAGA(mesh=mesh2, maxit=2)(
+            z0, F=F2, g=ciao_tpu.NormL1(lam=jnp.asarray(0.1)), L=L, N=N
+        )
