@@ -64,6 +64,7 @@ from ciao_tpu.solvers import (
     FISTA,
     ForwardBackward,
     Katyusha,
+    LSVRG,
     PointSAGA,
     SARAH,
     Proshi,
@@ -84,6 +85,7 @@ __all__ = [
     "ForwardBackward",
     "FISTA",
     "Katyusha",
+    "LSVRG",
     "PointSAGA",
     "SARAH",
     "Proshi",

@@ -36,6 +36,7 @@ from ciao_tpu.parallel.dp import (
     DPFISTA,
     DPForwardBackward,
     DPKatyusha,
+    DPLSVRG,
     DPPointSAGA,
     DPProshi,
     DPSAG,
@@ -60,6 +61,7 @@ __all__ = [
     "DPForwardBackward",
     "DPFISTA",
     "DPKatyusha",
+    "DPLSVRG",
     "DPPointSAGA",
     "DPProshi",
     "DPSAG",

@@ -1249,6 +1249,72 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
     )
 
 
+class DPLSVRGState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    p: jnp.ndarray          # scalar refresh probability (f32)
+    av: jnp.ndarray         # (n,) full-gradient anchor, replicated
+    z: jnp.ndarray          # (n,) anchor point, replicated
+    w: jnp.ndarray          # (n,) iterate, replicated
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.w
+
+
+def _lsvrg_init_local(F, g, x0, gamma, p, key, cfg: DPCfg):
+    """Sharded L-SVRG bootstrap (solvers.lsvrg — beyond the reference):
+    the anchor full gradient is one local pass + psum."""
+    av = _psum(F.grad_sum_all(x0)) / cfg.N
+    return DPLSVRGState(
+        gamma=gamma, p=p, av=av, z=x0, w=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _lsvrg_step_local(F, g, cfg: DPCfg, state: DPLSVRGState):
+    """One sharded loopless-SVRG step: each device draws a block from
+    its own shard and the variance-reduced direction is pmean'd (global
+    batch b_loc·D). The Bernoulli anchor coin is REPLICATED — derived
+    from (key, it) only, the same stream as the single-chip solver —
+    so every device jumps together; the refresh full pass runs inside a
+    ``lax.cond`` locally (no collective in the branch) and its partial
+    sum rides the SAME stacked psum as the direction, keeping the
+    collective unconditional and the step at ONE psum total."""
+    from ciao_tpu.solvers.lsvrg import _coin
+
+    N, B = cfg.N, cfg.b_loc
+    gamma, av, w = state.gamma, state.av, state.w
+    if cfg.block:
+        start = local_block_start(state.key, state.it, cfg.n_loc, B,
+                                  cfg.sweeping)
+        d_loc = F.grad_sum_diff_block(state.z, w, start, B)
+    else:
+        ax = jax.lax.axis_index(DATA_AXIS)
+        kk = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+        i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
+        d_loc = F.grad_sum_diff(state.z, w, i)
+    flip = _coin(state.key, state.it, state.p)
+    ref_loc = jax.lax.cond(
+        flip, lambda: F.grad_sum_all(w), lambda: jnp.zeros_like(av)
+    )
+    tot = _psum(jnp.stack([d_loc, ref_loc]))     # ONE collective
+    w_new = g.prox_only(w + gamma * (tot[0] / (B * cfg.D) - av), gamma)
+    av_new = jnp.where(flip, tot[1] / N, state.av)
+    z_new = jnp.where(flip, w, state.z)
+    return state._replace(av=av_new, z=z_new, w=w_new, it=state.it + 1)
+
+
+def _lsvrg_rebase_local(F, g, cfg: DPCfg, state: DPLSVRGState):
+    """Exact anchor-gradient recompute at the current anchor point
+    (one local pass + psum) — required after an oracle storage swap:
+    at small p the carried μ keeps the old operator's gradient until
+    the next coin fires."""
+    return state._replace(av=_psum(F.grad_sum_all(state.z)) / cfg.N)
+
+
 class DPPointSAGAState(NamedTuple):
     gamma: jnp.ndarray      # scalar stepsize
     c: jnp.ndarray          # (N,) prox-coefficient table, sharded
@@ -1550,6 +1616,8 @@ _FAMILY = {
              _rebase_identity_local),
     "katyusha": (_katyusha_init_local, _katyusha_step_local,
                  DPKatyushaState, True, _rebase_identity_local),
+    "lsvrg": (_lsvrg_init_local, _lsvrg_step_local, DPLSVRGState, True,
+              _lsvrg_rebase_local),
     "sarah": (_sarah_init_local, _sarah_step_local, DPSARAHState, True,
               _rebase_identity_local),
     "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
@@ -2224,6 +2292,83 @@ class DPKatyusha:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.tau1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPLSVRG:
+    """Data-parallel loopless SVRG (beyond the reference; see
+    :class:`ciao_tpu.solvers.LSVRG`).
+
+    Every step each device draws a block from its own shard and the
+    variance-reduced direction is pmean'd (global batch D·b_loc). The
+    anchor-refresh coin is replicated (same (key, it) stream on every
+    device) and the refresh partial sum rides the direction's stacked
+    psum — one collective per step, refresh or not. ``p`` defaults to
+    batch/N (one expected full pass per epoch of global samples);
+    ``maxit`` counts steps."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    p: Optional[float] = None
+    block_sampling: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0
+        assert self.p is None or 0.0 <= self.p <= 1.0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM,
+                                        "DPLSVRG")
+        if self.gamma is None:
+            if L is None:
+                raise ValueError("DPLSVRG: provide L or γ")
+            gamma = 1.0 / (6.0 * jnp.max(jnp.asarray(L, rdt)))
+        else:
+            gamma = jnp.asarray(self.gamma, rdt)
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPLSVRG block_sampling needs N/D divisible by batch/D"
+            )
+        p = batch / N if self.p is None else self.p
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=self.block_sampling)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "lsvrg", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(self.seed)
+        p = jnp.asarray(p, jnp.float32)
+        init = lambda: init_c(F, g, x0, gamma, p, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

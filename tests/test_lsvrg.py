@@ -1,0 +1,191 @@
+"""L-SVRG (beyond the reference — loopless variance reduction).
+
+The reference's SVRG is epoch-structured; L-SVRG (Kovalev et al., ALT
+2020) replaces the outer loop with a Bernoulli anchor jump. Tests pin
+(a) the reference tolerance on the planted lasso, (b) the coin
+semantics at its two degenerate settings (p=0: the anchor never moves;
+p=1: the anchor tracks the pre-update iterate every step), (c) the
+streaming-API invariants every solver obeys, (d) dtype coverage, and
+(e) the DP path (replicated coin, one stacked psum per step) on the
+8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ciao_tpu
+from ciao_tpu.oracles import LeastSquaresRows
+from ciao_tpu.prox import NormL1
+from ciao_tpu.utils.problems import make_lasso
+
+N, n = 64, 8
+
+
+@pytest.fixture(scope="module")
+def lasso():
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(N)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    return prob, F, g
+
+
+def x0(prob):
+    return jnp.zeros(prob.A.shape[1], prob.A.dtype)
+
+
+def test_lsvrg_converges(lasso):
+    """Default settings (γ = 1/(6 L_max), p = batch/N) reach the
+    reference tolerance on the planted lasso."""
+    prob, F, g = lasso
+    x, it = ciao_tpu.LSVRG(maxit=4000)(x0(prob), F=F, g=g, L=prob.L, N=N)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    assert it == 4000
+
+
+def test_lsvrg_block_and_minibatch(lasso):
+    """Contiguous-block sampling (TPU fast path) and minibatch > 1
+    converge; block vs iid sampling genuinely differ; misconfiguration
+    raises."""
+    prob, F, g = lasso
+    x, _ = ciao_tpu.LSVRG(maxit=4000, batch=8, block_sampling=True)(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    xs = {}
+    for blk in (False, True):
+        xe, _ = ciao_tpu.LSVRG(maxit=20, batch=8, block_sampling=blk)(
+            x0(prob), F=F, g=g, L=prob.L, N=N
+        )
+        xs[blk] = np.asarray(xe)
+    assert not np.array_equal(xs[False], xs[True])
+    with pytest.raises(ValueError, match="divisible"):
+        ciao_tpu.LSVRG(maxit=2, batch=7, block_sampling=True)(
+            x0(prob), F=F, g=g, L=prob.L, N=N
+        )
+    with pytest.raises(ValueError, match="provide L"):
+        ciao_tpu.LSVRG(maxit=2)(x0(prob), F=F, g=g, N=N)
+
+
+def test_lsvrg_coin_semantics(lasso):
+    """p=0: the anchor (and its gradient) is frozen at x0 forever.
+    p=1: after every step the anchor equals the PRE-update iterate
+    (paper order, Kovalev et al. Alg. 2)."""
+    from ciao_tpu.solvers.base import take
+
+    prob, F, g = lasso
+    z0 = x0(prob)
+    # p = 0 — anchor never jumps
+    it0 = ciao_tpu.LSVRG(maxit=9, p=0.0).iterator(
+        z0, F=F, g=g, L=prob.L, N=N
+    )
+    states = list(take(iter(it0), 9))
+    for st in states:
+        np.testing.assert_array_equal(np.asarray(st.z), np.asarray(z0))
+        np.testing.assert_array_equal(
+            np.asarray(st.av), np.asarray(states[0].av)
+        )
+    # p = 1 — anchor tracks the pre-update iterate
+    it1 = ciao_tpu.LSVRG(maxit=9, p=1.0).iterator(
+        z0, F=F, g=g, L=prob.L, N=N
+    )
+    states = list(take(iter(it1), 6))
+    for prev, cur in zip(states, states[1:]):
+        np.testing.assert_array_equal(np.asarray(cur.z),
+                                      np.asarray(prev.w))
+
+
+def test_lsvrg_iterator_invariants(lasso):
+    """Streaming mode: solution(init) == x0, the iterator's k-th state
+    matches a maxit=k solve (stateless (key, it) streams)."""
+    from ciao_tpu.solvers.base import take
+
+    prob, F, g = lasso
+    solver = ciao_tpu.LSVRG(maxit=5)
+    it = solver.iterator(x0(prob), F=F, g=g, L=prob.L, N=N)
+    states = list(take(iter(it), 5))
+    np.testing.assert_array_equal(np.asarray(states[0].solution),
+                                  np.asarray(x0(prob)))
+    x_batch, _ = solver(x0(prob), F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_array_equal(np.asarray(states[-1].solution),
+                                  np.asarray(x_batch))
+
+
+def test_lsvrg_complex_dtype():
+    """c128 lasso (the reference dtype sweep): the coin/γ scalars stay
+    real, iterates complex."""
+    prob = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.complex128)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(N)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(n, prob.A.dtype)
+    x, _ = ciao_tpu.LSVRG(maxit=4000)(z0, F=F, g=g, L=prob.L, N=N)
+    assert x.dtype == prob.A.dtype
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_lsvrg_checkpoint_resume_and_rebase(tmp_path, lasso):
+    """Checkpoint at step k and resume: the continuation matches the
+    straight-through run exactly. A storage swap needs the rebase hook
+    (the carried anchor gradient keeps the old operator's bias until
+    the next coin fires): resume_iterator(rebase=True) recomputes μ at
+    the current anchor under the NEW storage."""
+    from ciao_tpu import checkpoint
+    from ciao_tpu.solvers.base import loop, take
+    from ciao_tpu.solvers.lsvrg import lsvrg_rebase, LSVRGCfg
+
+    prob, F, g = lasso
+    solver = ciao_tpu.LSVRG(maxit=40)
+    z0 = x0(prob)
+    st_full = loop(take(iter(solver.iterator(z0, F=F, g=g, L=prob.L, N=N)), 10))
+    it1 = solver.iterator(z0, F=F, g=g, L=prob.L, N=N)
+    st_mid = loop(take(iter(it1), 5))
+    checkpoint.save(tmp_path / "lsvrg.npz", st_mid)
+    restored = checkpoint.load(tmp_path / "lsvrg.npz")
+    it2 = solver.iterator(z0, F=F, g=g, L=prob.L, N=N)
+    resumed = loop(take(checkpoint.resume_iterator(it2, restored), 6))
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(st_full.w),
+        rtol=1e-12, atol=1e-14,
+    )
+    # rebase recomputes μ exactly at the current anchor point
+    cfg = LSVRGCfg(N=N, batch=1, block=False)
+    st_rb = lsvrg_rebase(F, g, st_mid, cfg)
+    np.testing.assert_allclose(
+        np.asarray(st_rb.av),
+        np.asarray(F.grad_sum_all(st_mid.z) / N),
+        rtol=1e-13,
+    )
+
+
+def test_dp_lsvrg_converges_and_coin(lasso):
+    """DP L-SVRG on the 8-device mesh: block and iid sampling both
+    reach the reference tolerance; the replicated coin keeps every
+    device's anchor in sync (p=0 freezes it, matching single-chip
+    semantics); one stacked psum per step by construction."""
+    from ciao_tpu.parallel import DPLSVRG, make_mesh, shard_finite_sum
+    from ciao_tpu.solvers.base import take
+
+    prob, F, g = lasso
+    mesh = make_mesh()
+    Fs = shard_finite_sum(F, mesh)
+    for blk in (False, True):
+        x, _ = DPLSVRG(mesh=mesh, maxit=4000, batch=8, block_sampling=blk)(
+            x0(prob), F=Fs, g=g, L=prob.L, N=N
+        )
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, blk
+    it0 = DPLSVRG(mesh=mesh, maxit=9, batch=8, p=0.0).iterator(
+        x0(prob), F=Fs, g=g, L=prob.L, N=N
+    )
+    states = list(take(iter(it0), 6))
+    for st in states:
+        np.testing.assert_array_equal(np.asarray(st.z),
+                                      np.asarray(x0(prob)))
+        np.testing.assert_array_equal(np.asarray(st.av),
+                                      np.asarray(states[0].av))
