@@ -64,6 +64,7 @@ from ciao_tpu.solvers import (
     FISTA,
     ForwardBackward,
     Katyusha,
+    LKatyusha,
     LSVRG,
     PointSAGA,
     SARAH,
@@ -86,6 +87,7 @@ __all__ = [
     "FISTA",
     "Katyusha",
     "LSVRG",
+    "LKatyusha",
     "PointSAGA",
     "SARAH",
     "Proshi",

@@ -36,6 +36,7 @@ from ciao_tpu.parallel.dp import (
     DPFISTA,
     DPForwardBackward,
     DPKatyusha,
+    DPLKatyusha,
     DPLSVRG,
     DPPointSAGA,
     DPProshi,
@@ -62,6 +63,7 @@ __all__ = [
     "DPFISTA",
     "DPKatyusha",
     "DPLSVRG",
+    "DPLKatyusha",
     "DPPointSAGA",
     "DPProshi",
     "DPSAG",

@@ -1315,6 +1315,82 @@ def _lsvrg_rebase_local(F, g, cfg: DPCfg, state: DPLSVRGState):
     return state._replace(av=_psum(F.grad_sum_all(state.z)) / cfg.N)
 
 
+class DPLKatyushaState(NamedTuple):
+    Lmax: jnp.ndarray
+    sigma: jnp.ndarray
+    theta1: jnp.ndarray
+    theta2: jnp.ndarray
+    p: jnp.ndarray
+    av: jnp.ndarray         # (n,) anchor μ = ∇f(w_anchor), replicated
+    w_anchor: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.y
+
+
+def _lkatyusha_init_local(F, g, x0, Lmax, sigma, theta1, theta2, p, key,
+                          cfg: DPCfg):
+    """Sharded L-Katyusha bootstrap (solvers.lsvrg.LKatyusha — beyond
+    the reference): one local pass + psum for the anchor gradient."""
+    av = _psum(F.grad_sum_all(x0)) / cfg.N
+    return DPLKatyushaState(
+        Lmax=Lmax, sigma=sigma, theta1=theta1, theta2=theta2, p=p, av=av,
+        w_anchor=x0, y=x0, z=x0, key=key, it=jnp.ones((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _lkatyusha_step_local(F, g, cfg: DPCfg, state: DPLKatyushaState):
+    """One sharded loopless-Katyusha step (cf. _lsvrg_step_local): the
+    momentum coupling and prox z-update are replicated O(n) algebra;
+    each device contributes its block's anchor-to-live diff and the
+    (coin-gated) refresh partial through ONE stacked psum."""
+    from ciao_tpu.solvers.lsvrg import _coin
+
+    N, B = cfg.N, cfg.b_loc
+    th1, th2, sig = state.theta1, state.theta2, state.sigma
+    eta = th2 / ((1.0 + th2) * th1)
+    step = eta / state.Lmax
+    av, w = state.av, state.w_anchor
+    x = th1 * state.z + th2 * w + (1.0 - th1 - th2) * state.y
+    if cfg.block:
+        start = local_block_start(state.key, state.it, cfg.n_loc, B,
+                                  cfg.sweeping)
+        d_loc = F.grad_sum_diff_block(x, w, start, B)
+    else:
+        ax = jax.lax.axis_index(DATA_AXIS)
+        kk = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+        i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
+        d_loc = F.grad_sum_diff(x, w, i)
+    flip = _coin(state.key, state.it, state.p)
+    ref_loc = jax.lax.cond(
+        flip, lambda: F.grad_sum_all(state.y), lambda: jnp.zeros_like(av)
+    )
+    tot = _psum(jnp.stack([d_loc, ref_loc]))     # ONE collective
+    gr = av + tot[0] / (B * cfg.D)
+    denom = 1.0 + eta * sig
+    tau = step / denom
+    z_new = g.prox_only((state.z + (eta * sig) * x - step * gr) / denom, tau)
+    y_new = x + th1 * (z_new - state.z)
+    av_new = jnp.where(flip, tot[1] / N, state.av)
+    w_new = jnp.where(flip, state.y, state.w_anchor)
+    return state._replace(
+        av=av_new, w_anchor=w_new, y=y_new, z=z_new, it=state.it + 1
+    )
+
+
+def _lkatyusha_rebase_local(F, g, cfg: DPCfg, state: DPLKatyushaState):
+    """Exact anchor-gradient recompute at the current anchor point
+    (one local pass + psum) — cf. _lsvrg_rebase_local."""
+    return state._replace(av=_psum(F.grad_sum_all(state.w_anchor)) / cfg.N)
+
+
 class DPPointSAGAState(NamedTuple):
     gamma: jnp.ndarray      # scalar stepsize
     c: jnp.ndarray          # (N,) prox-coefficient table, sharded
@@ -1618,6 +1694,8 @@ _FAMILY = {
                  DPKatyushaState, True, _rebase_identity_local),
     "lsvrg": (_lsvrg_init_local, _lsvrg_step_local, DPLSVRGState, True,
               _lsvrg_rebase_local),
+    "lkatyusha": (_lkatyusha_init_local, _lkatyusha_step_local,
+                  DPLKatyushaState, True, _lkatyusha_rebase_local),
     "sarah": (_sarah_init_local, _sarah_step_local, DPSARAHState, True,
               _rebase_identity_local),
     "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
@@ -2369,6 +2447,89 @@ class DPLSVRG:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPLKatyusha:
+    """Data-parallel loopless Katyusha (beyond the reference; see
+    :class:`ciao_tpu.solvers.LKatyusha`). Same collective shape as
+    :class:`DPLSVRG`: a replicated coin, the refresh partial riding
+    the direction's stacked psum — one collective per step."""
+
+    mesh: object = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    p: Optional[float] = None
+    theta1: Optional[float] = None
+    theta2: float = 0.5
+    sigma: Optional[float] = None
+    block_sampling: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.maxit > 0 and self.freq > 0
+        assert 0.0 < self.theta2 < 1.0
+        assert self.p is None or 0.0 <= self.p <= 1.0
+        if self.theta1 is not None:
+            assert 0.0 < self.theta1 <= 1.0 - self.theta2
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if L is None:
+            raise ValueError("DPLKatyusha: provide the smoothness moduli L")
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM,
+                                        "DPLKatyusha")
+        if self.block_sampling and (N // D) % b_loc != 0:
+            raise ValueError(
+                "DPLKatyusha block_sampling needs N/D divisible by batch/D"
+            )
+        Lmax = jnp.max(jnp.asarray(L, rdt))
+        sigma = jnp.asarray(0.0 if self.sigma is None else self.sigma, rdt)
+        if self.theta1 is not None:
+            theta1 = jnp.asarray(self.theta1, rdt)
+        elif self.sigma is not None:
+            theta1 = jnp.minimum(
+                jnp.sqrt(2.0 * sigma * N / (3.0 * batch)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            theta1 = jnp.asarray(1.0 / 3.0, rdt)
+        p = batch / N if self.p is None else self.p
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=self.block_sampling)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "lkatyusha", mesh, F, g, cfg, extra_init_scalars=4
+        )
+        key = jax.random.PRNGKey(self.seed)
+        p = jnp.asarray(p, jnp.float32)
+        theta2 = jnp.asarray(self.theta2, rdt)
+        init = lambda: init_c(F, g, x0, Lmax, sigma, theta1, theta2, p, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.theta1):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

@@ -7,7 +7,7 @@ from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
 from ciao_tpu.solvers.fb import FISTA, ForwardBackward
 from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
-from ciao_tpu.solvers.lsvrg import LSVRG
+from ciao_tpu.solvers.lsvrg import LKatyusha, LSVRG
 from ciao_tpu.solvers.point_saga import PointSAGA
 from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
@@ -27,6 +27,7 @@ __all__ = [
     "FISTA",
     "Katyusha",
     "LSVRG",
+    "LKatyusha",
     "SARAH",
     "Proshi",
     "PointSAGA",

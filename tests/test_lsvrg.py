@@ -189,3 +189,89 @@ def test_dp_lsvrg_converges_and_coin(lasso):
                                       np.asarray(x0(prob)))
         np.testing.assert_array_equal(np.asarray(st.av),
                                       np.asarray(states[0].av))
+
+
+# ---------------------------------------------------------------------------
+# L-Katyusha (the loopless accelerated sibling, same paper)
+# ---------------------------------------------------------------------------
+
+def test_lkatyusha_converges(lasso):
+    """Default (σ̂=0, θ₁=1/3) and strongly-convex tunings reach the
+    reference tolerance on the planted lasso."""
+    prob, F, g = lasso
+    x, _ = ciao_tpu.LKatyusha(maxit=3000)(x0(prob), F=F, g=g, L=prob.L, N=N)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    x, _ = ciao_tpu.LKatyusha(maxit=3000, sigma=1e-3)(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    x, _ = ciao_tpu.LKatyusha(maxit=3000, theta1=0.4, batch=8,
+                              block_sampling=True)(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_lkatyusha_beats_lsvrg_on_ill_conditioned():
+    """The acceleration claim for the LOOPLESS pair, pinned: at a
+    matched step budget (identical per-step block read + expected
+    refresh cost) on the reference generator's ill-conditioned planted
+    lasso, L-Katyusha must be at least 100x closer to the optimum than
+    L-SVRG."""
+    Np, npx = 1024, 64
+    prob = make_lasso(N=Np, n=npx, p=6, seed=1)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(Np)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(npx, prob.A.dtype)
+    steps = 2000
+    xk, _ = ciao_tpu.LKatyusha(maxit=steps, batch=8, block_sampling=True)(
+        z0, F=F, g=g, L=prob.L, N=Np
+    )
+    xs, _ = ciao_tpu.LSVRG(maxit=steps, batch=8, block_sampling=True)(
+        z0, F=F, g=g, L=prob.L, N=Np
+    )
+    gap_k = prob.cost(np.asarray(xk)) - prob.f_star
+    gap_s = prob.cost(np.asarray(xs)) - prob.f_star
+    assert gap_k * 100 < gap_s, (gap_k, gap_s)
+
+
+def test_lkatyusha_iterator_and_coin(lasso):
+    """solution(init) == x0; k-th iterator state == maxit=k solve;
+    p=1: the anchor tracks the pre-update y sequence every step."""
+    from ciao_tpu.solvers.base import take
+
+    prob, F, g = lasso
+    solver = ciao_tpu.LKatyusha(maxit=5)
+    it = solver.iterator(x0(prob), F=F, g=g, L=prob.L, N=N)
+    states = list(take(iter(it), 5))
+    np.testing.assert_array_equal(np.asarray(states[0].solution),
+                                  np.asarray(x0(prob)))
+    x_batch, _ = solver(x0(prob), F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_array_equal(np.asarray(states[-1].solution),
+                                  np.asarray(x_batch))
+    it1 = ciao_tpu.LKatyusha(maxit=9, p=1.0).iterator(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    states = list(take(iter(it1), 6))
+    for prev, cur in zip(states, states[1:]):
+        np.testing.assert_array_equal(np.asarray(cur.w_anchor),
+                                      np.asarray(prev.y))
+
+
+def test_dp_lkatyusha_converges(lasso):
+    """DP L-Katyusha on the 8-device mesh: block and iid sampling both
+    reach the reference tolerance (one stacked psum per step)."""
+    from ciao_tpu.parallel import DPLKatyusha, make_mesh, shard_finite_sum
+
+    prob, F, g = lasso
+    mesh = make_mesh()
+    Fs = shard_finite_sum(F, mesh)
+    for blk in (False, True):
+        x, _ = DPLKatyusha(mesh=mesh, maxit=3000, batch=8,
+                           block_sampling=blk)(
+            x0(prob), F=Fs, g=g, L=prob.L, N=N
+        )
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, blk
