@@ -1142,6 +1142,169 @@ def _tp_rebase_identity(F, g, cfg, state):
     return state
 
 
+class TPLSVRGState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    p: jnp.ndarray          # scalar refresh probability (f32)
+    av: jnp.ndarray         # (n,) anchor μ = ∇f(z), P("model")
+    z: jnp.ndarray          # (n,) anchor point, P("model")
+    w: jnp.ndarray          # (n,) iterate, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.w
+
+
+def _tp_lsvrg_init(F, g, x0, gamma, p, key, cfg: TPCfg):
+    """2-D-sharded loopless-SVRG bootstrap (solvers.lsvrg — beyond the
+    reference): one "model" margin psum + one "data" psum."""
+    r = _psum_m(F.margin_all(x0))
+    av = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+    return TPLSVRGState(
+        gamma=gamma, p=p, av=av, z=x0, w=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_lsvrg_refresh(F, cfg, at):
+    """The anchor-refresh full gradient on the 2-D mesh: one "model"
+    margin psum + one "data" psum. Runs INSIDE the coin's ``lax.cond``
+    — legal because the coin is replicated (derived from (key, it)
+    only), so every device takes the same branch and the collectives
+    stay matched."""
+    r = _psum_m(F.margin_all(at))
+    return _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+
+
+def _tp_lsvrg_step(F, g, cfg: TPCfg, state: TPLSVRGState):
+    """One loopless-SVRG step on the ("data","model") mesh (cf.
+    dp._lsvrg_step_local): the live and anchor margins of the block
+    ride ONE stacked (2,B) "model" psum (no anchor-coefficient cache —
+    the anchor moves at random times), the variance-reduced direction
+    is one x-shard "data" psum, and the Bernoulli refresh runs its
+    full-pass collectives inside the replicated-coin cond."""
+    from ciao_tpu.solvers.lsvrg import _coin
+
+    N, B = cfg.N, cfg.b_loc
+    gamma, av, w = state.gamma, state.av, state.w
+    row = jax.lax.axis_index(DATA_AXIS)
+    kk = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+    d_loc = cfg.n_loc // B
+    start = jax.random.randint(kk, (), 0, d_loc, dtype=jnp.int32) * B
+    r2 = _psum_m(jnp.stack([
+        F.margin_block(w, start, B),
+        F.margin_block(state.z, start, B),
+    ]))
+    cw = F.coeff_from_margin(r2[0], start, B)
+    cz = F.coeff_from_margin(r2[1], start, B)
+    d = _psum_d(F.apply_rows_block(cz - cw, start, B)) / (B * cfg.D)
+    w_new = g.prox_only(w + gamma * (d - av), gamma)
+    flip = _coin(state.key, state.it, state.p)
+    z_new, av_new = jax.lax.cond(
+        flip,
+        lambda: (w, _tp_lsvrg_refresh(F, cfg, w)),
+        lambda: (state.z, state.av),
+    )
+    return state._replace(av=av_new, z=z_new, w=w_new, it=state.it + 1)
+
+
+def _tp_lsvrg_rebase(F, g, cfg: TPCfg, state: TPLSVRGState):
+    """Exact anchor-gradient recompute at the current anchor — needed
+    after a storage swap (cf. dp._lsvrg_rebase_local)."""
+    return state._replace(av=_tp_lsvrg_refresh(F, cfg, state.z))
+
+
+_LSVRG_ST_SPECS = TPLSVRGState(
+    gamma=P(), p=P(), av=P(MODEL_AXIS), z=P(MODEL_AXIS), w=P(MODEL_AXIS),
+    key=P(), it=P(), status=P(),
+)
+
+
+class TPLKatyushaState(NamedTuple):
+    Lmax: jnp.ndarray
+    sigma: jnp.ndarray
+    theta1: jnp.ndarray
+    theta2: jnp.ndarray
+    p: jnp.ndarray
+    av: jnp.ndarray         # (n,) anchor μ = ∇f(w_anchor), P("model")
+    w_anchor: jnp.ndarray   # (n,) anchor point, P("model")
+    y: jnp.ndarray          # (n,) gradient-step sequence, P("model")
+    z: jnp.ndarray          # (n,) mirror-step sequence, P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.y
+
+
+def _tp_lkatyusha_init(F, g, x0, Lmax, sigma, theta1, theta2, p, key,
+                       cfg: TPCfg):
+    """2-D-sharded loopless-Katyusha bootstrap (cf. _tp_lsvrg_init)."""
+    av = _tp_lsvrg_refresh(F, cfg, x0)
+    return TPLKatyushaState(
+        Lmax=Lmax, sigma=sigma, theta1=theta1, theta2=theta2, p=p, av=av,
+        w_anchor=x0, y=x0, z=x0, key=key, it=jnp.ones((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_lkatyusha_step(F, g, cfg: TPCfg, state: TPLKatyushaState):
+    """One loopless accelerated step on the 2-D mesh (cf.
+    dp._lkatyusha_step_local): the momentum coupling and the proximal
+    mirror z-update are coordinate-local (separable prox); the live/
+    anchor margins ride one stacked (2,B) "model" psum and the
+    direction one x-shard "data" psum; the Bernoulli refresh runs its
+    collectives inside the replicated-coin cond."""
+    from ciao_tpu.solvers.lsvrg import _coin
+
+    N, B = cfg.N, cfg.b_loc
+    th1, th2, sig = state.theta1, state.theta2, state.sigma
+    eta = th2 / ((1.0 + th2) * th1)
+    step = eta / state.Lmax
+    av, w = state.av, state.w_anchor
+    x = th1 * state.z + th2 * w + (1.0 - th1 - th2) * state.y
+    row = jax.lax.axis_index(DATA_AXIS)
+    kk = jax.random.fold_in(jax.random.fold_in(state.key, state.it), row)
+    d_loc = cfg.n_loc // B
+    start = jax.random.randint(kk, (), 0, d_loc, dtype=jnp.int32) * B
+    r2 = _psum_m(jnp.stack([
+        F.margin_block(x, start, B),
+        F.margin_block(w, start, B),
+    ]))
+    cx = F.coeff_from_margin(r2[0], start, B)
+    cw = F.coeff_from_margin(r2[1], start, B)
+    gr = av + _psum_d(F.apply_rows_block(cx - cw, start, B)) / (B * cfg.D)
+    denom = 1.0 + eta * sig
+    tau = step / denom
+    z_new = g.prox_only((state.z + (eta * sig) * x - step * gr) / denom, tau)
+    y_new = x + th1 * (z_new - state.z)
+    flip = _coin(state.key, state.it, state.p)
+    w_new, av_new = jax.lax.cond(
+        flip,
+        lambda: (state.y, _tp_lsvrg_refresh(F, cfg, state.y)),
+        lambda: (state.w_anchor, state.av),
+    )
+    return state._replace(
+        av=av_new, w_anchor=w_new, y=y_new, z=z_new, it=state.it + 1
+    )
+
+
+def _tp_lkatyusha_rebase(F, g, cfg: TPCfg, state: TPLKatyushaState):
+    """Exact anchor recompute at the current anchor point."""
+    return state._replace(av=_tp_lsvrg_refresh(F, cfg, state.w_anchor))
+
+
+_LKAT_ST_SPECS = TPLKatyushaState(
+    Lmax=P(), sigma=P(), theta1=P(), theta2=P(), p=P(), av=P(MODEL_AXIS),
+    w_anchor=P(MODEL_AXIS), y=P(MODEL_AXIS), z=P(MODEL_AXIS), key=P(),
+    it=P(), status=P(),
+)
+
+
 # family -> (init_local, step_local, state specs, rebase_local,
 #            init in_specs after (F, g))
 _TP_FAMILY = {
@@ -1155,6 +1318,13 @@ _TP_FAMILY = {
              _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
     "katyusha": (_tp_katyusha_init, _tp_katyusha_outer, _KAT_ST_SPECS,
                  _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P(), P())),
+    "lsvrg": (_tp_lsvrg_init, _tp_lsvrg_step, _LSVRG_ST_SPECS,
+              _tp_lsvrg_rebase, (P(MODEL_AXIS), P(), P(), P())),
+    "lkatyusha": (
+        _tp_lkatyusha_init, _tp_lkatyusha_step, _LKAT_ST_SPECS,
+        _tp_lkatyusha_rebase,
+        (P(MODEL_AXIS), P(), P(), P(), P(), P(), P()),
+    ),
     "sarah": (_tp_sarah_init, _tp_sarah_outer, _SARAH_ST_SPECS,
               _tp_rebase_identity, (P(MODEL_AXIS), P(), P(), P())),
     "point_saga": (_tp_point_saga_init, _tp_point_saga_step, _PS_ST_SPECS,
@@ -1801,3 +1971,183 @@ class TPForwardBackward:
 def TPFISTA(**kwargs) -> TPForwardBackward:
     """``TPForwardBackward(fast=True)``."""
     return TPForwardBackward(fast=True, **kwargs)
+
+
+def _tp_guard_loopless(who, mesh, x0, F, g, N, batch):
+    """Shared validity envelope of the TP loopless pair: a 2-D mesh, a
+    rank-1 dense-row (margin-protocol) oracle, a separable prox, and
+    divisibility of N over ("data", batch) and n over "model"."""
+    if mesh is None or MODEL_AXIS not in mesh.shape:
+        raise ValueError(f"{who} needs a ('data','model') mesh (make_mesh_2d)")
+    D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+    if N is None:
+        N = F.num_terms
+    if g is None:
+        g = Zero()
+    if not getattr(g, "separable", False):
+        raise ValueError(
+            f"{who} shards coordinates — the prox must be separable "
+            f"(got {type(g).__name__})"
+        )
+    if not getattr(F, "supports_coeff", False):
+        raise ValueError(f"{who} needs a rank-1 (coefficient) oracle")
+    if not hasattr(F, "margin_block"):
+        # sparse ELL layouts carry GLOBAL column ids — DP-only
+        raise ValueError(
+            f"{who} shards coordinates and needs the margin protocol "
+            f"(margin_block/coeff_from_margin — dense row oracles); "
+            f"{type(F).__name__} is DP-only"
+        )
+    if N % D != 0 or (N // D) % batch != 0:
+        raise ValueError(f"{who}: need N divisible by D and N/D by batch")
+    if x0.size % M != 0:
+        raise ValueError(f"{who}: need n divisible by the model axis")
+    return D, M, N, g
+
+
+@dataclasses.dataclass(frozen=True)
+class TPLSVRG:
+    """Loopless SVRG on a ("data", "model") mesh (beyond the reference;
+    see :class:`ciao_tpu.solvers.LSVRG`). Per step: one stacked (2,B)
+    "model" margin psum (live + anchor — no anchor-coefficient cache,
+    the anchor moves at random times) and one x-shard "data" psum; the
+    Bernoulli refresh (replicated coin) runs its full-pass collectives
+    inside the cond. ``p`` defaults to batch·D/N; ``maxit`` counts
+    steps."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    batch: int = 1
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    p: Optional[float] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert self.p is None or 0.0 <= self.p <= 1.0
+
+    def _setup(self, x0, F, g, L, N):
+        x0 = jnp.asarray(x0)
+        D, M, N, g = _tp_guard_loopless(
+            "TPLSVRG", self.mesh, x0, F, g, N, self.batch
+        )
+        rdt = real_dtype_of(x0)
+        if self.gamma is None:
+            if L is None:
+                raise ValueError("TPLSVRG: provide L or γ")
+            gamma = 1.0 / (6.0 * jnp.max(jnp.asarray(L, rdt)))
+        else:
+            gamma = jnp.asarray(self.gamma, rdt)
+        p = (self.batch * D) / N if self.p is None else self.p
+        cfg = TPCfg(N=N, D=D, M=M, b_loc=self.batch)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "lsvrg", self.mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        p = jnp.asarray(p, jnp.float32)
+        init = lambda: init_c(F, g, x0, gamma, p, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPLKatyusha:
+    """Loopless Katyusha on a ("data", "model") mesh (beyond the
+    reference; see :class:`ciao_tpu.solvers.LKatyusha`). Same
+    collective shape as :class:`TPLSVRG`; the momentum coupling and
+    proximal mirror z-update are coordinate-local. ``p`` defaults to
+    batch·D/N; ``maxit`` counts steps."""
+
+    mesh: object = None
+    batch: int = 1
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    p: Optional[float] = None
+    theta1: Optional[float] = None
+    theta2: float = 0.5
+    sigma: Optional[float] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert 0.0 < self.theta2 < 1.0
+        assert self.p is None or 0.0 <= self.p <= 1.0
+        if self.theta1 is not None:
+            assert 0.0 < self.theta1 <= 1.0 - self.theta2
+
+    def _setup(self, x0, F, g, L, N):
+        x0 = jnp.asarray(x0)
+        D, M, N, g = _tp_guard_loopless(
+            "TPLKatyusha", self.mesh, x0, F, g, N, self.batch
+        )
+        if L is None:
+            raise ValueError("TPLKatyusha: provide the smoothness moduli L")
+        rdt = real_dtype_of(x0)
+        Lmax = jnp.max(jnp.asarray(L, rdt))
+        sigma = jnp.asarray(0.0 if self.sigma is None else self.sigma, rdt)
+        if self.theta1 is not None:
+            theta1 = jnp.asarray(self.theta1, rdt)
+        elif self.sigma is not None:
+            theta1 = jnp.minimum(
+                jnp.sqrt(2.0 * sigma * N / (3.0 * self.batch * D)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            theta1 = jnp.asarray(1.0 / 3.0, rdt)
+        p = (self.batch * D) / N if self.p is None else self.p
+        cfg = TPCfg(N=N, D=D, M=M, b_loc=self.batch)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "lkatyusha", self.mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        p = jnp.asarray(p, jnp.float32)
+        theta2 = jnp.asarray(self.theta2, rdt)
+        init = lambda: init_c(F, g, x0, Lmax, sigma, theta1, theta2, p, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.theta1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)

@@ -275,3 +275,41 @@ def test_dp_lkatyusha_converges(lasso):
             x0(prob), F=Fs, g=g, L=prob.L, N=N
         )
         assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4, blk
+
+
+def test_tp_loopless_pair_converges_and_shards():
+    """TPLSVRG / TPLKatyusha on a (4 data x 2 model) mesh: per step one
+    stacked (2,B) "model" margin psum + one x-shard "data" psum; the
+    Bernoulli refresh runs its collectives inside the replicated-coin
+    cond (every device takes the same branch). Both reach the
+    reference tolerance; guards reject non-separable proxes."""
+    from ciao_tpu.parallel import (
+        TPLKatyusha,
+        TPLSVRG,
+        make_mesh_2d,
+        shard_finite_sum_2d,
+    )
+
+    prob = make_lasso(N=N, n=8, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(N)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(8, prob.A.dtype)
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2)
+    x, _ = TPLSVRG(mesh=mesh2, maxit=2000, batch=2)(
+        z0, F=F2, g=g, L=prob.L, N=N
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    x, _ = TPLKatyusha(mesh=mesh2, maxit=2000, batch=2)(
+        z0, F=F2, g=g, L=prob.L, N=N
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    from ciao_tpu.prox import NormNuclear
+
+    with pytest.raises(ValueError, match="separable"):
+        TPLSVRG(mesh=mesh2, maxit=2)(
+            z0, F=F2, g=NormNuclear(lam=0.1), L=prob.L, N=N
+        )
