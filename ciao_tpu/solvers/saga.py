@@ -46,6 +46,7 @@ class SAGACfg(NamedTuple):
     fused: bool = False  # Pallas one-pass table refresh (TPU, f32)
     coeff: bool = False  # (N,) coefficient table instead of (N, n) rows
     fused_precision: str = "highest"  # MXU dots in fused kernels
+    importance: bool = False  # Lipschitz-proportional block sampling
 
 
 class SAGAState(NamedTuple):
@@ -56,6 +57,11 @@ class SAGAState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # importance sampling only (beyond the reference): the block
+    # distribution's inclusive CDF (d,) and the per-block unbiasedness
+    # weights 1/(d·q_j) (d,); None otherwise (leafless pytree nodes).
+    qcum: object = None
+    qinv: object = None
 
     @property
     def solution(self):  # reference: solution(state) = state.z
@@ -101,12 +107,14 @@ def saga_rebase(F, state: SAGAState, cfg: SAGACfg) -> SAGAState:
     return state._replace(av=F.apply_all(state.s) / cfg.N)
 
 
-def _saga_direction(cfg, state, innov, B):
+def _saga_direction(cfg, state, innov, B, wgt=1.0):
     """The SAG (biased, average first) / SAGA (unbiased) update-order
     quirk (SAGA_basic.jl:57-62), shared by all table layouts.
-    ``innov`` = Σ_B (∇f_i(z) − s_i_old)."""
+    ``innov`` = Σ_B (∇f_i(z) − s_i_old); ``wgt`` is the importance-
+    sampling unbiasedness weight 1/(d·q_j) (1 under uniform draws) —
+    it scales the DIRECTION only, never the exact table-mean delta."""
     N = cfg.N
-    diff = innov / B
+    diff = innov * (wgt / B)
     if cfg.sag:
         av = state.av + innov / N
         w = state.z - state.gamma * av
@@ -125,6 +133,30 @@ def _block_start(key, it, N: int, B: int):
     return jax.random.randint(k, (), 0, N // B, dtype=jnp.int32) * B
 
 
+def _block_choice(cfg: SAGACfg, state: SAGAState):
+    """The step's (block start, unbiasedness weight). Uniform mode:
+    the stateless ``_block_start`` stream, weight 1. Importance mode
+    (beyond the reference; cf. Schmidt-Le Roux-Bach non-uniform SAG
+    and the SAGA importance-sampling literature): block j is drawn
+    from q_j ∝ L_j by inverse-CDF over the same stateless (key, it)
+    stream, and the innovation is reweighted by 1/(d·q_j) so the
+    direction stays an unbiased gradient estimate while hot (large-L)
+    blocks are refreshed more often — the stepsize then scales with
+    MEAN block smoothness instead of the max."""
+    N, B = cfg.N, cfg.batch
+    if not cfg.importance:
+        return _block_start(state.key, state.it, N, B), 1.0
+    d = N // B
+    u = jax.random.uniform(
+        jax.random.fold_in(state.key, state.it), (), state.qcum.dtype
+    )
+    j = jnp.minimum(
+        jnp.searchsorted(state.qcum, u, side="right").astype(jnp.int32),
+        d - 1,
+    )
+    return j * B, state.qinv[j]
+
+
 def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     """Coefficient-table step: no (N, n) table IO at all — the innovation
     Σ (c_new − c_old)·a_i is one extra matvec over the SAME oracle rows
@@ -133,12 +165,13 @@ def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
     if cfg.block:
         # stateless schedule: key constant, it advances
         key = state.key
-        start = _block_start(key, state.it, N, B)
+        start, wgt = _block_choice(cfg, state)
         c_new = F.coeff_block(state.z, start, B)
         c_old = jax.lax.dynamic_slice_in_dim(state.s, start, B)
         innov = F.apply_rows_block(c_new - c_old, start, B)
         s = jax.lax.dynamic_update_slice_in_dim(state.s, c_new, start, 0)
     else:
+        wgt = 1.0
         key, sub = jax.random.split(state.key)
         if B == 1:
             idx = jax.random.randint(sub, (1,), 0, N, dtype=jnp.int32)
@@ -148,7 +181,7 @@ def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
         c_old = state.s[idx]
         innov = F.apply_rows(c_new - c_old, idx)
         s = state.s.at[idx].set(c_new)
-    av, w = _saga_direction(cfg, state, innov, B)
+    av, w = _saga_direction(cfg, state, innov, B, wgt)
     z = g.prox_only(w, state.gamma)
     return state._replace(s=s, av=av, z=z, key=key, it=state.it + 1)
 
@@ -163,7 +196,7 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
         # row gather/scatter, which is ~10x off HBM bandwidth on TPU.
         # Stateless (key, it) schedule; key is not advanced.
         key = state.key
-        start = _block_start(key, state.it, N, B)
+        start, wgt = _block_choice(cfg, state)
         if cfg.fused:
             # Pallas: gradient + table write + innovation in ONE VMEM pass
             s, innov = F.fused_saga_block(
@@ -185,7 +218,7 @@ def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
             av = state.av + diff * (B / N)
             w = state.z - state.gamma * av
         else:
-            w = state.z - state.gamma * (diff + state.av)
+            w = state.z - state.gamma * (diff * wgt + state.av)
             av = state.av + diff * (B / N)
         z = g.prox_only(w, state.gamma)
         s = jax.lax.dynamic_update_slice_in_dim(state.s, G_B, start, 0)
@@ -310,6 +343,7 @@ class SAGA:
     SAG_flag: bool = False
     batch: int = 1
     block_sampling: bool = False  # contiguous-block minibatches (TPU fast path)
+    importance_sampling: bool = False  # q_j ∝ L_j block draws (needs L)
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
     fused_precision: str = "highest"  # "highest" = exact-f32 MXU dots;
     # "default" = bf16-multiply/f32-accumulate (1 MXU pass — what plain
@@ -335,13 +369,47 @@ class SAGA:
         if g is None:
             g = Zero()
         rdt = real_dtype_of(x0)
+        qcum = qinv = None
+        if self.importance_sampling:
+            # Lipschitz-proportional block sampling (beyond the
+            # reference): q_j ∝ L_j of the contiguous block (max of the
+            # member moduli), unbiased via the 1/(d·q_j) direction
+            # weight. The SAGA stepsize then scales with the MEAN block
+            # smoothness Σ q_j-weighted rather than the max — the whole
+            # point on data with a wide L spread. SAG's biased average-
+            # first order has no importance-weighted analog here.
+            if self.SAG_flag:
+                raise ValueError("importance_sampling supports SAGA only")
+            if not self.block_sampling:
+                raise ValueError(
+                    "importance_sampling needs block_sampling=True"
+                )
+            if L is None:
+                raise ValueError("SAGA importance_sampling: provide L")
+            if N % self.batch != 0:
+                raise ValueError(
+                    "SAGA block_sampling needs N divisible by batch"
+                )
+            Lb = jnp.asarray(L, rdt)
+            if Lb.ndim == 0:
+                Lb = jnp.full((N,), Lb)
+            d = N // self.batch
+            Lblk = jnp.max(Lb.reshape(d, self.batch), axis=1)
+            q = Lblk / jnp.sum(Lblk)
+            qcum = jnp.cumsum(q)
+            qinv = 1.0 / (d * q)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
         else:
             if L is None:
                 raise ValueError("SAGA: smoothness parameter absent — provide L or γ")
-            L_max = jnp.max(jnp.asarray(L, rdt))
-            gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
+            if self.importance_sampling:
+                # mean block smoothness replaces the max (importance
+                # sampling's stepsize dividend)
+                gamma = 1.0 / (3.0 * jnp.mean(Lblk))
+            else:
+                L_max = jnp.max(jnp.asarray(L, rdt))
+                gamma = 1.0 / ((16.0 if self.SAG_flag else 3.0) * L_max)
         if self.block_sampling and N % self.batch != 0:
             raise ValueError("SAGA block_sampling needs N divisible by batch")
         assert self.table in ("auto", "full", "coeff")
@@ -351,7 +419,8 @@ class SAGA:
             else self.table == "coeff"
         )
         fused = False
-        if self.block_sampling and x0.dtype == jnp.float32:
+        if (self.block_sampling and x0.dtype == jnp.float32
+                and not self.importance_sampling):
             # NOTE: import only NormL1 — importing Zero here would
             # shadow the module-level Zero and break the ``g = Zero()``
             # default above (UnboundLocalError when g is None)
@@ -378,9 +447,15 @@ class SAGA:
             N=N, sag=self.SAG_flag, batch=self.batch,
             block=self.block_sampling, fused=fused, coeff=coeff,
             fused_precision=self.fused_precision,
+            importance=self.importance_sampling,
         )
         key = jax.random.PRNGKey(self.seed)
-        init = lambda: saga_init(F, g, x0, gamma, key, cfg)
+        if self.importance_sampling:
+            init = lambda: saga_init(F, g, x0, gamma, key, cfg)._replace(
+                qcum=qcum, qinv=qinv
+            )
+        else:
+            init = lambda: saga_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
