@@ -26,7 +26,13 @@ import numpy as np
 
 
 def save(path, state: Any) -> None:
-    """Serialize a solver-state pytree to ``<path>`` (npz + treedef)."""
+    """Serialize a solver-state pytree to ``<path>`` (npz + treedef).
+
+    PORTABILITY: the treedef sidecar is pickled, and jax treedefs are
+    NOT stable across jax versions — npz checkpoints are same-
+    environment-only. For version-portable / sharded checkpoints use
+    :func:`save_async` (orbax), which stores structure portably.
+    """
     path = Path(path)
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}

@@ -36,6 +36,17 @@ def objective(F, g, x):
     return jnp.sum(vals) / F.num_terms + g.value(x)
 
 
+def sharing_objective(F, g, xs):
+    """(1/N) Σ f_i(x_i) + g(Σ x_i) — the SHARING formulation's objective
+    (``test_sharing.jl:1``), evaluated at the (N, n) block solution each
+    f_i at its OWN block point (``value_and_grad_pointwise``), with the
+    coupling term g at the block sum."""
+    N = F.num_terms
+    idx = jnp.arange(N, dtype=jnp.int32)
+    vals, _ = F.value_and_grad_pointwise(xs, idx)
+    return jnp.sum(vals) / N + g.value(jnp.sum(xs, axis=0))
+
+
 @dataclass
 class Trace:
     """Structured per-checkpoint metric log (JSONL-dumpable)."""
@@ -74,7 +85,14 @@ def observer(F, g, trace: "Trace", objective_every: bool = True):
         z = state.solution
         rec = {}
         if objective_every:
-            rec["obj"] = float(objective(F, g, z if z.ndim == 1 else state.z))
+            if z.ndim == 2:
+                # sharing-formulation state (ProShI): the solution is the
+                # (N, n) block array and state.z is the DUAL-like coupling
+                # variable — the finite-sum objective at z would be
+                # meaningless. Compute the sharing objective instead.
+                rec["obj"] = float(sharing_objective(F, g, z))
+            else:
+                rec["obj"] = float(objective(F, g, z))
         if "z" in prev:
             gam = getattr(state, "hat_gamma", None)
             if gam is None:

@@ -117,10 +117,15 @@ class IndBox(ProxOperator):
     hi: jnp.ndarray = jnp.inf
 
     def value(self, x):
-        # 0 on the box; the reference relies on feasibility after prox,
-        # so the indicator value of a feasible point is exactly 0.
-        inside = jnp.all((x >= self.lo) & (x <= self.hi))
-        return jnp.where(inside, 0.0, jnp.inf).astype(jnp.result_type(x.real))
+        # 0 on the box; the reference relies on feasibility after prox.
+        # Allow a 100·eps relative slack (same convention as IndBallL2):
+        # points reconstructed from a prox output — e.g. ProShI's block
+        # sum Σx_i = av + hat_γ·z ≡ prox_g(av) — are feasible only up to
+        # roundoff, and an exact check would report ∞ spuriously.
+        rdt = jnp.result_type(jnp.asarray(x).real)
+        tol = 100 * jnp.finfo(rdt).eps * (1 + jnp.abs(x))
+        inside = jnp.all((x >= self.lo - tol) & (x <= self.hi + tol))
+        return jnp.where(inside, 0.0, jnp.inf).astype(rdt)
 
     def prox_only(self, x, gamma):
         return jnp.clip(x, self.lo, self.hi)

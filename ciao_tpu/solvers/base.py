@@ -72,7 +72,8 @@ class SolverIterable:
     abort."""
 
     def __init__(self, x0, init_fn: Callable[[], Any], step_fn: Callable[[Any], Any],
-                 rebase_fn: Callable[[Any], Any] | None = None):
+                 rebase_fn: Callable[[Any], Any] | None = None,
+                 can_abort: bool = False):
         self.x0 = x0
         self._init_fn = init_fn
         self._step_fn = step_fn
@@ -81,15 +82,27 @@ class SolverIterable:
         # ``rebase=True``): recomputes the delta-maintained running
         # average under THIS iterable's oracle (see saga.saga_rebase)
         self._rebase_fn = rebase_fn
+        # Only solvers that can actually abort (adaptive Finito's
+        # γ-underflow, Finito_adaptive.jl:123-125) pay the per-step
+        # ``int(state.status)`` host readback — through the remote TPU
+        # tunnel that sync costs 2-30 ms PER ITERATE, so every other
+        # family streams asynchronously (status is pinned to RUNNING by
+        # construction there).
+        self._can_abort = can_abort
 
     def __iter__(self):
         state = self._init_fn()
         yield state
-        while True:
-            state = self._step_fn(state)
-            if int(state.status) != Status.RUNNING:
-                return
-            yield state
+        if self._can_abort:
+            while True:
+                state = self._step_fn(state)
+                if int(state.status) != Status.RUNNING:
+                    return
+                yield state
+        else:
+            while True:
+                state = self._step_fn(state)
+                yield state
 
 
 def take(iterable, k):

@@ -852,5 +852,6 @@ class Finito:
         it = SolverIterable(
             x0_orig, init, step,
             rebase_fn=lambda s: finito_rebase(F, g, s, cfg),
+            can_abort=(variant == "adaptive"),
         )
         return it

@@ -187,6 +187,16 @@ def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
 
 
 def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
+    if cfg.importance and (cfg.fused or cfg.sag):
+        # the fused and SAG branches ignore the 1/(d·q_j) unbiasedness
+        # weight — running them under importance draws would silently
+        # bias the direction. The facade rejects these combinations;
+        # guard here too since SAGACfg is also constructed directly.
+        raise ValueError(
+            "SAGACfg(importance=True) is incompatible with fused=True "
+            "or sag=True (those step branches ignore the importance "
+            "unbiasedness weight)"
+        )
     if cfg.coeff:
         return _saga_step_coeff(F, g, cfg, state)
     N, B = cfg.N, cfg.batch
@@ -390,14 +400,22 @@ class SAGA:
                 raise ValueError(
                     "SAGA block_sampling needs N divisible by batch"
                 )
-            Lb = jnp.asarray(L, rdt)
-            if Lb.ndim == 0:
-                Lb = jnp.full((N,), Lb)
+            # Build the block distribution in float64 on host: a f32
+            # cumsum over a large block count d drifts enough to skew
+            # the realized draws away from the exact q used in the
+            # 1/(d·q_j) weights. Renormalize so qcum[-1] == 1 exactly
+            # after the cast to the iterate dtype.
+            Lb64 = np.asarray(jax.device_get(jnp.asarray(L)), np.float64)
+            if Lb64.ndim == 0:
+                Lb64 = np.full((N,), Lb64)
             d = N // self.batch
-            Lblk = jnp.max(Lb.reshape(d, self.batch), axis=1)
-            q = Lblk / jnp.sum(Lblk)
-            qcum = jnp.cumsum(q)
-            qinv = 1.0 / (d * q)
+            Lblk64 = np.max(Lb64.reshape(d, self.batch), axis=1)
+            q64 = Lblk64 / np.sum(Lblk64)
+            qcum64 = np.cumsum(q64)
+            qcum64 /= qcum64[-1]
+            Lblk = jnp.asarray(Lblk64, rdt)
+            qcum = jnp.asarray(qcum64, rdt)
+            qinv = jnp.asarray(1.0 / (d * q64), rdt)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
         else:

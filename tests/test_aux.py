@@ -146,8 +146,10 @@ def test_shuffled_schedule_permutes_per_epoch():
         epochs.append(ep)
     for ep in epochs:
         assert sorted(ep) == list(range(8))
-    # first epoch natural order (reference quirk), later epochs shuffled
-    assert epochs[0] == list(range(1, 8)) + [epochs[0][-1]] or True
+    # first epoch IS natural order (reference quirk: inds = 1:d only
+    # reshuffled once an epoch is consumed, Finito_LFinito.jl:36,89),
+    # later epochs shuffled
+    assert epochs[0] == list(range(8))
     assert epochs[1] != sorted(epochs[1]) or epochs[2] != sorted(epochs[2])
 
 

@@ -117,3 +117,44 @@ def test_importance_guards_and_uniform_L():
         maxit=3000, batch=8, block_sampling=True, importance_sampling=True
     )(z0, F=F, g=g, L=prob.L, N=N)
     assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_direct_cfg_importance_fused_or_sag_rejected():
+    """SAGACfg is also constructed directly (not just via the facade);
+    the step itself must reject importance+fused / importance+sag, whose
+    branches ignore the 1/(d·q_j) unbiasedness weight (would silently
+    bias the direction)."""
+    from ciao_tpu.solvers.saga import SAGACfg, _saga_step
+
+    for bad in (
+        SAGACfg(N=8, sag=False, batch=2, block=True, fused=True,
+                importance=True),
+        SAGACfg(N=8, sag=True, batch=2, block=True, importance=True),
+    ):
+        with pytest.raises(ValueError, match="importance"):
+            _saga_step(None, None, bad, None)
+
+
+def test_importance_cdf_built_in_float64():
+    """The block CDF is built in f64 on host and renormalized so
+    qcum[-1] == 1 exactly in the iterate dtype — a f32 cumsum over many
+    blocks would skew the realized draw distribution away from the
+    exact q used in the unbiasedness weights."""
+    Np, npx, B = 4096, 8, 4
+    prob = make_lasso(N=Np, n=npx, p=4, seed=0)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+                         scale=jnp.asarray(float(Np)))
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = ciao_tpu.SAGA(maxit=1, block_sampling=True, batch=B,
+                           importance_sampling=True)
+    x0, F2, g2, cfg, init = solver._setup(jnp.zeros(npx), F, g,
+                                          L=prob.L, N=Np)
+    st = init()
+    qcum = np.asarray(st.qcum, np.float64)
+    assert qcum[-1] == 1.0
+    assert np.all(np.diff(qcum) > 0)
+    # weights consistent with the (renormalized) CDF: q_j = Δqcum
+    q = np.diff(np.concatenate([[0.0], qcum]))
+    d = Np // B
+    np.testing.assert_allclose(np.asarray(st.qinv, np.float64),
+                               1.0 / (d * q), rtol=1e-5)

@@ -77,3 +77,35 @@ def test_proshi_iterator(sharing, sweeping):
         # pure view: repeated calls agree (the reference's in-place
         # solution() corrupts its own table here — documented deviation)
         np.testing.assert_array_equal(np.asarray(sol), np.asarray(solution(state)))
+
+
+def test_observer_sharing_objective(sharing):
+    """monitor.observer on a ProShI run logs the SHARING objective
+    (1/N) Σ f_i(x_i) + g(Σ x_i) at the block solution — not the
+    finite-sum objective at the dual-like coupling variable state.z —
+    and the logged values match an external numpy computation and
+    decrease over the run (reference objective: test_sharing.jl:1)."""
+    from ciao_tpu import monitor
+
+    prob, F, g, x0 = sharing
+    tr = monitor.Trace()
+    solver = Proshi(maxit=MAXIT, sweeping=2, freq=250)
+    x, _ = solver(x0, F=F, g=g, L=prob.L, N=3,
+                  observe=monitor.observer(F, g, tr))
+    objs = [r["obj"] for r in tr.records if "obj" in r]
+    assert len(objs) >= 3
+
+    # external computation at the final block solution
+    blocks = np.asarray(x, np.float64)
+    d = np.asarray(prob.d, np.float64)
+    q = np.asarray(prob.q, np.float64)
+    fvals = 0.5 * np.sum(d * blocks**2, axis=1) + np.sum(q * blocks, axis=1)
+    r = blocks - np.clip(blocks, prob.box_lo, prob.box_hi)
+    fvals += 0.5 * float(prob.eta) * np.sum(r**2, axis=1)
+    ssum = blocks.sum(axis=0)
+    assert np.all(ssum <= np.asarray(prob.g_hi) + 1e-10)  # feasible coupling
+    expected = fvals.sum() / 3.0  # + g(Σx_i) = 0 on the box
+
+    assert np.isfinite(objs[-1])  # NOT inf: indicator tolerant at the ulp
+    np.testing.assert_allclose(objs[-1], expected, rtol=1e-6)
+    assert objs[-1] < objs[0] - 1e-6  # objective decreased
