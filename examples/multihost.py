@@ -11,7 +11,13 @@ On a single host this script degrades gracefully to all local devices
 (e.g. the 8-device virtual CPU mesh used in CI:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   JAX_PLATFORMS=cpu python examples/multihost.py
-)."""
+).
+
+The multi-PROCESS path this recipe rides (distributed init → global
+mesh spanning processes → DP psum across the process boundary) is
+executed in CI by ``tests/test_multihost.py``: 2 local processes ×
+4 CPU devices, gloo collectives standing in for DCN, trajectory pinned
+against the single-process 8-device run."""
 
 import os
 

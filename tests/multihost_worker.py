@@ -1,0 +1,83 @@
+"""Worker half of the 2-process jax.distributed test (NOT collected by
+pytest — no ``test_`` prefix; driven by ``tests/test_multihost.py``).
+
+One copy runs per process. Env (set by the launcher BEFORE interpreter
+start, since the container's sitecustomize imports jax at startup):
+  JAX_PLATFORMS=cpu
+  XLA_FLAGS=--xla_force_host_platform_device_count=<local devices>
+Argv: <coordinator_port> <process_id> <num_processes> <outdir>
+
+Exercises the SURVEY §2.3 comm-backend component the reference lacks
+(single serial process, Finito.jl:122-128): ``jax.distributed.initialize``
+over a local CPU cluster (gloo collectives = the DCN stand-in), a GLOBAL
+mesh spanning both processes, and DP solvers whose per-step psum crosses
+the process boundary. Process 0 writes the solutions to <outdir> for the
+parent to compare bit-exact against a single-process 8-device run.
+"""
+
+import sys
+
+import jax
+
+port, pid, nproc, outdir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ciao_tpu.oracles import LeastSquaresRows  # noqa: E402
+from ciao_tpu.parallel import DPSAGA, make_mesh, shard_finite_sum  # noqa: E402
+from ciao_tpu.prox import NormL1  # noqa: E402
+from ciao_tpu.utils.problems import make_lasso  # noqa: E402
+
+
+def main():
+    assert jax.process_count() == nproc
+    D = len(jax.devices())
+    N, n = 16 * D, 32
+    prob = make_lasso(N=N, n=n, p=4, seed=0)
+
+    mesh = make_mesh()  # all GLOBAL devices on "data"
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    x0 = jnp.zeros(n)
+
+    results = {}
+    # lockstep DP: one x-sized psum per step, riding the gloo process
+    # boundary here (DCN on a real pod)
+    x, iters = DPSAGA(mesh=mesh, batch=D, block_sampling=True, maxit=400)(
+        x0, F=F, g=g, L=prob.L
+    )
+    results["lockstep"] = np.asarray(jax.device_get(x))
+
+    # local-update mode: K fused-round local steps per collective
+    x, steps = DPSAGA(
+        mesh=mesh, batch=D, block_sampling=True,
+        local_steps=8, rebase_every=16, maxit=50,
+    )(x0, F=F, g=g, L=prob.L)
+    results["local"] = np.asarray(jax.device_get(x))
+
+    if jax.process_index() == 0:
+        gap = float(prob.cost(results["lockstep"]) - prob.f_star)
+        np.savez(f"{outdir}/multihost_out.npz", gap=gap, **results)
+    # all processes must reach this point together (the npz write above
+    # only happens after both processes' collectives completed)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
