@@ -1115,3 +1115,488 @@ def svrg_inner_chunked(A, b8, canch8, w2, zs2, av2, scalars, B: int,
         body, (w2, zs2), jnp.arange(Lq, dtype=jnp.int32)
     )
     return w2, zs2, Lq * K
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference fused kernels: Katyusha / SARAH / Point-SAGA
+# ---------------------------------------------------------------------------
+#
+# All three share the SVRG inner loop's data shape — one contiguous
+# block of oracle rows per step, margins on the MXU, O(n) vector algebra
+# at the block boundary — so they reuse the (8, N/8) slab layouts, the
+# scalar-prefetched starts, and the VMEM-carried iterates of
+# ``svrg_coeff_multistep``. Measured XLA baselines (PERF.md): each sat
+# ~2x off the streaming ceiling (three A passes per block + per-step
+# dispatch); fused they pay exactly one row pass per step.
+
+
+def _katyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref,
+                                 b_ref, *refs):
+    """K Katyusha (Allen-Zhu 2018, Option II) inner block steps per
+    launch. Eval point x = τ₁z + τ₂x̃ + (1−τ₁−τ₂)y is formed in VMEM at
+    each block start; the anchor gradient is the coefficient slab
+    c(x̃) streamed tile-by-tile (like SVRG's — read-only, so N is
+    unbounded)."""
+    if quant:
+        (rs_ref, canch_ref, xt_ref, y_in_ref, z_in_ref, ys_in_ref,
+         av_ref, sc_ref, y_out_ref, z_out_ref, ys_out_ref,
+         y_vm, z_vm, ys_vm, x_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (canch_ref, xt_ref, y_in_ref, z_in_ref, ys_in_ref,
+         av_ref, sc_ref, y_out_ref, z_out_ref, ys_out_ref,
+         y_vm, z_vm, ys_vm, x_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    alpha = sc_ref[0, 1]
+    beta = sc_ref[0, 2]
+    athr = sc_ref[0, 3]      # α·λ (0 disables the prox: g = Zero)
+    bthr = sc_ref[0, 4]      # β·λ
+    invB = sc_ref[0, 5]
+    mode = sc_ref[0, 6]
+    tau1 = sc_ref[0, 7]
+    tau2 = sc_ref[0, 8]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        y_vm[...] = y_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+        ys_vm[...] = ys_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+        x_vm[...] = (tau1 * z_vm[...] + tau2 * xt_ref[...]
+                     + (1.0 - tau1 - tau2) * y_vm[...])
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        x_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (1, TILE)
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]                 # (1, TILE)
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]           # (1, TILE) dequant
+        r = r * rs_t
+    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
+    dc = c_live - c_anch                          # ∇f_i(x) − ∇f_i(x̃)
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
+    )  # (1, n)
+
+    @pl.when(t == T - 1)
+    def _():
+        gr = av_ref[...] + innov_vm[...] * invB   # ∇̃
+        zv = z_vm[...] - alpha * gr
+        z_new = jnp.sign(zv) * jnp.maximum(jnp.abs(zv) - athr, 0.0)
+        yv = x_vm[...] - beta * gr
+        y_new = jnp.sign(yv) * jnp.maximum(jnp.abs(yv) - bthr, 0.0)
+        z_vm[...] = z_new
+        y_vm[...] = y_new
+        ys_vm[...] += y_new
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        y_out_ref[...] = y_vm[...]
+        z_out_ref[...] = z_vm[...]
+        ys_out_ref[...] = ys_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
+def katyusha_coeff_multistep(A, b8, canch8, starts, xt2, y2, z2, ys2,
+                             av2, scalars, B: int,
+                             precision: str = "highest", rs8=None,
+                             interpret: bool = False):
+    """K = len(starts) Katyusha inner block steps in one launch.
+    ``scalars`` is the (1, 9) row [scale, α, β, αλ, βλ, 1/B, mode, τ₁,
+    τ₂]; ``xt2`` the (1, n) anchor point x̃; ``canch8`` its coefficient
+    slab. Returns (y2, z2, ys2) after K momentum-coupled prox steps."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    kernel = functools.partial(
+        _katyusha_coeff_multi_kernel, ncols, _PRECISIONS[precision], quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
+            _bcast_spec((1, n)),                        # x̃
+            _bcast_spec((1, n)),                        # y in
+            _bcast_spec((1, n)),                        # z in
+            _bcast_spec((1, n)),                        # ysum in
+            _bcast_spec((1, n)),                        # av (read-only)
+            pl.BlockSpec((1, 9), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((1, n)),                        # y out
+            _bcast_spec((1, n)),                        # z out
+            _bcast_spec((1, n)),                        # ysum out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # y carry
+            pltpu.VMEM((1, n), jnp.float32),            # z carry
+            pltpu.VMEM((1, n), jnp.float32),            # ysum carry
+            pltpu.VMEM((1, n), jnp.float32),            # x eval point
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    y_new, z_new, ys_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, canch8, xt2, y2, z2, ys2,
+      av2, scalars)
+    return y_new, z_new, ys_new
+
+
+def katyusha_inner_chunked(A, b8, canch8, xt2, y2, z2, ys2, av2, scalars,
+                           B: int, m: int, starts_fn,
+                           precision: str = "highest", rs8=None,
+                           interpret: bool = False, launch_steps: int = 64):
+    """Run ``floor(m/K)·K`` of a Katyusha inner loop as K-steps-per-
+    launch kernels (same contract as ``svrg_inner_chunked``). Returns
+    ``(y2, z2, ys2, done)``."""
+    K = min(launch_steps, m)
+    Lq = m // K
+
+    def body(carry, q):
+        y2, z2, ys2 = carry
+        starts = starts_fn(q * K, K)
+        y2, z2, ys2 = katyusha_coeff_multistep(
+            A, b8, canch8, starts, xt2, y2, z2, ys2, av2, scalars, B,
+            precision=precision, rs8=rs8, interpret=interpret,
+        )
+        return (y2, z2, ys2), None
+
+    (y2, z2, ys2), _ = jax.lax.scan(
+        body, (y2, z2, ys2), jnp.arange(Lq, dtype=jnp.int32)
+    )
+    return y2, z2, ys2, Lq * K
+
+
+def _sarah_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
+                        *refs):
+    """K SARAH/ProxSARAH recursive inner block steps per launch. The
+    recursion needs the live margin at w_t AND w_{t−1} over the same
+    rows — both carried as the two rows of one (2, n) VMEM scratch and
+    computed in ONE stacked (2, TILE) MXU dot per tile (the same
+    two-margins-one-read trick as the TP stacked psum)."""
+    if quant:
+        (rs_ref, ww_in_ref, v_in_ref, sc_ref,
+         ww_out_ref, v_out_ref, ww_vm, v_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (ww_in_ref, v_in_ref, sc_ref,
+         ww_out_ref, v_out_ref, ww_vm, v_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
+    eta = sc_ref[0, 3]
+    invB = sc_ref[0, 4]
+    mode = sc_ref[0, 5]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        ww_vm[...] = ww_in_ref[...]   # rows: [w_prev; w]
+        v_vm[...] = v_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r2 = _stream_dot(
+        ww_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (2, TILE): row 0 = margins at w_prev, row 1 = at w
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]                 # (1, TILE)
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r2 = r2 * rs_t
+    c2 = _coeff_formula(mode, r2, b_t, scale)     # (2, TILE)
+    dc = c2[1:2, :] - c2[0:1, :]                  # ∇f_i(w) − ∇f_i(w_prev)
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
+    )  # (1, n)
+
+    @pl.when(t == T - 1)
+    def _():
+        v_new = v_vm[...] + innov_vm[...] * invB  # the SARAH recursion
+        w = ww_vm[1:2, :]
+        yv = w - gamma * v_new
+        y = jnp.sign(yv) * jnp.maximum(jnp.abs(yv) - thr, 0.0)
+        w_next = w + eta * (y - w)                # ProxSARAH damping
+        v_vm[...] = v_new
+        ww_vm[0:1, :] = w
+        ww_vm[1:2, :] = w_next
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        ww_out_ref[...] = ww_vm[...]
+        v_out_ref[...] = v_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
+def sarah_multistep(A, b8, starts, ww2, v2, scalars, B: int,
+                    precision: str = "highest", rs8=None,
+                    interpret: bool = False):
+    """K = len(starts) SARAH recursive block steps in one launch.
+    ``ww2`` is the stacked (2, n) [w_prev; w] pair; ``v2`` the (1, n)
+    recursive estimator; ``scalars`` the (1, 6) row
+    [scale, γ, γλ, η, 1/B, mode]. Returns (ww2, v2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    kernel = functools.partial(
+        _sarah_multi_kernel, ncols, _PRECISIONS[precision], quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            _bcast_spec((2, n)),                        # [w_prev; w] in
+            _bcast_spec((1, n)),                        # v in
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((2, n)),                        # [w_prev; w] out
+            _bcast_spec((1, n)),                        # v out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, n), jnp.float32),            # [w_prev; w] carry
+            pltpu.VMEM((1, n), jnp.float32),            # v carry
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    ww_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, ww2, v2, scalars)
+    return ww_new, v_new
+
+
+def sarah_inner_chunked(A, b8, ww2, v2, scalars, B: int, m: int,
+                        starts_fn, precision: str = "highest", rs8=None,
+                        interpret: bool = False, launch_steps: int = 64):
+    """Run ``floor(m/K)·K`` of a SARAH inner loop as K-steps-per-launch
+    kernels. Returns ``(ww2, v2, done)``."""
+    K = min(launch_steps, m)
+    Lq = m // K
+
+    def body(carry, q):
+        ww2, v2 = carry
+        starts = starts_fn(q * K, K)
+        ww2, v2 = sarah_multistep(
+            A, b8, starts, ww2, v2, scalars, B,
+            precision=precision, rs8=rs8, interpret=interpret,
+        )
+        return (ww2, v2), None
+
+    (ww2, v2), _ = jax.lax.scan(
+        body, (ww2, v2), jnp.arange(Lq, dtype=jnp.int32)
+    )
+    return ww2, v2, Lq * K
+
+
+def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
+                             *refs):
+    """K Point-SAGA block steps per launch (least-squares rows only:
+    the per-row prox has the closed θ-solve of
+    ``LeastSquaresRows._pointprox_core``). The coefficient table lives
+    in VMEM scratch for the whole launch (hazard-free block revisits,
+    like the SAGA slab); row square-norms stream like the offsets."""
+    if quant:
+        (rs_ref, na_ref, c_in_ref, x_in_ref, av_in_ref, sc_ref,
+         c_out_ref, x_out_ref, av_out_ref,
+         c_vm, x_vm, av_vm, u_vm) = refs
+    else:
+        rs_ref = None
+        (na_ref, c_in_ref, x_in_ref, av_in_ref, sc_ref,
+         c_out_ref, x_out_ref, av_out_ref,
+         c_vm, x_vm, av_vm, u_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    invB = sc_ref[0, 2]
+    invN = sc_ref[0, 3]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        c_vm[...] = c_in_ref[...]
+        x_vm[...] = x_in_ref[...]
+        av_vm[...] = av_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        u_vm[...] = jnp.zeros_like(u_vm)
+        # x_vm holds the shared shifted iterate v = x − γ·ḡ for the step
+        x_vm[...] = x_vm[...] - gamma * av_vm[...]
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        x_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (1, TILE) margins A_B·v
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    off = pl.multiple_of(abs_start % ncols, 128)
+    b_t = b_ref[pl.ds(row, 1), :]
+    na_t = na_ref[pl.ds(row, 1), :]               # dequant-corrected ‖a‖²
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
+    c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
+    mz = r + gamma * c_old * na_t
+    theta = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
+    c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = theta
+    w = c_old - theta
+    if quant:
+        w = w * rs_t
+    u_vm[...] += _stream_dot(
+        w, A_t, (((1,), (0,)), ((), ())), prec,
+    )  # (1, n) Σ (c_j − θ_j)·a_j
+
+    @pl.when(t == T - 1)
+    def _():
+        # x⁺ = v + (γ/B)·u ; ḡ⁺ = ḡ − u/N (exact table-mean delta)
+        x_vm[...] = x_vm[...] + (gamma * invB) * u_vm[...]
+        av_vm[...] = av_vm[...] - u_vm[...] * invN
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        c_out_ref[...] = c_vm[...]
+        x_out_ref[...] = x_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3,),
+)
+def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
+                         precision: str = "highest", rs8=None,
+                         interpret: bool = False):
+    """K = len(starts) Point-SAGA block steps in one launch. ``na8`` is
+    the (8, N/8) slab of dequant-corrected row square-norms ‖a_i‖²
+    (precomputed once at init — one pass); ``scalars`` the (1, 4) row
+    [scale, γ, 1/B, 1/N]. Returns (c8, x2, av2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, _slab_reserve(N), esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    kernel = functools.partial(
+        _point_saga_multi_kernel, ncols, _PRECISIONS[precision], quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # row sqnorms
+            _bcast_spec((SLAB_ROWS, ncols)),            # c slab (whole)
+            _bcast_spec((1, n)),                        # x in
+            _bcast_spec((1, n)),                        # av in
+            pl.BlockSpec((1, 4), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((SLAB_ROWS, ncols)),            # c slab out
+            _bcast_spec((1, n)),                        # x out
+            _bcast_spec((1, n)),                        # av out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLAB_ROWS, ncols), jnp.float32),  # c carry
+            pltpu.VMEM((1, n), jnp.float32),            # x / v carry
+            pltpu.VMEM((1, n), jnp.float32),            # av carry
+            pltpu.VMEM((1, n), jnp.float32),            # u accum
+        ],
+    )
+    c_new, x_new, av_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3 + len(rs_ops) + 1: 0},  # c slab in -> out
+        interpret=interpret,
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, na8, c8, x2, av2, scalars)
+    return c_new, x_new, av_new

@@ -41,6 +41,8 @@ from ciao_tpu.solvers.base import (
 class FBCfg(NamedTuple):
     N: int
     fast: bool = False   # Nesterov extrapolation (FISTA)
+    fused: bool = False  # one-pass Pallas full-gradient (coeff_apply_all)
+    fused_precision: str = "highest"  # MXU dots in the fused pass
 
 
 class FBState(NamedTuple):
@@ -69,7 +71,27 @@ def fb_init(F, g, x0, gamma, cfg: FBCfg) -> FBState:
 
 def _fb_step(F, g, cfg: FBCfg, state: FBState) -> FBState:
     gamma = state.gamma
-    grad = F.grad_sum_all(state.y) / cfg.N
+    if cfg.fused:
+        # ONE streaming pass over the oracle rows (coefficients + the
+        # gradient sum together) — the XLA grad_sum_all costs ~2 passes
+        # (measured 3.24 → ~1.8 ms/step at the PERF.md config)
+        from ciao_tpu.ops.fused_block import (
+            _pick_tile, coeff_apply_all, oracle_scalar_consts,
+            rows_scale_row,
+        )
+
+        rows, offs = F.coeff_rows_data()
+        scale, mode, _ = oracle_scalar_consts(F, g)
+        tile = _pick_tile(cfg.N, cfg.N, state.y.size,
+                          esize=rows.dtype.itemsize)
+        _, gsum = coeff_apply_all(
+            rows, offs[None, :], state.y[None, :],
+            jnp.stack([scale, mode])[None, :], tile,
+            precision=cfg.fused_precision, rs1=rows_scale_row(F),
+        )
+        grad = gsum[0] / cfg.N
+    else:
+        grad = F.grad_sum_all(state.y) / cfg.N
     x_new = g.prox_only(state.y - gamma * grad, gamma)
     if cfg.fast:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
@@ -103,10 +125,12 @@ class ForwardBackward:
     verbose: bool = False
     freq: int = 100
     fast: bool = False
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0
+        assert self.fused_precision in ("highest", "default")
 
     def _setup(self, x0, F, g, L, N):
         x0 = jnp.asarray(x0)
@@ -129,7 +153,20 @@ class ForwardBackward:
                     "or a stepsize γ"
                 )
             gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
-        cfg = FBCfg(N=N, fast=self.fast)
+        fused = False
+        if x0.dtype == jnp.float32:
+            from ciao_tpu.ops.fused_block import _pick_tile
+            import jax as _jax
+
+            fused = (
+                _jax.default_backend() == "tpu"
+                and x0.size % 128 == 0
+                and _pick_tile(N, N, x0.size) >= 128
+                and hasattr(F, "coeff_rows_data")
+                and getattr(F, "supports_coeff", False)
+            )
+        cfg = FBCfg(N=N, fast=self.fast, fused=fused,
+                    fused_precision=self.fused_precision)
         init = lambda: fb_init(F, g, x0, gamma, cfg)
         return x0, F, g, cfg, init
 

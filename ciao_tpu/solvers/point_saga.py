@@ -54,6 +54,8 @@ class PointSAGACfg(NamedTuple):
     N: int
     batch: int = 1
     block: bool = False  # contiguous-block sampling (TPU fast path)
+    fused: bool = False  # Pallas K-steps-per-launch kernel
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class PointSAGAState(NamedTuple):
@@ -64,10 +66,26 @@ class PointSAGAState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # fused mode only: dequant-corrected row square-norms ‖a_i‖² in the
+    # (8, N/8) slab layout — the closed θ-solve's curvature terms,
+    # precomputed once (one pass); None otherwise (leafless pytree node).
+    na8: object = None
 
     @property
     def solution(self):
         return self.x
+
+
+def _sqnorm_slab(F, N):
+    """(8, N/8) slab of dequant-corrected row square-norms ‖a_i‖²
+    (int8 rows: Σq²·rs², matching _pointprox_core's na2 algebra)."""
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    na = F.pointprox_sqnorm_block(0, N)
+    rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
+    if rs is not None:
+        na = na * (rs * rs)
+    return na.astype(jnp.float32).reshape(SLAB_ROWS, N // SLAB_ROWS)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -77,9 +95,11 @@ def point_saga_init(F, g, x0, gamma, key, cfg: PointSAGACfg) -> PointSAGAState:
     solution(init) == x0."""
     c = F.coeff_all(x0)
     av = F.apply_all(c) / cfg.N
+    na8 = _sqnorm_slab(F, cfg.N) if cfg.fused else None
     return PointSAGAState(
         gamma=gamma, c=c, av=av, x=x0, key=key,
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+        na8=na8,
     )
 
 
@@ -110,7 +130,62 @@ def _point_saga_step(F, g, cfg: PointSAGACfg,
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps"))
+def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
+    """Fused multi-step driver: K block steps per Pallas launch
+    (ops.point_saga_multistep — coefficient slab and iterate carried in
+    VMEM, θ-solve and table-mean delta in-kernel), the stepwise path's
+    sampling stream reproduced by the vectorized ``_gen_block_starts``.
+    Measured 0.063 → ~0.031 ms/step at the PERF.md config (one row pass
+    per step vs the XLA path's ~2)."""
+    from ciao_tpu.ops.fused_block import (
+        SLAB_ROWS, point_saga_multistep, rows_scale_slab,
+    )
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B = cfg.batch
+    K = min(128, steps)
+    L = steps // K
+    rem = steps - L * K
+    rows, offs = F.coeff_rows_data()
+    scalars = jnp.stack([
+        jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+        jnp.asarray(state.gamma, jnp.float32),
+        jnp.asarray(1.0 / B, jnp.float32),
+        jnp.asarray(1.0 / cfg.N, jnp.float32),
+    ])[None, :]
+    slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    rs8 = rows_scale_slab(F)
+
+    def body(carry, it0):
+        c8, x2, av2 = carry
+        starts = _gen_block_starts(state.key, it0, cfg, K)
+        c8, x2, av2 = point_saga_multistep(
+            rows, b8, state.na8, c8, starts, x2, av2, scalars, B,
+            precision=cfg.fused_precision, rs8=rs8,
+        )
+        return (c8, x2, av2), None
+
+    its0 = state.it + K * jnp.arange(L, dtype=jnp.int32)
+    (c8, x2, av2), _ = jax.lax.scan(
+        body,
+        (state.c.reshape(slab), state.x[None, :], state.av[None, :]),
+        its0,
+    )
+    state = state._replace(
+        c=c8.reshape(cfg.N), x=x2[0], av=av2[0],
+        it=state.it + jnp.asarray(L * K, jnp.int32),
+    )
+    for _ in range(rem):
+        state = _point_saga_step(F, g, cfg, state)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
 def point_saga_run(F, g, state, cfg: PointSAGACfg, steps: int):
+    if cfg.fused and steps >= 8:
+        return _point_saga_run_fused(F, g, state, cfg, steps)
+
     def body(s, _):
         with jax.named_scope("point_saga_step"):
             return _point_saga_step(F, g, cfg, s), None
@@ -127,8 +202,11 @@ def point_saga_step(F, g, state, cfg: PointSAGACfg):
 def point_saga_rebase(F, g, state, cfg: PointSAGACfg):
     """Exact table-mean recompute ḡ = (1/N)Σ c_i·conj(a_i) — REQUIRED
     after an oracle storage swap (the delta-maintained ḡ keeps the old
-    operator's bias forever otherwise; cf. solvers.saga.saga_rebase)."""
-    return state._replace(av=F.apply_all(state.c) / cfg.N)
+    operator's bias forever otherwise; cf. solvers.saga.saga_rebase).
+    The fused path's row square-norm slab is storage-dependent too —
+    recomputed under THIS oracle."""
+    na8 = _sqnorm_slab(F, cfg.N) if cfg.fused else state.na8
+    return state._replace(av=F.apply_all(state.c) / cfg.N, na8=na8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,11 +224,13 @@ class PointSAGA:
     freq: int = 1000
     batch: int = 1
     block_sampling: bool = False
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
 
     def _setup(self, x0, F, g, L, N):
         x0 = jnp.asarray(x0)
@@ -185,7 +265,25 @@ class PointSAGA:
             raise ValueError(
                 "PointSAGA block_sampling needs N divisible by batch"
             )
-        cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling)
+        fused = False
+        if (
+            self.block_sampling
+            and self.batch > 1
+            and x0.dtype == jnp.float32
+        ):
+            from ciao_tpu.ops import coeff_multistep_available
+            from ciao_tpu.ops.fused_block import MODE_LSQ
+
+            # the in-kernel θ-solve is the least-squares closed form
+            fused = (
+                coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
+                and hasattr(F, "coeff_rows_data")
+                and getattr(F, "supports_coeff", False)
+                and getattr(F, "coeff_mode", None) == MODE_LSQ
+            )
+        cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling,
+                           fused=fused,
+                           fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         init = lambda: point_saga_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init

@@ -57,6 +57,8 @@ class SARAHCfg(NamedTuple):
     batch: int = 1
     m: int = 1           # stochastic inner steps per outer iterate (static)
     block: bool = False  # contiguous-block sampling (TPU fast path)
+    fused: bool = False  # Pallas K-inner-steps-per-launch kernel
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class SARAHState(NamedTuple):
@@ -89,19 +91,13 @@ def sarah_init(F, g, x0, gamma, eta, key, cfg: SARAHCfg) -> SARAHState:
     )
 
 
-def _sarah_step(F, g, cfg: SARAHCfg, state: SARAHState) -> SARAHState:
-    """One outer iterate: the full-gradient bootstrap step plus m
-    recursive inner steps. Sampling uses the same stateless
-    (key, inner-k) streams as the SVRG/Katyusha inner loops."""
+def _sarah_inner(F, g, cfg, gamma, eta, sub, w_prev, w, v, steps, k0=0):
+    """``steps`` stepwise recursive inner iterations from inner index
+    ``k0`` — the (sub, k) stream mirrored exactly (and vectorized) by
+    the fused driver's ``_gen_block_starts`` (sampling parity)."""
     from ciao_tpu.solvers.saga import _block_start
 
-    N, B, m = cfg.N, cfg.batch, cfg.m
-    gamma, eta = state.gamma, state.eta
-    key, sub = jax.random.split(state.key)
-
-    v0 = F.grad_sum_all(state.x_tilde) / N
-    w_prev = state.x_tilde
-    w = _damped_prox(g, w_prev, v0, gamma, eta)
+    N, B = cfg.N, cfg.batch
 
     def inner(carry, k):
         w_prev, w, v = carry
@@ -116,9 +112,73 @@ def _sarah_step(F, g, cfg: SARAHCfg, state: SARAHState) -> SARAHState:
         w_next = _damped_prox(g, w, v, gamma, eta)
         return (w, w_next, v), None
 
-    (_, w, _), _ = jax.lax.scan(
-        inner, (w_prev, w, v0), jnp.arange(m, dtype=jnp.int32)
+    (w_prev, w, v), _ = jax.lax.scan(
+        inner, (w_prev, w, v), k0 + jnp.arange(steps, dtype=jnp.int32)
     )
+    return w_prev, w, v
+
+
+def _sarah_step_fused(F, g, cfg: SARAHCfg, state: SARAHState,
+                      sub) -> SARAHState:
+    """Fused outer iterate: the bootstrap full pass runs as ONE
+    streaming kernel (ops.coeff_apply_all), the m recursive inner steps
+    as K-steps-per-launch kernels (ops.sarah_multistep — the live and
+    previous margins come from one stacked (2, TILE) MXU dot per tile,
+    so each inner block costs one row pass; measured 7.46 → ~3.7
+    ms/outer at the PERF.md config)."""
+    from ciao_tpu.ops.fused_block import (
+        _pick_tile, coeff_apply_all, oracle_scalar_consts, rows_scale_row,
+        rows_scale_slab, sarah_inner_chunked, SLAB_ROWS,
+    )
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, m = cfg.batch, cfg.m
+    gamma, eta = state.gamma, state.eta
+    rows, offs = F.coeff_rows_data()
+    scale, mode, lam = oracle_scalar_consts(F, g)
+    tile = _pick_tile(B, cfg.N, state.x_tilde.size,
+                      esize=rows.dtype.itemsize)
+    _, gsum = coeff_apply_all(
+        rows, offs[None, :], state.x_tilde[None, :],
+        jnp.stack([scale, mode])[None, :], tile,
+        precision=cfg.fused_precision, rs1=rows_scale_row(F),
+    )
+    v0 = gsum[0] / cfg.N
+    w_prev = state.x_tilde
+    w = _damped_prox(g, w_prev, v0, gamma, eta)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    scalars = jnp.stack([
+        scale, f32(gamma), f32(gamma * lam), f32(eta), f32(1.0 / B), mode,
+    ])[None, :]
+    slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
+    ww2, v2, done = sarah_inner_chunked(
+        rows, offs.reshape(slab),
+        jnp.stack([w_prev, w]), v0[None, :], scalars, B, m,
+        lambda k0, K: _gen_block_starts(sub, k0, cfg, K),
+        precision=cfg.fused_precision, rs8=rows_scale_slab(F),
+    )
+    w_prev, w, v = ww2[0], ww2[1], v2[0]
+    if done < m:
+        _, w, _ = _sarah_inner(
+            F, g, cfg, gamma, eta, sub, w_prev, w, v, m - done, k0=done,
+        )
+    return state._replace(x_tilde=w, it=state.it + 1)
+
+
+def _sarah_step(F, g, cfg: SARAHCfg, state: SARAHState) -> SARAHState:
+    """One outer iterate: the full-gradient bootstrap step plus m
+    recursive inner steps. Sampling uses the same stateless
+    (key, inner-k) streams as the SVRG/Katyusha inner loops."""
+    N, m = cfg.N, cfg.m
+    gamma, eta = state.gamma, state.eta
+    key, sub = jax.random.split(state.key)
+    if cfg.fused:
+        return _sarah_step_fused(F, g, cfg, state._replace(key=key), sub)
+
+    v0 = F.grad_sum_all(state.x_tilde) / N
+    w_prev = state.x_tilde
+    w = _damped_prox(g, w_prev, v0, gamma, eta)
+    _, w, _ = _sarah_inner(F, g, cfg, gamma, eta, sub, w_prev, w, v0, m)
     return state._replace(x_tilde=w, key=key, it=state.it + 1)
 
 
@@ -156,11 +216,13 @@ class SARAH:
     batch: int = 1
     eta: float = 1.0
     block_sampling: bool = False  # contiguous inner blocks (TPU fast path)
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
         assert 0.0 < self.eta <= 1.0
 
     def _setup(self, x0, F, g, L, N):
@@ -188,7 +250,23 @@ class SARAH:
             raise ValueError("SARAH: m must be >= 1")
         if self.block_sampling and N % self.batch != 0:
             raise ValueError("SARAH block_sampling needs N divisible by batch")
-        cfg = SARAHCfg(N=N, batch=self.batch, m=m, block=self.block_sampling)
+        fused = False
+        if (
+            self.block_sampling
+            and self.batch > 1
+            and x0.dtype == jnp.float32
+        ):
+            from ciao_tpu.ops import svrg_multistep_available
+            from ciao_tpu.prox import NormL1, Zero as _Zero
+
+            fused = (
+                svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
+                and hasattr(F, "coeff_rows_data")
+                and getattr(F, "supports_coeff", False)
+                and isinstance(g, (NormL1, _Zero))
+            )
+        cfg = SARAHCfg(N=N, batch=self.batch, m=m, block=self.block_sampling,
+                       fused=fused, fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         eta = jnp.asarray(self.eta, rdt)
         init = lambda: sarah_init(F, g, x0, gamma, eta, key, cfg)

@@ -172,3 +172,57 @@ def test_katyusha_checkpoint_resume_and_storage(tmp_path, lasso):
     assert x.dtype == jnp.float32
     rel = (prob32.cost(np.asarray(x)) - prob32.f_star) / abs(prob32.f_star)
     assert rel < 2e-2, rel
+
+
+def test_katyusha_fused_multistep_matches_stepwise():
+    """The K-inner-steps-per-launch fused Katyusha kernel (anchor
+    coefficient slab + in-kernel 3-sequence momentum update + one-pass
+    anchor refresh) must reproduce the stepwise block-sampled inner
+    loop: same sampling stream, same math. Covers both the ns (dynamic
+    τ₁ via SMEM scalars) and fixed-τ₁ schedules, and the stepwise
+    remainder branch (m not a multiple of the launch size)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.solvers.katyusha import (
+        KatyushaCfg, katyusha_init, katyusha_run,
+    )
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    Lm = jnp.asarray(np.max(prob.L), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    tau2 = jnp.asarray(0.5, jnp.float32)
+    for m, ns in ((24, True), (70, False)):
+        tau1 = jnp.asarray(0.5 if ns else 0.25, jnp.float32)
+        cfg_step = KatyushaCfg(N=Np, batch=Bp, m=m, block=True, ns=ns)
+        st_step = katyusha_run(
+            F, g, katyusha_init(F, g, x0v, Lm, tau1, tau2, key, cfg_step),
+            cfg_step, 3,
+        )
+        cfg_fused = cfg_step._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_fused = katyusha_run(
+                F, g,
+                katyusha_init(F, g, x0v, Lm, tau1, tau2, key, cfg_fused),
+                cfg_fused, 3,
+            )
+        assert int(st_fused.it) == int(st_step.it)
+        for fld in ("x_tilde", "y", "z"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_fused, fld)),
+                np.asarray(getattr(st_step, fld)),
+                rtol=1e-4, atol=1e-6, err_msg=fld,
+            )
+        np.testing.assert_allclose(np.asarray(st_fused.av),
+                                   np.asarray(st_step.av),
+                                   rtol=1e-3, atol=1e-4)
+        assert np.array_equal(np.asarray(st_fused.key),
+                              np.asarray(st_step.key))

@@ -182,3 +182,55 @@ def test_tp_point_saga_converges_and_shards(lsq):
         TPPointSAGA(mesh=mesh2, maxit=2)(
             z0, F=F2, g=ciao_tpu.NormL1(lam=jnp.asarray(0.1)), L=L, N=N
         )
+
+
+def test_point_saga_fused_multistep_matches_stepwise():
+    """The K-steps-per-launch fused Point-SAGA kernel (VMEM coefficient
+    slab, in-kernel closed θ-solve and table-mean delta, precomputed
+    row-square-norm slab) must reproduce the stepwise block path: same
+    sampling stream, same math. Also exercises the stepwise remainder
+    (steps not a multiple of the launch size)."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import Zero
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = Zero()
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    for steps in (24, 137):  # single launch K=24; K=128 + remainder 9
+        cfg_step = PointSAGACfg(N=Np, batch=Bp, block=True)
+        st_step = point_saga_run(
+            F, g, point_saga_init(F, g, x0v, gamma, key, cfg_step),
+            cfg_step, steps,
+        )
+        cfg_fused = cfg_step._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_fused = point_saga_run(
+                F, g, point_saga_init(F, g, x0v, gamma, key, cfg_fused),
+                cfg_fused, steps,
+            )
+        assert int(st_fused.it) == int(st_step.it)
+        np.testing.assert_allclose(np.asarray(st_fused.x),
+                                   np.asarray(st_step.x),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_fused.c),
+                                   np.asarray(st_step.c),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_fused.av),
+                                   np.asarray(st_step.av),
+                                   rtol=1e-3, atol=1e-5)
