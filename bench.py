@@ -10,10 +10,13 @@ TPU build runs the algorithmically-sanctioned minibatch variant (the
 reference's own TODO at ``SAGA_basic.jl:74``) with the (N, n) gradient
 table HBM-resident and the whole step jitted + scanned on device.
 
-Prints ONE JSON line:
+Prints the driver-consumed JSON line FIRST:
   {"metric": "saga_samples_per_s", "value": ..., "unit": "samples/s",
    "vs_baseline": <tpu samples/s ÷ cpu-loop samples/s>}
-Details go to stderr.
+then the BASELINE.md anchors as secondary JSON lines (the 10M×100
+LFinito epochs/s and the staged int8→f32 time-to-rel-1e-3), machine-
+captured every round. Details go to stderr; `CIAO_BENCH_ALL=1` adds
+the full per-family fused-kernel table (PERF.md).
 """
 
 from __future__ import annotations
@@ -161,6 +164,157 @@ def tpu_samples_per_s(storage: str = "int8") -> float:
     return samples / dt
 
 
+
+def staged_time_to_target(plans=("f32", "bf16->f32 two-stage",
+                                 "int8->f32 two-stage")):
+    """Time-to-rel-1e-3 on the planted 65,536x1,024 well-conditioned
+    Lasso (the corrected convergence benchmark — see PERF.md for why
+    rel 1e-6 and the raw generator are unusable). Returns
+    {label: (seconds, reached, epochs)}; all compiles warmed outside
+    the clock."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_rebase, saga_run
+    from ciao_tpu.utils.problems import make_lasso
+
+    key = jax.random.PRNGKey(0)
+    Np, npx = 65_536, 1_024
+    prob = make_lasso(N=Np, n=npx, p=64, seed=0, dtype=jnp.float32,
+                      well_conditioned=True)
+    Ap = jnp.asarray(prob.A, jnp.float32)
+    bp = jnp.asarray(prob.b, jnp.float32)
+    Fp = LeastSquaresRows(A=Ap, b=bp, scale=jnp.asarray(float(Np), jnp.float32))
+    Fp16 = Fp.with_storage()
+    Fp8 = Fp.with_storage("int8")
+    gp = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gam = (1.0 / (3.0 * jnp.max(jnp.asarray(prob.L, jnp.float32)))).astype(
+        jnp.float32
+    )
+    cfgp = SAGACfg(N=Np, sag=False, batch=BATCH, block=True, coeff=True,
+                   fused=True)
+    target = prob.f_star + 1e-3 * abs(prob.f_star)
+    switch = prob.f_star + 5e-2 * abs(prob.f_star)  # above bf16's ~1.4e-2 floor
+
+    @jax.jit
+    def cost_fn(A, b, z):
+        r = jnp.dot(A, z, precision=jax.lax.Precision.HIGHEST) - b
+        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
+
+    chunk = 256 * (Np // BATCH)   # 256 epochs per dispatch
+    MAX_ROUNDS = 24               # <= 6144 epochs
+
+    def run_to(state, F, level):
+        for r in range(MAX_ROUNDS):
+            if float(cost_fn(Ap, bp, state.z)) <= level:
+                return state, r
+            state = saga_run(F, gp, state, cfgp, chunk)
+        return state, MAX_ROUNDS
+
+    # compile all storage paths, the rebase and the cost check outside
+    # the clock (saga_rebase traces per oracle structure — an unwarmed
+    # call would remote-compile inside the timed region)
+    st0 = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
+    plan_map = {
+        "f32": ((Fp, target),),
+        "bf16->f32 two-stage": ((Fp16, switch), (Fp, target)),
+        # int8 tracks bf16's trajectory to the switch level (measured,
+        # PERF.md) at 1.25x the step rate
+        "int8->f32 two-stage": ((Fp8, switch), (Fp, target)),
+    }
+    warm = [Fp]
+    for label in plans:
+        for F_stage, _ in plan_map[label]:
+            if all(F_stage is not w for w in warm):  # oracles unhashable
+                warm.append(F_stage)
+    for F_stage in warm:
+        _ = float(saga_run(F_stage, gp, st0, cfgp, chunk).z[0])
+    _ = float(saga_rebase(Fp, st0, cfgp).av[0])
+    _ = float(cost_fn(Ap, bp, st0.z))
+
+    results = {}
+    for label in plans:
+        plan = plan_map[label]
+        stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
+        t0 = time.perf_counter()
+        rounds = 0
+        for si, (F_stage, level) in enumerate(plan):
+            # storage SWITCH (stage 2+ only — the init state is already
+            # consistent): re-derive av from the table under the new
+            # rows — the delta-maintained av otherwise keeps the old
+            # operator's bias forever (floors at ~the quantization
+            # error; saga_rebase docstring has the measurement)
+            if si:
+                stp = saga_rebase(F_stage, stp, cfgp)
+            stp, r = run_to(stp, F_stage, level)
+            rounds += r
+        dt = time.perf_counter() - t0
+        reached = float(cost_fn(Ap, bp, stp.z)) <= target
+        results[label] = (dt, reached, rounds * 256)
+        if reached:
+            log(f"time-to-rel-1e-3, {Np}x{npx} planted Lasso [{label}]: "
+                f"{dt:.2f}s (<={rounds * 256} epochs; CPU batch-1 loop at "
+                f"~42k samples/s would need ~{rounds * 256 * Np / 42_000:,.0f}s "
+                f"for the same epochs)")
+        else:
+            log(f"time-to-rel-1e-3 [{label}]: NOT reached within "
+                f"{MAX_ROUNDS * 256} epochs ({dt:.2f}s) — do not quote")
+    return results
+
+
+def lfinito_10m_epochs_per_s(storage: str = "int8") -> float:
+    """The BASELINE.json headline: LFinito epochs/s on the 10M x 100
+    Lasso (rows zero-padded to the 128-lane boundary; see
+    examples/lasso_10m.py for the design note). One fused epoch = two
+    streaming passes over A."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.solvers.finito import FinitoCfg, finito_run, lfinito_init
+
+    Nb, nb, Bb = 10 * 1024 * 1024, 128, 8_192
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    out_dt = jnp.bfloat16 if storage == "bf16" else jnp.float32
+
+    @jax.jit
+    def gen(kA):
+        a = jax.random.normal(kA, (Nb, nb), jnp.float32)
+        a = a * (jnp.arange(nb) < 100).astype(jnp.float32)[None, :]
+        if storage == "int8":
+            from ciao_tpu.oracles.base import quantize_rows
+
+            q, rs = quantize_rows(a)
+            return q, rs, jnp.sum(a * a, axis=1) * Nb
+        return a.astype(out_dt), None, jnp.sum(a * a, axis=1) * Nb
+
+    A, rs, L = gen(kA)
+    b = jax.random.normal(kb, (Nb,), jnp.float32)
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(Nb), jnp.float32),
+                         row_scale=rs)
+    g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
+    cfg = FinitoCfg(N=Nb, batch=Bb, sweeping=3, alpha=0.999, fused=True)
+    st = lfinito_init(F, g, jnp.zeros(nb, jnp.float32), 0.999 * Nb / L,
+                      key, cfg)
+    # >=0.5 s of device work in the timed scan; warm the TIMED length
+    est_epoch_s = 2 * Nb * nb * A.dtype.itemsize / 4.5e11
+    epochs = min(512, int(0.5 / est_epoch_s) + 1)
+    st2 = finito_run(F, g, st, cfg, "lfinito", epochs)
+    _ = float(st2.z[0])
+    t0 = time.perf_counter()
+    st2 = finito_run(F, g, st, cfg, "lfinito", epochs)
+    _ = float(st2.z[0])
+    dt = time.perf_counter() - t0
+    log(f"lfinito 10.5Mx100 [{storage}]: {dt / epochs * 1e3:.2f} ms/epoch "
+        f"({epochs / dt:.1f} epochs/s, {epochs * 2 * Nb / dt / 1e9:.2f} G "
+        f"grad-evals/s)")
+    return epochs / dt
+
+
 def bench_secondary():
     """CIAO_BENCH_ALL=1: also time the fused Finito/LFinito/SVRG paths
     (stderr only — the driver consumes the single stdout JSON line)."""
@@ -229,91 +383,101 @@ def bench_secondary():
         log(f"svrg fused [{tag}]: {dt / EP * 1e3:.2f} ms/outer "
             f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
 
-    # time-to-target suboptimality on a planted-optimum Lasso.
-    #
-    # Target = rel 1e-3. Two facts (measured, PERF.md) shape this
-    # benchmark: (a) the f32 fixed-point floor on this problem is rel
-    # ~1.4e-4, so sub-1e-4 targets are unreachable in f32 — an earlier
-    # version of this benchmark recorded a "time-to-1e-6" that was in
-    # fact the exhausted-budget wall time; (b) the reference's planted
-    # generator is catastrophically ill-conditioned at large n (column
-    # norms spread ~1000x), so the capped ``well_conditioned`` variant
-    # is used — same KKT-planted optimum, bounded column spread.
-    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_rebase, saga_run
-    from ciao_tpu.utils.problems import make_lasso
+        # ---- beyond-reference families (all fused; PERF.md round-2
+        # table) — one timed row per family per storage ----
+        from ciao_tpu.prox import Zero as _Zero
+        from ciao_tpu.solvers.fb import FBCfg, fb_init, fb_run
+        from ciao_tpu.solvers.katyusha import (
+            KatyushaCfg, katyusha_init, katyusha_run,
+        )
+        from ciao_tpu.solvers.lsvrg import (
+            LKatyushaCfg, LSVRGCfg, lkatyusha_init, lkatyusha_run,
+            lsvrg_init, lsvrg_run,
+        )
+        from ciao_tpu.solvers.point_saga import (
+            PointSAGACfg, point_saga_init, point_saga_run,
+        )
+        from ciao_tpu.solvers.sarah import SARAHCfg, sarah_init, sarah_run
 
-    Np, npx = 65_536, 1_024
-    prob = make_lasso(N=Np, n=npx, p=64, seed=0, dtype=jnp.float32,
-                      well_conditioned=True)
-    Ap = jnp.asarray(prob.A, jnp.float32)
-    bp = jnp.asarray(prob.b, jnp.float32)
-    Fp = LeastSquaresRows(A=Ap, b=bp, scale=jnp.asarray(float(Np), jnp.float32))
-    Fp16 = Fp.with_storage()
-    Fp8 = Fp.with_storage("int8")
-    gp = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
-    gam = (1.0 / (3.0 * jnp.max(jnp.asarray(prob.L, jnp.float32)))).astype(
-        jnp.float32
-    )
-    cfgp = SAGACfg(N=Np, sag=False, batch=BATCH, block=True, coeff=True,
-                   fused=True)
-    target = prob.f_star + 1e-3 * abs(prob.f_star)
-    switch = prob.f_star + 5e-2 * abs(prob.f_star)  # above bf16's ~1.4e-2 floor
-
-    @jax.jit
-    def cost_fn(A, b, z):
-        r = jnp.dot(A, z, precision=jax.lax.Precision.HIGHEST) - b
-        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
-
-    chunk = 256 * (Np // BATCH)   # 256 epochs per dispatch
-    MAX_ROUNDS = 24               # ≤ 6144 epochs
-
-    def run_to(state, F, level):
-        for r in range(MAX_ROUNDS):
-            if float(cost_fn(Ap, bp, state.z)) <= level:
-                return state, r
-            state = saga_run(F, gp, state, cfgp, chunk)
-        return state, MAX_ROUNDS
-
-    # compile all storage paths, the rebase and the cost check outside
-    # the clock (saga_rebase traces per oracle structure — an unwarmed
-    # call would remote-compile inside the timed region)
-    st0 = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
-    _ = float(saga_run(Fp, gp, st0, cfgp, chunk).z[0])
-    _ = float(saga_run(Fp16, gp, st0, cfgp, chunk).z[0])
-    _ = float(saga_run(Fp8, gp, st0, cfgp, chunk).z[0])
-    _ = float(saga_rebase(Fp, st0, cfgp).av[0])
-    _ = float(cost_fn(Ap, bp, st0.z))
-
-    for label, plan in (
-        ("f32", ((Fp, target),)),
-        ("bf16->f32 two-stage", ((Fp16, switch), (Fp, target))),
-        # int8 tracks bf16's trajectory to the switch level (measured,
-        # PERF.md) at 1.25x the step rate
-        ("int8->f32 two-stage", ((Fp8, switch), (Fp, target))),
-    ):
-        stp = saga_init(Fp, gp, jnp.zeros(npx, jnp.float32), gam, key, cfgp)
+        Lm = jnp.max(L)
+        half = jnp.asarray(0.5, jnp.float32)
+        kcfg = KatyushaCfg(N=N, batch=BATCH, m=m, block=True, ns=True,
+                           fused=True)
+        st = katyusha_init(F, g, x0, Lm, half, half, key, kcfg)
+        st2 = katyusha_run(F, g, st, kcfg, EP)
+        _ = float(st2.x_tilde[0])
         t0 = time.perf_counter()
-        rounds = 0
-        for si, (F_stage, level) in enumerate(plan):
-            # storage SWITCH (stage 2+ only — the init state is already
-            # consistent): re-derive av from the table under the new
-            # rows — the delta-maintained av otherwise keeps the old
-            # operator's bias forever (floors at ~the quantization
-            # error; saga_rebase docstring has the measurement)
-            if si:
-                stp = saga_rebase(F_stage, stp, cfgp)
-            stp, r = run_to(stp, F_stage, level)
-            rounds += r
+        st2 = katyusha_run(F, g, st, kcfg, EP)
+        _ = float(st2.x_tilde[0])
         dt = time.perf_counter() - t0
-        reached = float(cost_fn(Ap, bp, stp.z)) <= target
-        if reached:
-            log(f"time-to-rel-1e-3, {Np}x{npx} planted Lasso [{label}]: "
-                f"{dt:.2f}s (≤{rounds * 256} epochs; CPU batch-1 loop at "
-                f"~42k samples/s would need ~{rounds * 256 * Np / 42_000:,.0f}s "
-                f"for the same epochs)")
-        else:
-            log(f"time-to-rel-1e-3 [{label}]: NOT reached within "
-                f"{MAX_ROUNDS * 256} epochs ({dt:.2f}s) — do not quote")
+        log(f"katyusha fused [{tag}]: {dt / EP * 1e3:.2f} ms/outer "
+            f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
+
+        scfg2 = SARAHCfg(N=N, batch=BATCH, m=m, block=True, fused=True)
+        st = sarah_init(F, g, x0, (1.0 / (2 * Lm)).astype(jnp.float32),
+                        jnp.asarray(1.0, jnp.float32), key, scfg2)
+        st2 = sarah_run(F, g, st, scfg2, EP)
+        _ = float(st2.x_tilde[0])
+        t0 = time.perf_counter()
+        st2 = sarah_run(F, g, st, scfg2, EP)
+        _ = float(st2.x_tilde[0])
+        dt = time.perf_counter() - t0
+        log(f"sarah fused [{tag}]: {dt / EP * 1e3:.2f} ms/outer "
+            f"({EP * (2 * m * BATCH + N) / dt / 1e6:.1f} M grad-evals/s)")
+
+        pcfg = PointSAGACfg(N=N, batch=BATCH, block=True, fused=True)
+        st = point_saga_init(F, _Zero(), x0,
+                             (1.0 / (3 * Lm)).astype(jnp.float32), key, pcfg)
+        S = 32 * STEPS_PER_EPOCH
+        st2 = point_saga_run(F, _Zero(), st, pcfg, S)
+        _ = float(st2.x[0])
+        t0 = time.perf_counter()
+        st2 = point_saga_run(F, _Zero(), st, pcfg, S)
+        _ = float(st2.x[0])
+        dt = time.perf_counter() - t0
+        log(f"point-saga fused [{tag}]: {dt / S * 1e3:.4f} ms/step "
+            f"({S * BATCH / dt / 1e6:.0f} M samples/s)")
+
+        p = jnp.asarray(BATCH / N, jnp.float32)
+        lcfg = LSVRGCfg(N=N, batch=BATCH, block=True, fused=True)
+        st = lsvrg_init(F, g, x0, (1.0 / (6 * Lm)).astype(jnp.float32),
+                        p, key, lcfg)
+        S = 8192
+        st2 = lsvrg_run(F, g, st, lcfg, S)
+        _ = float(st2.w[0])
+        t0 = time.perf_counter()
+        st2 = lsvrg_run(F, g, st, lcfg, S)
+        _ = float(st2.w[0])
+        dt = time.perf_counter() - t0
+        log(f"lsvrg fused [{tag}] (p=B/N): {dt / S * 1e3:.4f} ms/step "
+            f"({S * 2 * BATCH / dt / 1e6:.0f} M grad-evals/s)")
+
+        lkcfg = LKatyushaCfg(N=N, batch=BATCH, block=True, fused=True)
+        st = lkatyusha_init(F, g, x0, Lm, jnp.zeros((), jnp.float32),
+                            jnp.asarray(1 / 3, jnp.float32), half, p, key,
+                            lkcfg)
+        st2 = lkatyusha_run(F, g, st, lkcfg, S)
+        _ = float(st2.y[0])
+        t0 = time.perf_counter()
+        st2 = lkatyusha_run(F, g, st, lkcfg, S)
+        _ = float(st2.y[0])
+        dt = time.perf_counter() - t0
+        log(f"lkatyusha fused [{tag}] (p=B/N): {dt / S * 1e3:.4f} ms/step "
+            f"({S * 2 * BATCH / dt / 1e6:.0f} M grad-evals/s)")
+
+        fcfg = FBCfg(N=N, fast=True, fused=True)
+        st = fb_init(F, g, x0, (1.0 / jnp.mean(L)).astype(jnp.float32), fcfg)
+        S = 300
+        st2 = fb_run(F, g, st, fcfg, S)
+        _ = float(st2.x[0])
+        t0 = time.perf_counter()
+        st2 = fb_run(F, g, st, fcfg, S)
+        _ = float(st2.x[0])
+        dt = time.perf_counter() - t0
+        log(f"fista fused [{tag}]: {dt / S * 1e3:.3f} ms/step "
+            f"({S * N / dt / 1e6:.0f} M grad-evals/s; full pass/step)")
+
+    staged_time_to_target()
 
     # Katyusha (beyond the reference): same time-to-target benchmark as
     # the staged SAGA rows above — acceleration pays in EPOCHS, so wall
@@ -322,6 +486,21 @@ def bench_secondary():
     from ciao_tpu.solvers.katyusha import (
         KatyushaCfg, katyusha_init, katyusha_run,
     )
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npx = 65_536, 1_024
+    prob = make_lasso(N=Np, n=npx, p=64, seed=0, dtype=jnp.float32,
+                      well_conditioned=True)
+    Ap = jnp.asarray(prob.A, jnp.float32)
+    bp = jnp.asarray(prob.b, jnp.float32)
+    Fp = LeastSquaresRows(A=Ap, b=bp, scale=jnp.asarray(float(Np), jnp.float32))
+    gp = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    target = prob.f_star + 1e-3 * abs(prob.f_star)
+
+    @jax.jit
+    def cost_fn(A, b, z):
+        r = jnp.dot(A, z, precision=jax.lax.Precision.HIGHEST) - b
+        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
 
     mk = 2 * Np // BATCH
     kcfg = KatyushaCfg(N=Np, batch=BATCH, m=mk, block=True, ns=True)
@@ -410,8 +589,33 @@ def main():
                 "unit": "samples/s",
                 "vs_baseline": round(tpu / cpu, 2),
             }
-        )
+        ),
+        flush=True,
     )
+    # BASELINE.md anchors, machine-captured every round as secondary
+    # JSON lines (the driver consumes the FIRST line; these are for the
+    # record). Each is fenced: a tunnel hiccup here must not cost the
+    # round its headline.
+    try:
+        eps = lfinito_10m_epochs_per_s("int8")
+        print(json.dumps({
+            "metric": "lfinito_10m_epochs_per_s", "value": round(eps, 1),
+            "unit": "epochs/s", "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"10M anchor failed ({type(e).__name__}: {e}) — skipped")
+    try:
+        staged = staged_time_to_target(plans=("int8->f32 two-stage",))
+        dt, reached, epochs = staged["int8->f32 two-stage"]
+        cpu_s = epochs * 65_536 / max(cpu, 1.0)
+        print(json.dumps({
+            "metric": "time_to_rel1e3_staged_int8_s",
+            "value": round(dt, 2), "unit": "s",
+            "vs_baseline": round(cpu_s / dt, 1) if reached else None,
+            "reached": bool(reached),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"staged anchor failed ({type(e).__name__}: {e}) — skipped")
 
 
 if __name__ == "__main__":

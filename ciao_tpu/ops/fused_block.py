@@ -1600,3 +1600,298 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
         interpret=interpret,
     )(starts.astype(jnp.int32), A, b8, *rs_ops, na8, c8, x2, av2, scalars)
     return c_new, x_new, av_new
+
+
+# ---------------------------------------------------------------------------
+# loopless fused kernels: L-SVRG / L-Katyusha (coin-aware multi-step)
+# ---------------------------------------------------------------------------
+#
+# The loopless families interleave SVRG-type block steps with Bernoulli
+# anchor jumps. The coins are stateless (key, it) draws, so the DRIVER
+# knows each launch's first-flip position BEFORE launching: it clamps
+# the block schedule at that position (tail grid steps re-read the last
+# processed block — bounded waste, see solvers/lsvrg.py) and passes the
+# stop index as a second scalar-prefetch operand; the kernel masks all
+# state updates past it. The anchor refresh (a full pass) then runs
+# OUTSIDE the kernel under lax.cond, and the next launch resumes from
+# the post-flip step with the new anchor slab.
+
+
+def _lsvrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
+                              A_ref, b_ref, *refs):
+    """Up to K L-SVRG block steps per launch (the SVRG inner update —
+    same math as ``_svrg_coeff_multi_kernel`` without the iterate
+    averaging), masked past ``stop``; also records the PRE-update
+    iterate of the last processed step (the anchor-jump target)."""
+    if quant:
+        (rs_ref, canch_ref, w_in_ref, av_ref, sc_ref,
+         w_out_ref, wpre_out_ref, w_vm, wpre_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (canch_ref, w_in_ref, av_ref, sc_ref,
+         w_out_ref, wpre_out_ref, w_vm, wpre_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    stop = stop_ref[0]
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
+    invB = sc_ref[0, 3]
+    mode = sc_ref[0, 4]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        w_vm[...] = w_in_ref[...]
+        wpre_vm[...] = w_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        w_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (1, TILE)
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
+    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_anch = canch_ref[pl.ds(row, 1), :]
+    dc = c_anch - c_live                     # ∇f_i(z) − ∇f_i(w)
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
+    )
+
+    @pl.when((t == T - 1) & (k <= stop))
+    def _():
+        w = w_vm[...]
+        wpre_vm[...] = w                     # pre-update iterate
+        wv = w + gamma * (innov_vm[...] * invB - av_ref[...])
+        w_vm[...] = jnp.sign(wv) * jnp.maximum(jnp.abs(wv) - thr, 0.0)
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        w_out_ref[...] = w_vm[...]
+        wpre_out_ref[...] = wpre_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
+def lsvrg_coeff_multistep(A, b8, canch8, starts, stop, w2, av2, scalars,
+                          B: int, precision: str = "highest", rs8=None,
+                          interpret: bool = False):
+    """``stop + 1`` L-SVRG block steps in one launch (the (K,) schedule
+    ``starts`` must be clamped past ``stop`` by the caller). ``scalars``
+    is the (1, 5) row [scale, γ, γλ, 1/B, mode]. Returns
+    ``(w2, wpre2)`` — the post-launch iterate and the last processed
+    step's PRE-update iterate (the anchor-jump target)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st, sp):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    kernel = functools.partial(
+        _lsvrg_coeff_multi_kernel, ncols, _PRECISIONS[precision], quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n),
+                         lambda k, t, st, sp: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
+            _bcast_spec((1, n)),                        # w in
+            _bcast_spec((1, n)),                        # av (read-only)
+            pl.BlockSpec((1, 5), lambda k, t, st, sp: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((1, n)),                        # w out
+            _bcast_spec((1, n)),                        # w_pre out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # w carry
+            pltpu.VMEM((1, n), jnp.float32),            # w_pre carry
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    w_new, wpre = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), jnp.reshape(stop, (1,)).astype(jnp.int32),
+      A, b8, *rs_ops, canch8, w2, av2, scalars)
+    return w_new, wpre
+
+
+def _lkatyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
+                                  A_ref, b_ref, *refs):
+    """Up to K L-Katyusha block steps per launch: eval point
+    x = θ₁z + θ₂w + (1−θ₁−θ₂)y formed in VMEM, the proximal z-update
+    and the y coupling in-kernel, masked past ``stop``; records the
+    PRE-update y of the last processed step (the anchor-jump target)."""
+    if quant:
+        (rs_ref, canch_ref, wa_ref, y_in_ref, z_in_ref, av_ref, sc_ref,
+         y_out_ref, z_out_ref, ypre_out_ref,
+         y_vm, z_vm, ypre_vm, x_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (canch_ref, wa_ref, y_in_ref, z_in_ref, av_ref, sc_ref,
+         y_out_ref, z_out_ref, ypre_out_ref,
+         y_vm, z_vm, ypre_vm, x_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    stop = stop_ref[0]
+    scale = sc_ref[0, 0]
+    step = sc_ref[0, 1]      # η/L
+    tau_thr = sc_ref[0, 2]   # τ·λ (0 disables the prox: g = Zero)
+    invdenom = sc_ref[0, 3]  # 1/(1 + ησ̂)
+    etasig = sc_ref[0, 4]    # η·σ̂
+    th1 = sc_ref[0, 5]
+    th2 = sc_ref[0, 6]
+    invB = sc_ref[0, 7]
+    mode = sc_ref[0, 8]
+    TILE = A_ref.shape[0]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        y_vm[...] = y_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+        ypre_vm[...] = y_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+        x_vm[...] = (th1 * z_vm[...] + th2 * wa_ref[...]
+                     + (1.0 - th1 - th2) * y_vm[...])
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        x_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    b_t = b_ref[pl.ds(row, 1), :]
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
+    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_anch = canch_ref[pl.ds(row, 1), :]
+    dc = c_live - c_anch                     # ∇f_i(x) − ∇f_i(w)
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
+    )
+
+    @pl.when((t == T - 1) & (k <= stop))
+    def _():
+        gr = av_ref[...] + innov_vm[...] * invB     # ∇̃
+        zv = (z_vm[...] + etasig * x_vm[...] - step * gr) * invdenom
+        z_new = jnp.sign(zv) * jnp.maximum(jnp.abs(zv) - tau_thr, 0.0)
+        ypre_vm[...] = y_vm[...]                    # pre-update y
+        y_vm[...] = x_vm[...] + th1 * (z_new - z_vm[...])
+        z_vm[...] = z_new
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        y_out_ref[...] = y_vm[...]
+        z_out_ref[...] = z_vm[...]
+        ypre_out_ref[...] = ypre_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+)
+def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
+                              av2, scalars, B: int,
+                              precision: str = "highest", rs8=None,
+                              interpret: bool = False):
+    """``stop + 1`` L-Katyusha block steps in one launch. ``wa2`` is the
+    (1, n) anchor point w; ``scalars`` the (1, 9) row
+    [scale, η/L, τλ, 1/(1+ησ̂), ησ̂, θ₁, θ₂, 1/B, mode]. Returns
+    ``(y2, z2, ypre2)``."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st, sp):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    kernel = functools.partial(
+        _lkatyusha_coeff_multi_kernel, ncols, _PRECISIONS[precision], quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n),
+                         lambda k, t, st, sp: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
+            _bcast_spec((1, n)),                        # anchor point w
+            _bcast_spec((1, n)),                        # y in
+            _bcast_spec((1, n)),                        # z in
+            _bcast_spec((1, n)),                        # av (read-only)
+            pl.BlockSpec((1, 9), lambda k, t, st, sp: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((1, n)),                        # y out
+            _bcast_spec((1, n)),                        # z out
+            _bcast_spec((1, n)),                        # y_pre out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # y carry
+            pltpu.VMEM((1, n), jnp.float32),            # z carry
+            pltpu.VMEM((1, n), jnp.float32),            # y_pre carry
+            pltpu.VMEM((1, n), jnp.float32),            # x eval point
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    y_new, z_new, ypre = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), jnp.reshape(stop, (1,)).astype(jnp.int32),
+      A, b8, *rs_ops, canch8, wa2, y2, z2, av2, scalars)
+    return y_new, z_new, ypre

@@ -66,6 +66,8 @@ class LSVRGCfg(NamedTuple):
     N: int
     batch: int = 1
     block: bool = False  # uniform CONTIGUOUS block per step (TPU fast path)
+    fused: bool = False  # Pallas coin-aware K-steps-per-launch kernel
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class LSVRGState(NamedTuple):
@@ -77,10 +79,24 @@ class LSVRGState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # fused mode only: anchor coefficient slab c(z) in (8, N/8) layout,
+    # refreshed with av on every coin flip (ops.coeff_apply_all); None
+    # otherwise (leafless pytree node).
+    canch: object = None
 
     @property
     def solution(self):    # the current iterate — no outer average
         return self.w
+
+
+def _coeff_anchor(F, x, N):
+    """(canch slab, av) — the anchor's coefficient slab and gradient
+    mean in ONE logical refresh (fused mode)."""
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    c = F.coeff_all(x)
+    av = F.apply_all(c) / N
+    return c.reshape(SLAB_ROWS, N // SLAB_ROWS), av
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -88,10 +104,15 @@ def lsvrg_init(F, g, x0, gamma, p, key, cfg: LSVRGCfg) -> LSVRGState:
     """Anchor bootstrap at x0 (one full-gradient pass); w = z = x0, so
     solution(init) == x0 — init is iteration #1, the framework-wide
     convention."""
-    av = F.grad_sum_all(x0) / cfg.N
+    if cfg.fused:
+        canch, av = _coeff_anchor(F, x0, cfg.N)
+    else:
+        av = F.grad_sum_all(x0) / cfg.N
+        canch = None
     return LSVRGState(
         gamma=gamma, p=p, av=av, z=x0, w=x0, key=key,
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+        canch=canch,
     )
 
 
@@ -115,6 +136,20 @@ def _lsvrg_step(F, g, cfg: LSVRGCfg, state: LSVRGState) -> LSVRGState:
     # step w − γ[∇f_i(w) − ∇f_i(z) + μ] (the SVRG inner form)
     w_new = g.prox_only(w + gamma * (d / B - av), gamma)
     flip = _coin(state.key, state.it, state.p)
+    if cfg.fused:
+        # the anchor's coefficient slab must stay in sync with av for
+        # the fused runs (a stepwise step can be interleaved with them
+        # via the iterator)
+        def _refresh():
+            canch, av = _coeff_anchor(F, w, N)
+            return w, av, canch
+
+        z_new, av_new, canch_new = jax.lax.cond(
+            flip, _refresh, lambda: (state.z, state.av, state.canch),
+        )
+        return state._replace(
+            av=av_new, z=z_new, w=w_new, it=state.it + 1, canch=canch_new
+        )
     z_new, av_new = jax.lax.cond(
         flip,
         lambda: (w, F.grad_sum_all(w) / N),
@@ -125,8 +160,97 @@ def _lsvrg_step(F, g, cfg: LSVRGCfg, state: LSVRGState) -> LSVRGState:
     )
 
 
+_LOOPLESS_LAUNCH = 32  # K steps per launch: balances the ~0.1 ms
+# per-launch fixed cost (favors large K) against the clamped-DMA waste
+# past a mid-launch coin flip, ~p·K/2 block re-reads per flip (favors
+# small K); at p = B/N = 1/64 the optimum is K ≈ 2·√(0.1/0.028·1/p)
+# ≈ 30 and the total overhead ≈ 0.01 ms/step (measured in PERF.md).
+
+
+def _lsvrg_run_fused(F, g, state, cfg: LSVRGCfg, steps: int):
+    """Coin-aware fused driver: a ``lax.while_loop`` over kernel
+    launches of up to K steps each. The Bernoulli coins are stateless
+    (key, it) draws, so each launch's first-flip position is computed
+    BEFORE launching — the schedule is clamped there, the kernel masks
+    the tail, and the anchor refresh (one ``coeff_apply_all`` pass at
+    the flip step's PRE-update iterate) runs between launches under
+    ``lax.cond``. Trajectory ≡ the stepwise path on the same streams."""
+    from ciao_tpu.ops.fused_block import (
+        SLAB_ROWS, _pick_tile, coeff_apply_all, lsvrg_coeff_multistep,
+        oracle_scalar_consts, rows_scale_row, rows_scale_slab,
+    )
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, N, K = cfg.batch, cfg.N, _LOOPLESS_LAUNCH
+    rows, offs = F.coeff_rows_data()
+    scale, mode, lam = oracle_scalar_consts(F, g)
+    gamma = state.gamma
+    scalars = jnp.stack([
+        scale, jnp.asarray(gamma, jnp.float32),
+        jnp.asarray(gamma * lam, jnp.float32),
+        jnp.asarray(1.0 / B, jnp.float32), mode,
+    ])[None, :]
+    slab = (SLAB_ROWS, N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    rs8 = rows_scale_slab(F)
+    rs1 = rows_scale_row(F)
+    tile = _pick_tile(B, N, state.w.size, esize=rows.dtype.itemsize)
+    key, p = state.key, state.p
+
+    def refresh(wpre2):
+        c1, gsum = coeff_apply_all(
+            rows, offs[None, :], wpre2, jnp.stack([scale, mode])[None, :],
+            tile, precision=cfg.fused_precision, rs1=rs1,
+        )
+        return c1.reshape(slab), gsum[0] / N
+
+    def cond_fn(carry):
+        return carry[-1] < steps
+
+    def body_fn(carry):
+        w2, z, av2, canch, it, done = carry
+        its = it + jnp.arange(K, dtype=jnp.int32)
+        starts = _gen_block_starts(key, it, cfg, K)
+        coins = jax.vmap(lambda t: _coin(key, t, p))(its)
+        s_rem = steps - done
+        f0 = jnp.where(jnp.any(coins), jnp.argmax(coins),
+                       jnp.asarray(K, jnp.int32))
+        # f0 == K is the no-flip sentinel — it must not read as a flip
+        # position when more than K steps remain
+        flip = (f0 < K) & (f0 < s_rem)
+        nproc = jnp.where(flip, f0 + 1, jnp.minimum(K, s_rem)).astype(
+            jnp.int32
+        )
+        stop = nproc - 1
+        starts = jnp.where(jnp.arange(K, dtype=jnp.int32) <= stop,
+                           starts, starts[stop])
+        w2n, wpre2 = lsvrg_coeff_multistep(
+            rows, b8, canch, starts, stop, w2, av2, scalars, B,
+            precision=cfg.fused_precision, rs8=rs8,
+        )
+
+        def _do_refresh():
+            canch_n, av = refresh(wpre2)
+            return canch_n, av[None, :], wpre2[0]
+
+        canch_n, av2n, z_n = jax.lax.cond(
+            flip, _do_refresh, lambda: (canch, av2, z)
+        )
+        return (w2n, z_n, av2n, canch_n, it + nproc, done + nproc)
+
+    w2, z, av2, canch, it, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (state.w[None, :], state.z, state.av[None, :], state.canch,
+         state.it, jnp.zeros((), jnp.int32)),
+    )
+    return state._replace(w=w2[0], z=z, av=av2[0], canch=canch, it=it)
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def lsvrg_run(F, g, state, cfg: LSVRGCfg, steps: int):
+    if cfg.fused and steps >= 8:
+        return _lsvrg_run_fused(F, g, state, cfg, steps)
+
     def body(s, _):
         with jax.named_scope("lsvrg_step"):
             return _lsvrg_step(F, g, cfg, s), None
@@ -144,8 +268,29 @@ def lsvrg_rebase(F, g, state, cfg: LSVRGCfg):
     """Exact anchor-gradient recompute at the CURRENT anchor point —
     required after an oracle row-storage swap (the carried μ keeps the
     old operator's gradient until the next coin fires, which at small p
-    is arbitrarily far away)."""
+    is arbitrarily far away). Fused mode recomputes the coefficient
+    slab under THIS oracle too."""
+    if cfg.fused:
+        canch, av = _coeff_anchor(F, state.z, cfg.N)
+        return state._replace(av=av, canch=canch)
     return state._replace(av=F.grad_sum_all(state.z) / cfg.N)
+
+
+def _loopless_fused_gate(self, x0, F, g, N) -> bool:
+    """Shared LSVRG/LKatyusha fused-kernel gate — the SVRG policy
+    (contiguous blocks + rank-1 oracle + f32 + NormL1/Zero)."""
+    if not (self.block_sampling and self.batch > 1
+            and x0.dtype == jnp.float32):
+        return False
+    from ciao_tpu.ops import svrg_multistep_available
+    from ciao_tpu.prox import NormL1, Zero as _Zero
+
+    return (
+        svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
+        and hasattr(F, "coeff_rows_data")
+        and getattr(F, "supports_coeff", False)
+        and isinstance(g, (NormL1, _Zero))
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,11 +310,13 @@ class LSVRG:
     p: Optional[float] = None
     batch: int = 1
     block_sampling: bool = False  # contiguous blocks (TPU fast path)
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
         assert self.p is None or 0.0 <= self.p <= 1.0
 
     def _setup(self, x0, F, g, L, N):
@@ -193,7 +340,9 @@ class LSVRG:
         p = self.batch / N if self.p is None else self.p
         if self.block_sampling and N % self.batch != 0:
             raise ValueError("LSVRG block_sampling needs N divisible by batch")
-        cfg = LSVRGCfg(N=N, batch=self.batch, block=self.block_sampling)
+        cfg = LSVRGCfg(N=N, batch=self.batch, block=self.block_sampling,
+                       fused=_loopless_fused_gate(self, x0, F, g, N),
+                       fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         p = jnp.asarray(p, jnp.float32)
         init = lambda: lsvrg_init(F, g, x0, gamma, p, key, cfg)
@@ -230,6 +379,8 @@ class LKatyushaCfg(NamedTuple):
     N: int
     batch: int = 1
     block: bool = False
+    fused: bool = False  # Pallas coin-aware K-steps-per-launch kernel
+    fused_precision: str = "highest"  # MXU dots in fused kernels
 
 
 class LKatyushaState(NamedTuple):
@@ -245,6 +396,9 @@ class LKatyushaState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # fused mode only: anchor coefficient slab c(w_anchor) in (8, N/8)
+    # layout, refreshed with av on every coin flip; None otherwise.
+    canch: object = None
 
     @property
     def solution(self):     # the y sequence carries the O(√κ) guarantee
@@ -255,11 +409,15 @@ class LKatyushaState(NamedTuple):
 def lkatyusha_init(F, g, x0, Lmax, sigma, theta1, theta2, p, key,
                    cfg: LKatyushaCfg) -> LKatyushaState:
     """Anchor bootstrap at x0; y = z = w = x0, so solution(init) == x0."""
-    av = F.grad_sum_all(x0) / cfg.N
+    if cfg.fused:
+        canch, av = _coeff_anchor(F, x0, cfg.N)
+    else:
+        av = F.grad_sum_all(x0) / cfg.N
+        canch = None
     return LKatyushaState(
         Lmax=Lmax, sigma=sigma, theta1=theta1, theta2=theta2, p=p, av=av,
         w_anchor=x0, y=x0, z=x0, key=key, it=jnp.ones((), jnp.int32),
-        status=jnp.zeros((), jnp.int32),
+        status=jnp.zeros((), jnp.int32), canch=canch,
     )
 
 
@@ -298,6 +456,19 @@ def _lkatyusha_step(F, g, cfg: LKatyushaCfg,
     z_new = g.prox_only((state.z + (eta * sig) * x - step * gr) / denom, tau)
     y_new = x + th1 * (z_new - state.z)
     flip = _coin(state.key, state.it, state.p)
+    if cfg.fused:
+        def _refresh():
+            canch, av = _coeff_anchor(F, state.y, N)
+            return state.y, av, canch
+
+        w_new, av_new, canch_new = jax.lax.cond(
+            flip, _refresh,
+            lambda: (state.w_anchor, state.av, state.canch),
+        )
+        return state._replace(
+            av=av_new, w_anchor=w_new, y=y_new, z=z_new,
+            it=state.it + 1, canch=canch_new,
+        )
     w_new, av_new = jax.lax.cond(
         flip,
         lambda: (state.y, F.grad_sum_all(state.y) / N),
@@ -308,8 +479,95 @@ def _lkatyusha_step(F, g, cfg: LKatyushaCfg,
     )
 
 
+def _lkatyusha_run_fused(F, g, state, cfg: LKatyushaCfg, steps: int):
+    """Coin-aware fused driver — the L-SVRG structure (see
+    ``_lsvrg_run_fused``) with the accelerated kernel: each launch
+    carries y/z in VMEM against the constant anchor point w and its
+    coefficient slab; the anchor jumps to the flip step's PRE-update y
+    between launches."""
+    from ciao_tpu.ops.fused_block import (
+        SLAB_ROWS, _pick_tile, coeff_apply_all, lkatyusha_coeff_multistep,
+        oracle_scalar_consts, rows_scale_row, rows_scale_slab,
+    )
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, N, K = cfg.batch, cfg.N, _LOOPLESS_LAUNCH
+    rows, offs = F.coeff_rows_data()
+    scale, mode, lam = oracle_scalar_consts(F, g)
+    th1, th2, sig = state.theta1, state.theta2, state.sigma
+    eta = th2 / ((1.0 + th2) * th1)
+    step = eta / state.Lmax
+    denom = 1.0 + eta * sig
+    tau = step / denom
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    scalars = jnp.stack([
+        scale, f32(step), f32(tau * lam), f32(1.0 / denom),
+        f32(eta * sig), f32(th1), f32(th2), f32(1.0 / B), mode,
+    ])[None, :]
+    slab = (SLAB_ROWS, N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    rs8 = rows_scale_slab(F)
+    rs1 = rows_scale_row(F)
+    tile = _pick_tile(B, N, state.y.size, esize=rows.dtype.itemsize)
+    key, p = state.key, state.p
+
+    def refresh(ypre2):
+        c1, gsum = coeff_apply_all(
+            rows, offs[None, :], ypre2, jnp.stack([scale, mode])[None, :],
+            tile, precision=cfg.fused_precision, rs1=rs1,
+        )
+        return c1.reshape(slab), gsum[0] / N
+
+    def cond_fn(carry):
+        return carry[-1] < steps
+
+    def body_fn(carry):
+        y2, z2, wa, av2, canch, it, done = carry
+        its = it + jnp.arange(K, dtype=jnp.int32)
+        starts = _gen_block_starts(key, it, cfg, K)
+        coins = jax.vmap(lambda t: _coin(key, t, p))(its)
+        s_rem = steps - done
+        f0 = jnp.where(jnp.any(coins), jnp.argmax(coins),
+                       jnp.asarray(K, jnp.int32))
+        # f0 == K is the no-flip sentinel — it must not read as a flip
+        # position when more than K steps remain
+        flip = (f0 < K) & (f0 < s_rem)
+        nproc = jnp.where(flip, f0 + 1, jnp.minimum(K, s_rem)).astype(
+            jnp.int32
+        )
+        stop = nproc - 1
+        starts = jnp.where(jnp.arange(K, dtype=jnp.int32) <= stop,
+                           starts, starts[stop])
+        y2n, z2n, ypre2 = lkatyusha_coeff_multistep(
+            rows, b8, canch, starts, stop, wa[None, :], y2, z2, av2,
+            scalars, B, precision=cfg.fused_precision, rs8=rs8,
+        )
+
+        def _do_refresh():
+            canch_n, av = refresh(ypre2)
+            return canch_n, av[None, :], ypre2[0]
+
+        canch_n, av2n, wa_n = jax.lax.cond(
+            flip, _do_refresh, lambda: (canch, av2, wa)
+        )
+        return (y2n, z2n, wa_n, av2n, canch_n, it + nproc, done + nproc)
+
+    y2, z2, wa, av2, canch, it, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (state.y[None, :], state.z[None, :], state.w_anchor,
+         state.av[None, :], state.canch, state.it,
+         jnp.zeros((), jnp.int32)),
+    )
+    return state._replace(
+        y=y2[0], z=z2[0], w_anchor=wa, av=av2[0], canch=canch, it=it
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def lkatyusha_run(F, g, state, cfg: LKatyushaCfg, steps: int):
+    if cfg.fused and steps >= 8:
+        return _lkatyusha_run_fused(F, g, state, cfg, steps)
+
     def body(s, _):
         with jax.named_scope("lkatyusha_step"):
             return _lkatyusha_step(F, g, cfg, s), None
@@ -326,6 +584,9 @@ def lkatyusha_step(F, g, state, cfg: LKatyushaCfg):
 def lkatyusha_rebase(F, g, state, cfg: LKatyushaCfg):
     """Exact anchor-gradient recompute at the current anchor point —
     required after an oracle row-storage swap (cf. lsvrg_rebase)."""
+    if cfg.fused:
+        canch, av = _coeff_anchor(F, state.w_anchor, cfg.N)
+        return state._replace(av=av, canch=canch)
     return state._replace(av=F.grad_sum_all(state.w_anchor) / cfg.N)
 
 
@@ -350,10 +611,12 @@ class LKatyusha:
     theta2: float = 0.5
     sigma: Optional[float] = None
     block_sampling: bool = False
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
         assert self.maxit > 0 and self.freq > 0 and self.batch >= 1
+        assert self.fused_precision in ("highest", "default")
         assert 0.0 < self.theta2 < 1.0
         assert self.p is None or 0.0 <= self.p <= 1.0
         if self.theta1 is not None:
@@ -391,7 +654,9 @@ class LKatyusha:
             raise ValueError(
                 "LKatyusha block_sampling needs N divisible by batch"
             )
-        cfg = LKatyushaCfg(N=N, batch=self.batch, block=self.block_sampling)
+        cfg = LKatyushaCfg(N=N, batch=self.batch, block=self.block_sampling,
+                           fused=_loopless_fused_gate(self, x0, F, g, N),
+                           fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         p = jnp.asarray(p, jnp.float32)
         theta2 = jnp.asarray(self.theta2, rdt)
