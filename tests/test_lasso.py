@@ -182,3 +182,120 @@ def test_missing_L_raises():
         Finito(maxit=10)(x0, F=F, g=NormL1(lam=1.0), N=6)
     with pytest.raises(ValueError, match="smoothness parameter absent"):
         SAGA(maxit=10)(x0, F=F, g=NormL1(lam=1.0), N=6)
+
+
+# ---------------------------------------------------------------------------
+# non-dividing minibatch (N % batch != 0) — reference parity
+# ---------------------------------------------------------------------------
+#
+# The reference's static contiguous blocks end with a SMALLER final
+# batch when batch does not divide N (Finito_basic.jl:53-58); here that
+# is the masked-gather path (finito.py masked branch, proshi.py masked
+# branch). These tests pin (a) exact trajectory parity of the masked
+# path with a numpy simulation of the reference's ragged-batch
+# semantics, and (b) convergence at the reference tolerance for every
+# family under both block schedules.
+
+def _ragged_lasso(N=10, n=3):
+    prob = make_lasso(N=N, n=n, p=2, seed=7)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(N)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    return prob, F, g
+
+
+def test_finito_ragged_final_batch_matches_reference_semantics():
+    """Finito basic, cyclic sweeping, N=10 B=4 → blocks {0-3},{4-7},
+    {8,9}: the masked path's trajectory must equal a numpy simulation
+    of the reference's smaller-final-batch iterate (same visit order —
+    cyclic starts at block 2, i.e. 0-based block 1 — same batched
+    z-read, prox after the batch)."""
+    N_, B = 10, 4
+    prob, F, g = _ragged_lasso(N=N_)
+    A = np.asarray(prob.A, np.float64)
+    b = np.asarray(prob.b, np.float64)
+    lam = float(prob.lam)
+    gam = 0.999 * N_ / np.asarray(prob.L, np.float64)
+
+    # numpy reference: ragged static blocks, reference init + step
+    def grad(i, z):
+        return N_ * (A[i] @ z - b[i]) * A[i]
+
+    nvar = A.shape[1]
+    x0v = np.zeros(nvar)
+    s = np.stack([x0v - gam[i] / N_ * grad(i, x0v) for i in range(N_)])
+    hat = 1.0 / np.sum(1.0 / gam)
+    av = hat * np.sum(s / gam[:, None], axis=0)
+
+    def prox(v):
+        return np.sign(v) * np.maximum(np.abs(v) - hat * lam, 0)
+
+    z = prox(av)
+    blocks = [list(range(0, 4)), list(range(4, 8)), [8, 9]]
+    zs = []
+    pos = 1  # reference cyclic idxr init: first visited block is #2
+    for _ in range(7):
+        blk = blocks[pos % 3]
+        pos += 1
+        for i in blk:  # all read the SAME z; prox after the batch
+            s_new = z - gam[i] / N_ * grad(i, z)
+            av = av + (s_new - s[i]) * hat / gam[i]
+            s[i] = s_new
+        z = prox(av)
+        zs.append(z.copy())
+
+    # framework run, step by step through the iterator
+    it = ciao_tpu.Finito(sweeping=2, minibatch=(True, B)).iterator(
+        jnp.zeros(nvar), F=F, g=g, L=prob.L, N=N_
+    )
+    stream = iter(it)
+    next(stream)  # init state
+    for k in range(7):
+        st = next(stream)
+        np.testing.assert_allclose(np.asarray(st.z), zs[k],
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=f"step {k}")
+
+
+@pytest.mark.parametrize("sweeping", [2, 3])
+def test_finito_ragged_converges(sweeping):
+    prob, F, g = _ragged_lasso()
+    x, _ = ciao_tpu.Finito(maxit=1500, sweeping=sweeping,
+                           minibatch=(True, 4))(
+        jnp.zeros(3), F=F, g=g, L=prob.L, N=10
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+@pytest.mark.parametrize("sweeping", [2, 3])
+def test_lfinito_ragged_converges(sweeping):
+    prob, F, g = _ragged_lasso()
+    x, _ = ciao_tpu.Finito(maxit=400, sweeping=sweeping, LFinito=True,
+                           minibatch=(True, 4))(
+        jnp.zeros(3), F=F, g=g, L=prob.L, N=10
+    )
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+@pytest.mark.parametrize("sweeping", [2, 3])
+def test_proshi_ragged_converges(sweeping):
+    from ciao_tpu import Proshi
+    from ciao_tpu.oracles import DiagQuadratic
+    from ciao_tpu.utils import make_sharing
+
+    sp = make_sharing()
+    # 3 blocks with batch 2 → ragged final block {2}
+    from ciao_tpu.oracles import SqrDistBox, SumOracle
+    from ciao_tpu.prox import IndBox
+
+    quad = DiagQuadratic(d=jnp.asarray(sp.d), q=jnp.asarray(sp.q))
+    soft = SqrDistBox(lo=jnp.asarray(sp.box_lo), hi=jnp.asarray(sp.box_hi),
+                      eta=jnp.asarray(sp.eta), n_terms=3)
+    Fs = SumOracle(terms=(quad, soft))
+    gs = IndBox(lo=-jnp.inf, hi=jnp.asarray(sp.g_hi))
+    x, _ = Proshi(maxit=1000, sweeping=sweeping, minibatch=(True, 2))(
+        jnp.zeros(2), F=Fs, g=gs, L=sp.L, N=3
+    )
+    assert np.max(np.abs(np.asarray(x).sum(0) - sp.sum_star)) < 1e-4
