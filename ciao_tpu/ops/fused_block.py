@@ -254,7 +254,15 @@ def coeff_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     )
 
 
-def _saga_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
+def _saga_coeff_multi_kernel(prec, quant, weighted, starts_ref, *rest):
+    if weighted:
+        # importance sampling: per-step unbiasedness weights 1/(d·q_j)
+        # ride a second scalar-prefetch operand; they scale the
+        # DIRECTION only, never the exact table-mean delta
+        wgt_ref, A_ref, b_ref, *refs = rest
+    else:
+        wgt_ref = None
+        A_ref, b_ref, *refs = rest
     if quant:
         (rs_ref, c_in_ref, z_in_ref, av_in_ref, sc_ref, c_out_ref,
          z_out_ref, av_out_ref, c_vm, av_vm, z_vm, innov_vm) = refs
@@ -317,10 +325,12 @@ def _saga_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
         innov = innov_vm[...]
         av, z = av_vm[...], z_vm[...]
         av_new = av + innov * invN
+        wgt = wgt_ref[k] if weighted else 1.0
         # SAG refreshes the average BEFORE the direction (biased),
         # SAGA after (unbiased) — SAGA_basic.jl:57-62
         w = jnp.where(
-            sag > 0, z - gamma * av_new, z - gamma * (innov * invB + av)
+            sag > 0, z - gamma * av_new,
+            z - gamma * (innov * (wgt * invB) + av)
         )
         av_vm[...] = av_new
         z_vm[...] = jnp.sign(w) * jnp.maximum(jnp.abs(w) - thr, 0.0)
@@ -338,7 +348,7 @@ def _saga_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
 )
 def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
                          precision: str = "highest", rs8=None,
-                         interpret: bool = False):
+                         wgts=None, interpret: bool = False):
     """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
     kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
     (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
@@ -346,34 +356,39 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
     g=Zero) runs in-kernel at each block boundary. For int8-stored rows
     pass the per-row dequant scales as ``rs8`` in the same slab layout
-    (required iff A.dtype is int8). ``interpret`` runs the GENERIC
+    (required iff A.dtype is int8). ``wgts``: optional (K,) f32
+    importance-sampling direction weights 1/(d·q_j) aligned with
+    ``starts`` (uniform draws pass None). ``interpret`` runs the GENERIC
     Pallas interpreter — the CPU-CI path for use under shard_map, where
     TPU interpret mode (``force_tpu_interpret_mode``) deadlocks."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    weighted = wgts is not None
     TILE = _pick_tile(B, N, n, _slab_reserve(N), esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
     ncols = N // SLAB_ROWS
 
-    def slab_idx(k, t, st):
+    def slab_idx(k, t, st, *p):
         a = st[k] + t * TILE
         return (0, (a % ncols) // TILE)
 
     rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
     rs_ops = [rs8] if quant else []
+    wgt_ops = [wgts.astype(jnp.float32)] if weighted else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=1 + (1 if weighted else 0),
         grid=(K, T),
         in_specs=[
-            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((TILE, n),
+                         lambda k, t, st, *p: (st[k] // TILE + t, 0)),
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets (all rows)
             *rs_specs,                                # dequant scales
             _bcast_spec((SLAB_ROWS, ncols)),          # c slab (whole)
             _bcast_spec((1, n)),                      # z in
             _bcast_spec((1, n)),                      # av in
-            pl.BlockSpec((1, 7), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 7), lambda k, t, st, *p: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -390,7 +405,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     )
     c_new, z_new, av_new = pl.pallas_call(
         functools.partial(
-            _saga_coeff_multi_kernel, _PRECISIONS[precision], quant
+            _saga_coeff_multi_kernel, _PRECISIONS[precision], quant, weighted
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -398,9 +413,10 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-        input_output_aliases={3 + len(rs_ops): 0},  # c slab in -> out
+        input_output_aliases={3 + len(rs_ops) + len(wgt_ops): 0},  # c slab
         interpret=interpret,
-    )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, z2, av2, scalars)
+    )(starts.astype(jnp.int32), *wgt_ops, A, b8, *rs_ops, c8, z2, av2,
+      scalars)
     return c_new, z_new, av_new
 
 

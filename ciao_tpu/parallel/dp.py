@@ -1174,6 +1174,10 @@ class DPKatyushaState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # the LOCAL shard's anchor coefficient vector c(x̃) (n_loc,);
+    # zeros (dead field) outside fused local-inner mode — shard_map
+    # state specs need a real leaf (cf. DPSVRGState.canch)
+    canch: jnp.ndarray = None
 
     @property
     def solution(self):
@@ -1183,10 +1187,16 @@ class DPKatyushaState(NamedTuple):
 def _katyusha_init_local(F, g, x0, Lmax, tau1, tau2, key, cfg: DPCfg):
     """Sharded Katyusha bootstrap (solvers.katyusha — beyond the
     reference): the anchor full gradient is one local pass + psum."""
-    av = _psum(F.grad_sum_all(x0)) / cfg.N
+    if cfg.fused:
+        canch = F.coeff_all(x0)          # LOCAL shard coefficients
+        av = _psum(F.apply_all(canch)) / cfg.N
+    else:
+        canch = jnp.zeros((cfg.n_loc,), real_dtype_of(x0))  # dead field
+        av = _psum(F.grad_sum_all(x0)) / cfg.N
     return DPKatyushaState(
         Lmax=Lmax, tau1=tau1, tau2=tau2, av=av, x_tilde=x0, y=x0, z=x0,
         key=key, it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+        canch=canch,
     )
 
 
@@ -1212,40 +1222,96 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
     kout = jax.random.fold_in(state.key, state.it)
     ax = jax.lax.axis_index(DATA_AXIS)
 
-    def inner(carry, k):
-        y, z, ysum = carry
-        x = tau1 * z + tau2 * xt + (1.0 - tau1 - tau2) * y
-        if cfg.block:
-            start = local_block_start(kout, k + 1, cfg.n_loc, B,
-                                      cfg.sweeping)
-            diff = F.grad_sum_diff_block(x, xt, start, B)
-        else:
-            kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
-            i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
-            diff = F.grad_sum_diff(x, xt, i)
-        if cfg.local:
-            gr = av + diff / B                       # LOCAL estimator
-        else:
-            gr = av + _psum(diff) / (B * cfg.D)      # lockstep pmean
-        z = g.prox_only(z - alpha * gr, alpha)
-        y = g.prox_only(x - beta * gr, beta)
-        return (y, z, ysum + y), None
+    def inner_unfused(k0, steps, y, z, ysum):
+        def inner(carry, k):
+            y, z, ysum = carry
+            x = tau1 * z + tau2 * xt + (1.0 - tau1 - tau2) * y
+            if cfg.block:
+                start = local_block_start(kout, k + 1, cfg.n_loc, B,
+                                          cfg.sweeping)
+                diff = F.grad_sum_diff_block(x, xt, start, B)
+            else:
+                kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
+                i = jax.random.randint(kk, (B,), 0, cfg.n_loc,
+                                       dtype=jnp.int32)
+                diff = F.grad_sum_diff(x, xt, i)
+            if cfg.local:
+                gr = av + diff / B                   # LOCAL estimator
+            else:
+                gr = av + _psum(diff) / (B * cfg.D)  # lockstep pmean
+            z = g.prox_only(z - alpha * gr, alpha)
+            y = g.prox_only(x - beta * gr, beta)
+            return (y, z, ysum + y), None
 
-    (y, z, ysum), _ = jax.lax.scan(
-        inner, (state.y, state.z, jnp.zeros_like(state.y)),
-        jnp.arange(m, dtype=jnp.int32),
-    )
+        (y, z, ysum), _ = jax.lax.scan(
+            inner, (y, z, ysum),
+            k0 + jnp.arange(steps, dtype=jnp.int32),
+        )
+        return y, z, ysum
+
+    canch = state.canch
+    if cfg.local and cfg.fused:
+        # LOCAL-INNER fused: the m momentum-coupled inner steps run as
+        # K-steps-per-launch kernels on the device's own shard (the
+        # anchor gradient term is the LOCAL coefficient slab; the
+        # global anchor mean av keeps the direction variance-reduced
+        # around the full gradient) — per-chip throughput matches the
+        # single-chip fused Katyusha numbers (PERF.md round-2 table)
+        from ciao_tpu.ops.fused_block import (
+            SLAB_ROWS, _pick_tile, coeff_apply_all, katyusha_inner_chunked,
+            oracle_scalar_consts, rows_scale_row, rows_scale_slab,
+        )
+
+        rows, offs = F.coeff_rows_data()
+        scale, mode, lam = oracle_scalar_consts(F, g)
+        interp = jax.default_backend() != "tpu"
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        scalars = jnp.stack([
+            scale, f32(alpha), f32(beta), f32(alpha * lam),
+            f32(beta * lam), f32(1.0 / B), mode, f32(tau1), f32(tau2),
+        ])[None, :]
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        y2, z2, ys2, done = katyusha_inner_chunked(
+            rows, offs.reshape(slab), canch.reshape(slab), xt[None, :],
+            state.y[None, :], state.z[None, :],
+            jnp.zeros_like(state.y)[None, :], av[None, :], scalars, B, m,
+            lambda k0, K: _local_round_starts(
+                kout, k0 + 1, cfg.n_loc, B, K, cfg.sweeping
+            ),
+            rs8=rows_scale_slab(F), interpret=interp,
+        )
+        y, z, ysum = y2[0], z2[0], ys2[0]
+        if done < m:
+            y, z, ysum = inner_unfused(done, m - done, y, z, ysum)
+    else:
+        y, z, ysum = inner_unfused(
+            0, m, state.y, state.z, jnp.zeros_like(state.y)
+        )
     if cfg.local:
         # boundary: average the sequences across devices (stacked into
         # ONE psum), then the exact anchor refresh psum — two
         # collectives per outer step
         y, z, ysum = _psum(jnp.stack([y, z, ysum])) / cfg.D
     x_tilde = ysum / jnp.asarray(m, ysum.dtype)
-    av = _psum(F.grad_sum_all(x_tilde)) / N
+    if cfg.local and cfg.fused:
+        # anchor refresh: local coefficients + gradient sum in ONE
+        # streaming pass, then one x-sized psum (fused is local-only —
+        # the kernel names above are bound in the local branch)
+        tile = _pick_tile(B, cfg.n_loc, x_tilde.size,
+                          esize=rows.dtype.itemsize)
+        c1, gsum = coeff_apply_all(
+            rows, offs[None, :], x_tilde[None, :],
+            jnp.stack([scale, mode])[None, :], tile,
+            rs1=rows_scale_row(F), interpret=interp,
+        )
+        canch = c1.reshape(cfg.n_loc)
+        av = _psum(gsum[0]) / N
+    else:
+        av = _psum(F.grad_sum_all(x_tilde)) / N
     return state._replace(
         tau1=tau1.astype(state.tau1.dtype) if cfg.variant == "ns"
         else state.tau1,
-        av=av, x_tilde=x_tilde, y=y, z=z, it=state.it + 1,
+        av=av, x_tilde=x_tilde, y=y, z=z, it=state.it + 1, canch=canch,
     )
 
 
@@ -1521,30 +1587,78 @@ def _sarah_step_local(F, g, cfg: DPCfg, state: DPSARAHState):
     kout = jax.random.fold_in(state.key, state.it)
     ax = jax.lax.axis_index(DATA_AXIS)
 
-    v0 = _psum(F.grad_sum_all(state.x_tilde)) / N
+    if cfg.fused:
+        # one-pass bootstrap: local coefficients + gradient sum in one
+        # streaming kernel, then the psum
+        from ciao_tpu.ops.fused_block import (
+            SLAB_ROWS, _pick_tile, coeff_apply_all, oracle_scalar_consts,
+            rows_scale_row, rows_scale_slab, sarah_inner_chunked,
+        )
+
+        rows, offs = F.coeff_rows_data()
+        scale, mode, lam = oracle_scalar_consts(F, g)
+        interp = jax.default_backend() != "tpu"
+        tile = _pick_tile(B, cfg.n_loc, state.x_tilde.size,
+                          esize=rows.dtype.itemsize)
+        _, gsum = coeff_apply_all(
+            rows, offs[None, :], state.x_tilde[None, :],
+            jnp.stack([scale, mode])[None, :], tile,
+            rs1=rows_scale_row(F), interpret=interp,
+        )
+        v0 = _psum(gsum[0]) / N
+    else:
+        v0 = _psum(F.grad_sum_all(state.x_tilde)) / N
     w_prev = state.x_tilde
     w = _damped_prox(g, w_prev, v0, gamma, eta)
 
-    def inner(carry, k):
-        w_prev, w, v = carry
-        if cfg.block:
-            start = local_block_start(kout, k + 1, cfg.n_loc, B,
-                                      cfg.sweeping)
-            diff = F.grad_sum_diff_block(w, w_prev, start, B)
-        else:
-            kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
-            i = jax.random.randint(kk, (B,), 0, cfg.n_loc, dtype=jnp.int32)
-            diff = F.grad_sum_diff(w, w_prev, i)
-        if cfg.local:
-            v = v + diff / B                      # LOCAL recursion
-        else:
-            v = v + _psum(diff) / (B * cfg.D)     # lockstep pmean
-        w_next = _damped_prox(g, w, v, gamma, eta)
-        return (w, w_next, v), None
+    def inner_unfused(k0, steps, w_prev, w, v):
+        def inner(carry, k):
+            w_prev, w, v = carry
+            if cfg.block:
+                start = local_block_start(kout, k + 1, cfg.n_loc, B,
+                                          cfg.sweeping)
+                diff = F.grad_sum_diff_block(w, w_prev, start, B)
+            else:
+                kk = jax.random.fold_in(jax.random.fold_in(kout, k), ax)
+                i = jax.random.randint(kk, (B,), 0, cfg.n_loc,
+                                       dtype=jnp.int32)
+                diff = F.grad_sum_diff(w, w_prev, i)
+            if cfg.local:
+                v = v + diff / B                      # LOCAL recursion
+            else:
+                v = v + _psum(diff) / (B * cfg.D)     # lockstep pmean
+            w_next = _damped_prox(g, w, v, gamma, eta)
+            return (w, w_next, v), None
 
-    (_, w, _), _ = jax.lax.scan(
-        inner, (w_prev, w, v0), jnp.arange(m, dtype=jnp.int32)
-    )
+        (w_prev, w, v), _ = jax.lax.scan(
+            inner, (w_prev, w, v), k0 + jnp.arange(steps, dtype=jnp.int32)
+        )
+        return w_prev, w, v
+
+    if cfg.local and cfg.fused:
+        # LOCAL-INNER fused: each device's recursive chain runs as
+        # K-steps-per-launch kernels over its own shard (stacked
+        # two-margin dot; cf. solvers.sarah._sarah_step_fused) —
+        # per-chip throughput matches the single-chip fused SARAH rows
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        scalars = jnp.stack([
+            scale, f32(gamma), f32(gamma * lam), f32(eta), f32(1.0 / B),
+            mode,
+        ])[None, :]
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        ww2, v2, done = sarah_inner_chunked(
+            rows, offs.reshape(slab), jnp.stack([w_prev, w]),
+            v0[None, :], scalars, B, m,
+            lambda k0, K: _local_round_starts(
+                kout, k0 + 1, cfg.n_loc, B, K, cfg.sweeping
+            ),
+            rs8=rows_scale_slab(F), interpret=interp,
+        )
+        w_prev, w, v = ww2[0], ww2[1], v2[0]
+        if done < m:
+            _, w, _ = inner_unfused(done, m - done, w_prev, w, v)
+    else:
+        _, w, _ = inner_unfused(0, m, w_prev, w, v0)
     if cfg.local:
         w = _psum(w) / cfg.D   # boundary: average the local chains
     return state._replace(x_tilde=w, it=state.it + 1)
@@ -2352,9 +2466,26 @@ class DPKatyusha:
         else:
             ns = True
             tau1 = jnp.asarray(0.5, rdt)
+        fused = False
+        if self.local_inner:
+            from ciao_tpu.ops import svrg_multistep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused Katyusha driver,
+            # applied to the LOCAL shard shape
+            fused = (
+                self.block_sampling
+                and x0.dtype == jnp.float32
+                and getattr(F, "supports_coeff", False)
+                and hasattr(F, "coeff_rows_data")
+                and svrg_multistep_available(N // D, x0.size, b_loc,
+                                             x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
                     alpha=0.999, block=self.block_sampling,
-                    local=self.local_inner, m_inner=m,
+                    local=self.local_inner, m_inner=m, fused=fused,
+                    coeff=fused,
                     variant="ns" if ns else "sc")
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "katyusha", mesh, F, g, cfg, extra_init_scalars=2
@@ -2599,9 +2730,26 @@ class DPSARAH:
         m = N // batch if self.m is None else self.m
         if m < 1:
             raise ValueError("DPSARAH: m must be >= 1")
+        fused = False
+        if self.local_inner:
+            from ciao_tpu.ops import svrg_multistep_available
+            from ciao_tpu.prox import NormL1
+
+            # same gate as the single-chip fused SARAH driver, applied
+            # to the LOCAL shard shape
+            fused = (
+                self.block_sampling
+                and x0.dtype == jnp.float32
+                and getattr(F, "supports_coeff", False)
+                and hasattr(F, "coeff_rows_data")
+                and svrg_multistep_available(N // D, x0.size, b_loc,
+                                             x0.dtype)
+                and isinstance(g, (NormL1, Zero))
+            )
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
                     alpha=0.999, block=self.block_sampling,
-                    local=self.local_inner, m_inner=m)
+                    local=self.local_inner, m_inner=m, fused=fused,
+                    coeff=fused)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "sarah", mesh, F, g, cfg, extra_init_scalars=1
         )

@@ -187,15 +187,19 @@ def _saga_step_coeff(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
 
 
 def _saga_step(F, g, cfg: SAGACfg, state: SAGAState) -> SAGAState:
-    if cfg.importance and (cfg.fused or cfg.sag):
-        # the fused and SAG branches ignore the 1/(d·q_j) unbiasedness
-        # weight — running them under importance draws would silently
-        # bias the direction. The facade rejects these combinations;
-        # guard here too since SAGACfg is also constructed directly.
+    if cfg.importance and (cfg.sag or (cfg.fused and not cfg.coeff)):
+        # the SAG and full-table fused branches ignore the 1/(d·q_j)
+        # unbiasedness weight — running them under importance draws
+        # would silently bias the direction. (coeff+fused IS supported:
+        # the multi-step kernel takes the weights as a prefetch operand,
+        # and this stepwise remainder path runs the weight-correct
+        # _saga_step_coeff XLA branch.) The facade rejects the invalid
+        # combinations; guard here too since SAGACfg is also
+        # constructed directly.
         raise ValueError(
-            "SAGACfg(importance=True) is incompatible with fused=True "
-            "or sag=True (those step branches ignore the importance "
-            "unbiasedness weight)"
+            "SAGACfg(importance=True) is incompatible with sag=True or "
+            "with fused=True on the full-table path (those step "
+            "branches ignore the importance unbiasedness weight)"
         )
     if cfg.coeff:
         return _saga_step_coeff(F, g, cfg, state)
@@ -266,6 +270,20 @@ def _gen_block_starts(key, it0, cfg, k: int):
     return js * cfg.batch
 
 
+def _gen_importance_draws(key, it0, cfg, qcum, qinv, k: int):
+    """The K (start, weight) pairs of steps it0..it0+k-1 under the
+    importance schedule — ONE vectorized fold-in/uniform/searchsorted
+    pass, bit-identical to ``k`` calls of :func:`_block_choice`."""
+    its = it0 + jnp.arange(k, dtype=jnp.int32)
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(its)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (), qcum.dtype))(keys)
+    d = cfg.N // cfg.batch
+    j = jnp.minimum(
+        jnp.searchsorted(qcum, u, side="right").astype(jnp.int32), d - 1
+    )
+    return j * cfg.batch, qinv[j]
+
+
 def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     """Fused multi-step driver: K block steps per Pallas launch
     (ops.saga_coeff_multistep), amortizing the per-launch overhead that
@@ -298,10 +316,16 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
 
     def body(carry, it0):
         c8, z2, av2 = carry
-        starts = _gen_block_starts(state.key, it0, cfg, K)
+        if cfg.importance:
+            starts, wgts = _gen_importance_draws(
+                state.key, it0, cfg, state.qcum, state.qinv, K
+            )
+        else:
+            starts = _gen_block_starts(state.key, it0, cfg, K)
+            wgts = None
         c8, z2, av2 = saga_coeff_multistep(
             rows, b8, starts, c8, z2, av2, scalars, B,
-            precision=cfg.fused_precision, rs8=rs8,
+            precision=cfg.fused_precision, rs8=rs8, wgts=wgts,
         )
         return (c8, z2, av2), None
 
@@ -437,8 +461,7 @@ class SAGA:
             else self.table == "coeff"
         )
         fused = False
-        if (self.block_sampling and x0.dtype == jnp.float32
-                and not self.importance_sampling):
+        if self.block_sampling and x0.dtype == jnp.float32:
             # NOTE: import only NormL1 — importing Zero here would
             # shadow the module-level Zero and break the ``g = Zero()``
             # default above (UnboundLocalError when g is None)
@@ -447,12 +470,18 @@ class SAGA:
 
             if coeff:
                 # multi-step fused kernel: needs the rank-1 row data and
-                # an in-kernel prox (L1 soft-threshold; Zero = thr 0)
+                # an in-kernel prox (L1 soft-threshold; Zero = thr 0).
+                # Importance sampling rides the same kernel: the
+                # inverse-CDF draws + 1/(d·q_j) weights are vectorized
+                # into the scalar-prefetch stream (_gen_importance_draws)
                 fused = (
                     coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
                     and hasattr(F, "coeff_rows_data")
                     and isinstance(g, (NormL1, Zero))
                 )
+            elif self.importance_sampling:
+                # the full-table fused kernel has no weighted direction
+                fused = False
             else:
                 # full-table kernel: f32/bf16 rows only (int8 rows need
                 # the coeff path — the f32 table traffic dominates)

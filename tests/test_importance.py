@@ -158,3 +158,41 @@ def test_importance_cdf_built_in_float64():
     d = Np // B
     np.testing.assert_allclose(np.asarray(st.qinv, np.float64),
                                1.0 / (d * q), rtol=1e-5)
+
+
+def test_importance_fused_multistep_matches_stepwise():
+    """Importance sampling through the fused K-step kernel: the
+    inverse-CDF draws and the 1/(d·q_j) direction weights ride the
+    scalar-prefetch stream (_gen_importance_draws ≡ K stepwise
+    _block_choice calls), and the fused trajectory must equal the
+    stepwise importance path — including the stepwise remainder."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, B = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=0, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, np.float32), b=jnp.asarray(prob.b, np.float32),
+        scale=jnp.asarray(float(Np), np.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, np.float32))
+    solver = ciao_tpu.SAGA(maxit=1, block_sampling=True, batch=B,
+                           importance_sampling=True)
+    x0, F2, g2, cfg, init = solver._setup(jnp.zeros(npix, jnp.float32), F, g,
+                                          L=prob.L, N=Np)
+    st0 = init()
+    assert cfg.coeff  # rank-1 oracle → coefficient table
+    for steps in (24, 137):
+        cfg_step = cfg._replace(fused=False)
+        st_s = saga_run(F2, g2, st0, cfg_step, steps)
+        cfg_fused = cfg._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_f = saga_run(F2, g2, st0, cfg_fused, steps)
+        assert int(st_f.it) == int(st_s.it)
+        np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_s.z),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_f.s), np.asarray(st_s.s),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_f.av), np.asarray(st_s.av),
+                                   rtol=1e-3, atol=1e-5)

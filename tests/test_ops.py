@@ -793,3 +793,67 @@ def test_finito_rebase_storage_switch():
     r_rb = rel(finito_run(Fp, g, st_rb, cfg, "basic_coeff", 12000).z)
     assert r_rb < 3e-5, r_rb
     assert r_nr > 5e-5, r_nr
+
+
+def test_beyond_reference_fused_logistic_mode():
+    """MODE_LOGISTIC through the round-2 fused kernels: the Katyusha,
+    SARAH, and coin-aware L-SVRG multi-step kernels evaluate the
+    logistic coefficient c = −y·σ(−y·m) in-kernel and must reproduce
+    their stepwise paths on a logistic problem (the LSQ equality suites
+    live in each family's test file)."""
+    from ciao_tpu.oracles import LogisticRows
+    from ciao_tpu.solvers.katyusha import (
+        KatyushaCfg, katyusha_init, katyusha_run,
+    )
+    from ciao_tpu.solvers.lsvrg import LSVRGCfg, lsvrg_init, lsvrg_run
+    from ciao_tpu.solvers.sarah import SARAHCfg, sarah_init, sarah_run
+
+    rng = np.random.default_rng(0)
+    Np, npix, Bp = 1024, 128, 128
+    X = rng.standard_normal((Np, npix)).astype(np.float32)
+    y = np.sign(rng.standard_normal(Np)).astype(np.float32)
+    F = LogisticRows(X=jnp.asarray(X), y=jnp.asarray(y))
+    g = NormL1(lam=jnp.asarray(0.01, jnp.float32))
+    key = jax.random.PRNGKey(1)
+    x0v = jnp.zeros(npix, jnp.float32)
+    Lm = jnp.asarray(0.25 * float(np.max(np.sum(X * X, axis=1))), jnp.float32)
+
+    kcfg = KatyushaCfg(N=Np, batch=Bp, m=16, block=True, ns=True)
+    half = jnp.asarray(0.5, jnp.float32)
+    st_s = katyusha_run(
+        F, g, katyusha_init(F, g, x0v, Lm, half, half, key, kcfg), kcfg, 2)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = katyusha_run(
+            F, g,
+            katyusha_init(F, g, x0v, Lm, half, half, key,
+                          kcfg._replace(fused=True)),
+            kcfg._replace(fused=True), 2)
+    np.testing.assert_allclose(np.asarray(st_f.x_tilde),
+                               np.asarray(st_s.x_tilde),
+                               rtol=1e-4, atol=1e-6)
+
+    scfg = SARAHCfg(N=Np, batch=Bp, m=16, block=True)
+    gam = jnp.asarray(0.05, jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
+    st_s = sarah_run(F, g, sarah_init(F, g, x0v, gam, one, key, scfg),
+                     scfg, 2)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = sarah_run(
+            F, g,
+            sarah_init(F, g, x0v, gam, one, key, scfg._replace(fused=True)),
+            scfg._replace(fused=True), 2)
+    np.testing.assert_allclose(np.asarray(st_f.x_tilde),
+                               np.asarray(st_s.x_tilde),
+                               rtol=1e-4, atol=1e-6)
+
+    lcfg = LSVRGCfg(N=Np, batch=Bp, block=True)
+    pj = jnp.asarray(0.1, jnp.float32)
+    st_s = lsvrg_run(F, g, lsvrg_init(F, g, x0v, gam, pj, key, lcfg),
+                     lcfg, 40)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = lsvrg_run(
+            F, g,
+            lsvrg_init(F, g, x0v, gam, pj, key, lcfg._replace(fused=True)),
+            lcfg._replace(fused=True), 40)
+    np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_s.w),
+                               rtol=1e-4, atol=1e-6)

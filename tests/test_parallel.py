@@ -1499,3 +1499,93 @@ def test_dp_adaptive_gamma_underflow_abort_characterized(mesh, lasso):
     # the abort fires AT the optimum: machine-precision suboptimality
     assert prob.cost(np.asarray(x1)) - prob.f_star < 1e-10
     assert prob.cost(np.asarray(x2)) - prob.f_star < 1e-10
+
+
+def _kernel_sized_dp_problem(mesh):
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A, jnp.float32),
+            b=jnp.asarray(prob.b, jnp.float32),
+            scale=jnp.asarray(float(Np), jnp.float32),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    return prob, F, g, Np, npix
+
+
+def test_dp_katyusha_local_inner_fused_matches_unfused(mesh):
+    """DPKatyusha(local_inner=True) on TPU runs each device's inner
+    loop as fused Katyusha kernels (CPU CI: generic Pallas interpreter)
+    — the fused outer iterate must reproduce the unfused local-inner
+    path: same local streams, same boundary collectives."""
+    from ciao_tpu.parallel import DPKatyusha
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    prob, F, g, Np, npix = _kernel_sized_dp_problem(mesh)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+    Lm = jnp.asarray(np.max(prob.L), jnp.float32)
+    half = jnp.asarray(0.5, jnp.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, local=True, m_inner=6,
+                    fused=fused, coeff=fused, variant="ns")
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "katyusha", mesh, F, g, cfg, extra_init_scalars=2
+        )
+        st = init_c(F, g, z0, Lm, half, half, key)
+        st = run_c(F, g, st, 3)
+        outs.append(st)
+    for fld in ("x_tilde", "y", "z", "av"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(outs[1], fld)),
+            np.asarray(getattr(outs[0], fld)),
+            rtol=2e-4, atol=1e-6, err_msg=fld,
+        )
+
+    # facade end-to-end: the gate fires and the solve converges
+    xk, _ = DPKatyusha(mesh=mesh, maxit=300, batch=1024, m=48,
+                       block_sampling=True, local_inner=True)(
+        z0, F=F, g=g, L=prob.L
+    )
+    assert prob.cost(np.asarray(xk, np.float64)) - prob.f_star < 1e-4
+
+
+def test_dp_sarah_local_inner_fused_matches_unfused(mesh):
+    """Same fused-vs-unfused pin for DPSARAH(local_inner=True): each
+    device's recursive chain runs as fused launches; the one-pass
+    bootstrap and the boundary average are unchanged."""
+    from ciao_tpu.parallel import DPSARAH
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    prob, F, g, Np, npix = _kernel_sized_dp_problem(mesh)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+    gam = jnp.asarray(1.0 / (2.0 * np.max(prob.L)), jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, local=True, m_inner=6,
+                    fused=fused, coeff=fused)
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "sarah", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        st = init_c(F, g, z0, gam, one, key)
+        st = run_c(F, g, st, 3)
+        outs.append(st)
+    np.testing.assert_allclose(np.asarray(outs[1].x_tilde),
+                               np.asarray(outs[0].x_tilde),
+                               rtol=2e-4, atol=1e-6)
+
+    xs, _ = DPSARAH(mesh=mesh, maxit=300, batch=1024, m=48,
+                    block_sampling=True, local_inner=True)(
+        z0, F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(xs, np.float64)) - prob.f_star < 1e-4
