@@ -477,6 +477,36 @@ def bench_secondary():
         log(f"fista fused [{tag}]: {dt / S * 1e3:.3f} ms/step "
             f"({S * N / dt / 1e6:.0f} M grad-evals/s; full pass/step)")
 
+        # ProShI (sharing formulation): table-bound fused path
+        from ciao_tpu.prox import IndBox
+        from ciao_tpu.solvers.proshi import (
+            ProshiCfg, proshi_init, proshi_run,
+        )
+
+        if tag == "f32":  # the s table stays f32; A storage trims 1/3
+            Np2 = 65_536
+            A2 = A[:Np2]
+            b2v = b[:Np2]
+            Fp2 = LeastSquaresRows(
+                A=A2, b=b2v, scale=jnp.asarray(float(Np2), jnp.float32)
+            )
+            L2 = jnp.sum(A2 * A2, axis=1) * Np2
+            gsh = IndBox(lo=-jnp.inf, hi=1.0)
+            pcfg2 = ProshiCfg(N=Np2, batch=BATCH, sweeping=2, alpha=0.999,
+                              fused=True)
+            gam2 = (0.999 * Np2 / L2).astype(jnp.float32)
+            st = proshi_init(Fp2, gsh, x0, gam2, key, pcfg2)
+            S = 8192
+            st2 = proshi_run(Fp2, gsh, st, pcfg2, S)
+            _ = float(st2.z[0])
+            st = proshi_init(Fp2, gsh, x0, gam2, key, pcfg2)
+            t0 = time.perf_counter()
+            st2 = proshi_run(Fp2, gsh, st, pcfg2, S)
+            _ = float(st2.z[0])
+            dt = time.perf_counter() - t0
+            log(f"proshi fused [65k blocks, f32]: {dt / S * 1e3:.4f} "
+                f"ms/step ({S * BATCH / dt / 1e6:.0f} M block-updates/s)")
+
     staged_time_to_target()
 
     # Katyusha (beyond the reference): same time-to-target benchmark as

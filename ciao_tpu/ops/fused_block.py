@@ -1911,3 +1911,176 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
     )(starts.astype(jnp.int32), jnp.reshape(stop, (1,)).astype(jnp.int32),
       A, b8, *rs_ops, canch8, wa2, y2, z2, av2, scalars)
     return y_new, z_new, ypre
+
+
+# ---------------------------------------------------------------------------
+# fused ProShI block steps (sharing formulation, streamed block table)
+# ---------------------------------------------------------------------------
+#
+# ProShI's per-step work (ProShI_basic.jl:111-123) is table-dominated:
+# read the block's s rows, one POINTWISE rank-1 gradient per row at
+# s_tmp = s_i + γ_i·z, write the new rows, update av/z — 3 table-sized
+# HBM transfers per step (s in, s out, A in). The XLA path pays ~2x the
+# floor (measured 0.159 vs 0.083 ms at 65k×1024, B=4096); this kernel
+# runs K steps per launch with av/z carried in VMEM and the (N, n)
+# table STREAMED tile-by-tile through input/output aliasing.
+#
+# Hazard contract: the (K,) schedule must visit K DISTINCT blocks — a
+# same-launch revisit would race the streamed write-back (unlike the
+# coefficient kernels, the table cannot live in VMEM). CYCLIC sweeping
+# satisfies this for any K ≤ d window, which is why the driver
+# (solvers/proshi.py) gates the fused path to cyclic schedules.
+
+def proshi_multistep_available(N: int, n: int, B: int, dtype) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and n % 128 == 0
+        and _proshi_tile(B, N, n) >= 8
+    )
+
+
+def _proshi_tile(B: int, N: int, n: int, esize: int = 4) -> int:
+    """Working set per grid step ≈ double-buffered (A tile + s in tile
+    + s out tile); the coefficient kernels' 6-buffer model with the s
+    traffic added."""
+    budget_rows = 16_646_144 // (2 * (esize + 8) * max(n, 1))
+    for t in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if t <= budget_rows and B % t == 0 and N % t == 0:
+            return t
+    return 0
+
+
+# coupling prox modes (scalar ``gmode``)
+GPROX_ZERO = 0   # g = Zero: prox = id → z ≡ 0
+GPROX_BOX = 1    # IndBox[glo, ghi]: prox = clip
+GPROX_L1 = 2     # NormL1: soft-threshold at glo = hat·λ
+
+
+def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
+                         *refs):
+    if quant:
+        (rs_ref, s_ref, av_in_ref, z_in_ref, sc_ref,
+         s_out_ref, av_out_ref, z_out_ref, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (s_ref, av_in_ref, z_in_ref, sc_ref,
+         s_out_ref, av_out_ref, z_out_ref, av_vm, z_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    invN = sc_ref[0, 1]
+    invhat = sc_ref[0, 2]
+    mode = sc_ref[0, 3]
+    glo = sc_ref[0, 4]
+    ghi = sc_ref[0, 5]
+    gmode = sc_ref[0, 6]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    s_old = s_ref[:]                                  # (TILE, n)
+    gi = g_ref[:]                                     # (TILE, 1)
+    s_tmp = s_old + gi * z_vm[...]                    # + γ_i·z
+    A_f = A_ref[:].astype(jnp.float32)                # exact for bf16/int8
+    m = jnp.sum(A_f * s_tmp, axis=1, keepdims=True)   # pointwise margins
+    b_t = b_ref[:]                                    # (TILE, 1)
+    if quant:
+        rs_t = rs_ref[:]                              # (TILE, 1)
+        m = m * rs_t
+    c = _coeff_formula(mode, m, b_t, scale)           # (TILE, 1)
+    w = (gi * invN) * c
+    if quant:
+        w = w * rs_t
+    s_new = s_tmp - w * A_f
+    innov_vm[...] += jnp.sum(s_new - s_old, axis=0, keepdims=True)
+    s_out_ref[:] = s_new
+
+    @pl.when(t == T - 1)
+    def _():
+        av = av_vm[...] + innov_vm[...]
+        p_box = jnp.clip(av, glo, ghi)
+        p_l1 = jnp.sign(av) * jnp.maximum(jnp.abs(av) - glo, 0.0)
+        p = jnp.where(gmode == GPROX_BOX, p_box,
+                      jnp.where(gmode == GPROX_L1, p_l1, av))
+        av_vm[...] = av
+        z_vm[...] = (p - av) * invhat
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        av_out_ref[...] = av_vm[...]
+        z_out_ref[...] = z_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3,),
+)
+def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
+                     precision: str = "highest", rs2=None,
+                     interpret: bool = False):
+    """K = len(starts) ProShI block steps in one launch over K DISTINCT
+    blocks (caller's contract — see the hazard note above). ``b2``/
+    ``g2`` are the (N, 1) offset/γ columns; ``s`` the donated (N, n)
+    block table; ``scalars`` the (1, 7) row
+    [scale, 1/N, 1/hat_γ, mode, glo, ghi, gmode]. Returns
+    ``(s, av2, z2)``."""
+    N, n = s.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs2 is not None), "rs2 required iff rows are int8"
+    TILE = _proshi_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+
+    def row_idx(k, t, st):
+        return (st[k] // TILE + t, 0)
+
+    rs_specs = [pl.BlockSpec((TILE, 1), row_idx)] if quant else []
+    rs_ops = [rs2] if quant else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), row_idx),           # A rows
+            pl.BlockSpec((TILE, 1), row_idx),           # b col
+            pl.BlockSpec((TILE, 1), row_idx),           # γ col
+            *rs_specs,                                  # dequant col
+            pl.BlockSpec((TILE, n), row_idx),           # s rows (in)
+            _bcast_spec((1, n)),                        # av in
+            _bcast_spec((1, n)),                        # z in
+            pl.BlockSpec((1, 7), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, n), row_idx),           # s rows (out)
+            _bcast_spec((1, n)),                        # av out
+            _bcast_spec((1, n)),                        # z out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),            # av carry
+            pltpu.VMEM((1, n), jnp.float32),            # z carry
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    s_new, av_new, z_new = pl.pallas_call(
+        functools.partial(
+            _proshi_multi_kernel, _PRECISIONS[precision], quant
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n), s.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={4 + len(rs_ops): 0},      # s in -> s out
+        interpret=interpret,
+    )(starts.astype(jnp.int32), A, b2, g2, *rs_ops, s, av2, z2, scalars)
+    return s_new, av_new, z_new

@@ -109,3 +109,61 @@ def test_observer_sharing_objective(sharing):
     assert np.isfinite(objs[-1])  # NOT inf: indicator tolerant at the ulp
     np.testing.assert_allclose(objs[-1], expected, rtol=1e-6)
     assert objs[-1] < objs[0] - 1e-6  # objective decreased
+
+
+def test_proshi_fused_multistep_matches_stepwise():
+    """The K-blocks-per-launch fused ProShI kernel (streamed (N, n)
+    block table through in/out aliasing, av/z carried in VMEM,
+    in-kernel pointwise rank-1 gradients and coupling prox) must
+    reproduce the stepwise cyclic path: same gen_block_ids stream, same
+    algebra. Covers IndBox / NormL1 / Zero couplings and the stepwise
+    remainder."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import NormL1, Zero
+    from ciao_tpu.solvers.proshi import ProshiCfg, proshi_init, proshi_run
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npix, B = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    gamma = jnp.asarray(0.999 * Np / np.asarray(prob.L, np.float32),
+                        jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    gs = (
+        IndBox(lo=-jnp.inf, hi=jnp.asarray(0.5, jnp.float32)),
+        NormL1(lam=jnp.asarray(0.01, jnp.float32)),
+        Zero(),
+    )
+    for g in gs:
+        for steps in (24, 27):  # 3 launches of K=8; +remainder 3
+            cfg_step = ProshiCfg(N=Np, batch=B, sweeping=2, alpha=0.999)
+            st_s = proshi_run(
+                F, g, proshi_init(F, g, x0v, gamma, key, cfg_step),
+                cfg_step, steps,
+            )
+            cfg_f = cfg_step._replace(fused=True)
+            with pltpu.force_tpu_interpret_mode():
+                st_f = proshi_run(
+                    F, g, proshi_init(F, g, x0v, gamma, key, cfg_f),
+                    cfg_f, steps,
+                )
+            assert int(st_f.it) == int(st_s.it)
+            tag = f"{type(g).__name__} steps={steps}"
+            np.testing.assert_allclose(np.asarray(st_f.z),
+                                       np.asarray(st_s.z),
+                                       rtol=1e-4, atol=1e-6, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(st_f.s),
+                                       np.asarray(st_s.s),
+                                       rtol=1e-4, atol=1e-5, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(st_f.av),
+                                       np.asarray(st_s.av),
+                                       rtol=1e-3, atol=1e-4, err_msg=tag)
+            assert int(st_f.sweep.pos) == int(st_s.sweep.pos)
