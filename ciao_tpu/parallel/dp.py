@@ -1730,22 +1730,81 @@ def _proshi_local_round(F, g, cfg: DPCfg, state: DPProshiState):
     N, B, K = cfg.N, cfg.b_loc, cfg.local_steps
     av0 = state.av
 
-    def body(carry, _):
-        s, av, z, it = carry
-        start = local_block_start(state.key, it, cfg.n_loc, B, cfg.sweeping)
-        gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
-        s_old = jax.lax.dynamic_slice_in_dim(s, start, B, 0)
-        s_tmp = s_old + gi[:, None] * z[None, :]
-        G_B = F.grad_pointwise_block(s_tmp, start, B)
-        s_new = s_tmp - (gi / N)[:, None] * G_B
-        s = jax.lax.dynamic_update_slice_in_dim(s, s_new, start, 0)
-        av = av + jnp.sum(s_new - s_old, axis=0)          # LOCAL delta
-        z = _proshi_coupling(g, av, state.hat_gamma)      # stale coupling
-        return (s, av, z, it + 1), None
+    if cfg.fused:
+        # the round's K local block steps as streamed-table Pallas
+        # launches (ops.proshi_multistep; cf. solvers.proshi's fused
+        # driver) — CYCLIC-only gate: each ≤ d_loc-step launch window
+        # visits distinct blocks (the streamed table's revisit-hazard
+        # contract). Same stateless (key, it, device) start stream.
+        from ciao_tpu.ops.fused_block import proshi_multistep
+        from ciao_tpu.solvers.proshi import _proshi_gprox_consts
 
-    (s, av_d, _, _), _ = jax.lax.scan(
-        body, (state.s, av0, state.z, state.it), None, length=K
-    )
+        from ciao_tpu.ops.fused_block import oracle_scalar_consts
+
+        scale, mode, _ = oracle_scalar_consts(F, g)
+        glo, ghi, gmode = _proshi_gprox_consts(g, state.hat_gamma)
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        scalars = jnp.stack([
+            scale, f32(1.0 / N), f32(1.0 / state.hat_gamma), mode,
+            glo, ghi, gmode,
+        ])[None, :]
+        b2 = F.b[:, None]
+        g2 = state.gamma[:, None]
+        rs = getattr(F, "row_scale", None)
+        rs2 = None if rs is None else rs[:, None]
+        interp = jax.default_backend() != "tpu"
+        d_loc = cfg.n_loc // B
+        Kc = min(64, d_loc, K)
+        Lq = K // Kc
+        rem = K - Lq * Kc
+
+        def launch(carry, q):
+            s, av2, z2 = carry
+            starts = _local_round_starts(
+                state.key, state.it + q * Kc, cfg.n_loc, B, Kc,
+                cfg.sweeping,
+            )
+            s, av2, z2 = proshi_multistep(
+                F.A, b2, g2, s, starts, av2, z2, scalars, B,
+                rs2=rs2, interpret=interp,
+            )
+            return (s, av2, z2), None
+
+        (s, av2, z2), _ = jax.lax.scan(
+            launch, (state.s, av0[None, :], state.z[None, :]),
+            jnp.arange(Lq, dtype=jnp.int32),
+        )
+        av_d, z_loc, it_loc = av2[0], z2[0], state.it + Lq * Kc
+        for _ in range(rem):
+            start = local_block_start(state.key, it_loc, cfg.n_loc, B,
+                                      cfg.sweeping)
+            gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+            s_old = jax.lax.dynamic_slice_in_dim(s, start, B, 0)
+            s_tmp = s_old + gi[:, None] * z_loc[None, :]
+            G_B = F.grad_pointwise_block(s_tmp, start, B)
+            s_new = s_tmp - (gi / N)[:, None] * G_B
+            s = jax.lax.dynamic_update_slice_in_dim(s, s_new, start, 0)
+            av_d = av_d + jnp.sum(s_new - s_old, axis=0)
+            z_loc = _proshi_coupling(g, av_d, state.hat_gamma)
+            it_loc = it_loc + 1
+    else:
+        def body(carry, _):
+            s, av, z, it = carry
+            start = local_block_start(state.key, it, cfg.n_loc, B,
+                                      cfg.sweeping)
+            gi = jax.lax.dynamic_slice_in_dim(state.gamma, start, B)
+            s_old = jax.lax.dynamic_slice_in_dim(s, start, B, 0)
+            s_tmp = s_old + gi[:, None] * z[None, :]
+            G_B = F.grad_pointwise_block(s_tmp, start, B)
+            s_new = s_tmp - (gi / N)[:, None] * G_B
+            s = jax.lax.dynamic_update_slice_in_dim(s, s_new, start, 0)
+            av = av + jnp.sum(s_new - s_old, axis=0)      # LOCAL delta
+            z = _proshi_coupling(g, av, state.hat_gamma)  # stale coupling
+            return (s, av, z, it + 1), None
+
+        (s, av_d, _, _), _ = jax.lax.scan(
+            body, (state.s, av0, state.z, state.it), None, length=K
+        )
     av = _round_boundary_av(cfg, state.it, av0, av_d,
                             lambda: jnp.sum(s, axis=0))
     z = _proshi_coupling(g, av, state.hat_gamma)
@@ -2371,9 +2430,25 @@ class DPProshi:
             raise ValueError(
                 "DPProshi local_steps > 1 needs N/D divisible by batch/D"
             )
+        fused = False
+        if self.local_steps > 1 and self.sweeping == Sweep.CYCLIC:
+            # fused local rounds (ops.proshi_multistep): CYCLIC-only —
+            # each launch window of ≤ d_loc consecutive local blocks is
+            # distinct, the streamed table's revisit-hazard contract
+            from ciao_tpu.ops.fused_block import proshi_multistep_available
+            from ciao_tpu.prox import IndBox, NormL1
+
+            fused = (
+                x0.dtype == jnp.float32
+                and proshi_multistep_available(N // D, x0.size, b_loc,
+                                               x0.dtype)
+                and hasattr(F, "coeff_mode")
+                and hasattr(F, "A") and hasattr(F, "b")
+                and isinstance(g, (IndBox, NormL1, Zero))
+            )
         cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=self.sweeping,
                     alpha=float(self.alpha),
-                    local_steps=self.local_steps,
+                    local_steps=self.local_steps, fused=fused,
                     rebase_every=self.rebase_every if self.local_steps > 1
                     else 0)
         init_c, step_c, run_c, rebase_c = build_dp_functions(

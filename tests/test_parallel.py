@@ -1589,3 +1589,49 @@ def test_dp_sarah_local_inner_fused_matches_unfused(mesh):
                     block_sampling=True, local_inner=True)(
         z0, F=F, g=g, L=prob.L)
     assert prob.cost(np.asarray(xs, np.float64)) - prob.f_star < 1e-4
+
+
+def test_dp_proshi_local_round_fused_matches_stepwise(mesh):
+    """DPProshi(local_steps=K, cyclic) on TPU runs each device's round
+    as streamed-table proshi_multistep launches — the fused round must
+    reproduce the stepwise local round exactly (same stateless
+    (key, it, device) start stream, same stale-coupling algebra), and
+    the facade path converges on a row-oracle sharing-style problem."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.prox import IndBox as _IndBox
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32)
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A, jnp.float32),
+            b=jnp.asarray(prob.b, jnp.float32),
+            scale=jnp.asarray(float(Np), jnp.float32),
+        ),
+        mesh,
+    )
+    g = _IndBox(lo=-jnp.inf, hi=jnp.asarray(0.5, jnp.float32))
+    gamma = jnp.asarray(
+        0.999 * Np / np.asarray(prob.L, np.float32), jnp.float32
+    )
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.CYCLIC,
+                    alpha=0.999, local_steps=6, fused=fused,
+                    rebase_every=50)
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "proshi", mesh, F, g, cfg
+        )
+        st = init_c(F, g, z0, gamma, key)
+        st = run_c(F, g, st, 3)
+        outs.append(st)
+    np.testing.assert_allclose(np.asarray(outs[1].z), np.asarray(outs[0].z),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[1].s), np.asarray(outs[0].s),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs[1].av),
+                               np.asarray(outs[0].av),
+                               rtol=2e-4, atol=1e-3)

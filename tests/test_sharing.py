@@ -167,3 +167,40 @@ def test_proshi_fused_multistep_matches_stepwise():
                                        np.asarray(st_s.av),
                                        rtol=1e-3, atol=1e-4, err_msg=tag)
             assert int(st_f.sweep.pos) == int(st_s.sweep.pos)
+
+
+def test_proshi_fused_narrow_storage_matches_stepwise():
+    """int8-stored oracle rows through the fused ProShI kernel: the
+    per-row dequant scale rides a (TILE, 1) column and the trajectory
+    must equal the stepwise path ON THE SAME QUANTIZED OPERATOR (both
+    paths compute with Ã = diag(rs)·Q exactly)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.solvers.proshi import ProshiCfg, proshi_init, proshi_run
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npix, B = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    ).with_storage("int8")
+    g = IndBox(lo=-jnp.inf, hi=jnp.asarray(0.5, jnp.float32))
+    gamma = jnp.asarray(0.999 * Np / np.asarray(prob.L, np.float32),
+                        jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    cfg_step = ProshiCfg(N=Np, batch=B, sweeping=2, alpha=0.999)
+    st_s = proshi_run(F, g, proshi_init(F, g, x0v, gamma, key, cfg_step),
+                      cfg_step, 24)
+    cfg_f = cfg_step._replace(fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = proshi_run(F, g, proshi_init(F, g, x0v, gamma, key, cfg_f),
+                          cfg_f, 24)
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_s.z),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.s), np.asarray(st_s.s),
+                               rtol=1e-4, atol=1e-5)
