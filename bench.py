@@ -428,7 +428,8 @@ def bench_secondary():
         pcfg = PointSAGACfg(N=N, batch=BATCH, block=True, fused=True)
         st = point_saga_init(F, _Zero(), x0,
                              (1.0 / (3 * Lm)).astype(jnp.float32), key, pcfg)
-        S = 32 * STEPS_PER_EPOCH
+        # >=0.25 s of device work even on int8 (~0.0067 ms/step)
+        S = 768 * STEPS_PER_EPOCH
         st2 = point_saga_run(F, _Zero(), st, pcfg, S)
         _ = float(st2.x[0])
         t0 = time.perf_counter()
@@ -442,7 +443,7 @@ def bench_secondary():
         lcfg = LSVRGCfg(N=N, batch=BATCH, block=True, fused=True)
         st = lsvrg_init(F, g, x0, (1.0 / (6 * Lm)).astype(jnp.float32),
                         p, key, lcfg)
-        S = 8192
+        S = 24576  # >=0.25 s even at int8's ~0.016 ms/step
         st2 = lsvrg_run(F, g, st, lcfg, S)
         _ = float(st2.w[0])
         t0 = time.perf_counter()
@@ -467,7 +468,7 @@ def bench_secondary():
 
         fcfg = FBCfg(N=N, fast=True, fused=True)
         st = fb_init(F, g, x0, (1.0 / jnp.mean(L)).astype(jnp.float32), fcfg)
-        S = 300
+        S = 600  # >=0.25 s even at int8's ~0.49 ms/step
         st2 = fb_run(F, g, st, fcfg, S)
         _ = float(st2.x[0])
         t0 = time.perf_counter()

@@ -2181,7 +2181,12 @@ class DPFinito:
     def iterator(self, x0, F=None, g=None, L=None, N=None):
         x0_orig = x0
         x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
-        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+        # adaptive Finito is the only DP family that can abort
+        # (γ-underflow); it must keep the per-step status readback so
+        # the stream terminates (base.SolverIterable skips the check —
+        # a 2-30 ms/iterate tunnel sync — for every other family)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase,
+                              can_abort=self.adaptive)
 
 
 @dataclasses.dataclass(frozen=True)

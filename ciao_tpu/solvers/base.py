@@ -177,3 +177,24 @@ def run_solver_loop(
     if int(state.status) == Status.GAMMA_UNDERFLOW:
         warnings.warn("parameter γ became too small — solver aborted early")
     return state, it
+
+
+def fused_inner_gate(block_sampling, batch, x0, F, g, N) -> bool:
+    """Shared gate for the SVRG-shaped fused inner kernels (SVRG,
+    Katyusha, SARAH, L-SVRG, L-Katyusha): contiguous blocks + rank-1
+    oracle + f32 + an in-kernel prox (NormL1/Zero). ONE definition so a
+    future kernel constraint cannot be applied to one family and
+    silently missed by the others."""
+    import jax.numpy as jnp
+
+    if not (block_sampling and batch > 1 and x0.dtype == jnp.float32):
+        return False
+    from ciao_tpu.ops import svrg_multistep_available
+    from ciao_tpu.prox import NormL1, Zero
+
+    return (
+        svrg_multistep_available(N, x0.size, batch, x0.dtype)
+        and hasattr(F, "coeff_rows_data")
+        and getattr(F, "supports_coeff", False)
+        and isinstance(g, (NormL1, Zero))
+    )

@@ -296,21 +296,10 @@ class Katyusha:
         else:
             ns = True
             tau1 = jnp.asarray(0.5, rdt)  # epoch 0 value of 2/(s+4)
-        fused = False
-        if (
-            self.block_sampling
-            and self.batch > 1
-            and x0.dtype == jnp.float32
-        ):
-            from ciao_tpu.ops import svrg_multistep_available
-            from ciao_tpu.prox import NormL1, Zero as _Zero
+        from ciao_tpu.solvers.base import fused_inner_gate
 
-            fused = (
-                svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
-                and hasattr(F, "coeff_rows_data")
-                and getattr(F, "supports_coeff", False)
-                and isinstance(g, (NormL1, _Zero))
-            )
+        fused = fused_inner_gate(self.block_sampling, self.batch, x0, F,
+                                 g, N)
         cfg = KatyushaCfg(N=N, batch=self.batch, m=m,
                           block=self.block_sampling, ns=ns, fused=fused,
                           fused_precision=self.fused_precision)

@@ -167,6 +167,30 @@ _LOOPLESS_LAUNCH = 32  # K steps per launch: balances the ~0.1 ms
 # ≈ 30 and the total overhead ≈ 0.01 ms/step (measured in PERF.md).
 
 
+def _coin_window(key, it, p, done, steps, cfg, K):
+    """One launch window's schedule for the coin-aware fused drivers:
+    the (clamped) K block starts, the in-kernel stop index, whether an
+    anchor flip fires inside the window, and the number of steps
+    actually consumed. f0 == K is the NO-FLIP sentinel — it must not
+    read as a flip position when more than K steps remain (a past bug
+    skipped a step and refreshed spuriously; pinned by the p=0 fused
+    equality cases)."""
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    its = it + jnp.arange(K, dtype=jnp.int32)
+    starts = _gen_block_starts(key, it, cfg, K)
+    coins = jax.vmap(lambda t: _coin(key, t, p))(its)
+    s_rem = steps - done
+    f0 = jnp.where(jnp.any(coins), jnp.argmax(coins),
+                   jnp.asarray(K, jnp.int32))
+    flip = (f0 < K) & (f0 < s_rem)
+    nproc = jnp.where(flip, f0 + 1, jnp.minimum(K, s_rem)).astype(jnp.int32)
+    stop = nproc - 1
+    starts = jnp.where(jnp.arange(K, dtype=jnp.int32) <= stop,
+                       starts, starts[stop])
+    return starts, stop, flip, nproc
+
+
 def _lsvrg_run_fused(F, g, state, cfg: LSVRGCfg, steps: int):
     """Coin-aware fused driver: a ``lax.while_loop`` over kernel
     launches of up to K steps each. The Bernoulli coins are stateless
@@ -209,21 +233,9 @@ def _lsvrg_run_fused(F, g, state, cfg: LSVRGCfg, steps: int):
 
     def body_fn(carry):
         w2, z, av2, canch, it, done = carry
-        its = it + jnp.arange(K, dtype=jnp.int32)
-        starts = _gen_block_starts(key, it, cfg, K)
-        coins = jax.vmap(lambda t: _coin(key, t, p))(its)
-        s_rem = steps - done
-        f0 = jnp.where(jnp.any(coins), jnp.argmax(coins),
-                       jnp.asarray(K, jnp.int32))
-        # f0 == K is the no-flip sentinel — it must not read as a flip
-        # position when more than K steps remain
-        flip = (f0 < K) & (f0 < s_rem)
-        nproc = jnp.where(flip, f0 + 1, jnp.minimum(K, s_rem)).astype(
-            jnp.int32
+        starts, stop, flip, nproc = _coin_window(
+            key, it, p, done, steps, cfg, K
         )
-        stop = nproc - 1
-        starts = jnp.where(jnp.arange(K, dtype=jnp.int32) <= stop,
-                           starts, starts[stop])
         w2n, wpre2 = lsvrg_coeff_multistep(
             rows, b8, canch, starts, stop, w2, av2, scalars, B,
             precision=cfg.fused_precision, rs8=rs8,
@@ -277,20 +289,11 @@ def lsvrg_rebase(F, g, state, cfg: LSVRGCfg):
 
 
 def _loopless_fused_gate(self, x0, F, g, N) -> bool:
-    """Shared LSVRG/LKatyusha fused-kernel gate — the SVRG policy
-    (contiguous blocks + rank-1 oracle + f32 + NormL1/Zero)."""
-    if not (self.block_sampling and self.batch > 1
-            and x0.dtype == jnp.float32):
-        return False
-    from ciao_tpu.ops import svrg_multistep_available
-    from ciao_tpu.prox import NormL1, Zero as _Zero
+    """LSVRG/LKatyusha fused-kernel gate — the shared SVRG-family
+    policy (solvers.base.fused_inner_gate)."""
+    from ciao_tpu.solvers.base import fused_inner_gate
 
-    return (
-        svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
-        and hasattr(F, "coeff_rows_data")
-        and getattr(F, "supports_coeff", False)
-        and isinstance(g, (NormL1, _Zero))
-    )
+    return fused_inner_gate(self.block_sampling, self.batch, x0, F, g, N)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -523,21 +526,9 @@ def _lkatyusha_run_fused(F, g, state, cfg: LKatyushaCfg, steps: int):
 
     def body_fn(carry):
         y2, z2, wa, av2, canch, it, done = carry
-        its = it + jnp.arange(K, dtype=jnp.int32)
-        starts = _gen_block_starts(key, it, cfg, K)
-        coins = jax.vmap(lambda t: _coin(key, t, p))(its)
-        s_rem = steps - done
-        f0 = jnp.where(jnp.any(coins), jnp.argmax(coins),
-                       jnp.asarray(K, jnp.int32))
-        # f0 == K is the no-flip sentinel — it must not read as a flip
-        # position when more than K steps remain
-        flip = (f0 < K) & (f0 < s_rem)
-        nproc = jnp.where(flip, f0 + 1, jnp.minimum(K, s_rem)).astype(
-            jnp.int32
+        starts, stop, flip, nproc = _coin_window(
+            key, it, p, done, steps, cfg, K
         )
-        stop = nproc - 1
-        starts = jnp.where(jnp.arange(K, dtype=jnp.int32) <= stop,
-                           starts, starts[stop])
         y2n, z2n, ypre2 = lkatyusha_coeff_multistep(
             rows, b8, canch, starts, stop, wa[None, :], y2, z2, av2,
             scalars, B, precision=cfg.fused_precision, rs8=rs8,

@@ -250,21 +250,10 @@ class SARAH:
             raise ValueError("SARAH: m must be >= 1")
         if self.block_sampling and N % self.batch != 0:
             raise ValueError("SARAH block_sampling needs N divisible by batch")
-        fused = False
-        if (
-            self.block_sampling
-            and self.batch > 1
-            and x0.dtype == jnp.float32
-        ):
-            from ciao_tpu.ops import svrg_multistep_available
-            from ciao_tpu.prox import NormL1, Zero as _Zero
+        from ciao_tpu.solvers.base import fused_inner_gate
 
-            fused = (
-                svrg_multistep_available(N, x0.size, self.batch, x0.dtype)
-                and hasattr(F, "coeff_rows_data")
-                and getattr(F, "supports_coeff", False)
-                and isinstance(g, (NormL1, _Zero))
-            )
+        fused = fused_inner_gate(self.block_sampling, self.batch, x0, F,
+                                 g, N)
         cfg = SARAHCfg(N=N, batch=self.batch, m=m, block=self.block_sampling,
                        fused=fused, fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)

@@ -58,16 +58,25 @@ def two_process_run(tmp_path_factory):
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
     }
+    # worker output goes to FILES, not pipes: two mutually-blocking
+    # distributed processes sharing PIPE capture can deadlock when one
+    # fills its 64 KB pipe buffer mid-collective while the parent is
+    # blocked draining the other
+    logs = [open(outdir / f"worker{pid}.log", "wb") for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(pid), "2", str(outdir)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=logs[pid], stderr=subprocess.STDOUT,
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+    for p in procs:
+        p.wait(timeout=600)
+    for f in logs:
+        f.close()
+    for pid, p in enumerate(procs):
+        out = (outdir / f"worker{pid}.log").read_text()
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
     return np.load(outdir / "multihost_out.npz")
 
 

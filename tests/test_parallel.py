@@ -1635,3 +1635,25 @@ def test_dp_proshi_local_round_fused_matches_stepwise(mesh):
     np.testing.assert_allclose(np.asarray(outs[1].av),
                                np.asarray(outs[0].av),
                                rtol=2e-4, atol=1e-3)
+
+
+def test_dp_adaptive_iterator_terminates_on_abort(mesh):
+    """Regression (round-2 review): SolverIterable only pays the
+    per-step status readback when can_abort=True — the DP facade must
+    pass it for adaptive Finito, or the stream yields the frozen
+    aborted state forever."""
+    from ciao_tpu.solvers.base import take
+
+    prob = make_lasso(N=64, n=8, p=3, seed=1)
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A * 1e8), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(64.0),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = DPFinito(mesh=mesh, adaptive=True, sweeping=2, tol_b=1e30)
+    states = list(take(iter(solver.iterator(jnp.zeros(8), F=F, g=g)), 500))
+    # the γ-underflow abort must terminate the stream well before 500
+    assert len(states) < 500
