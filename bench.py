@@ -534,7 +534,8 @@ def bench_secondary():
         return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
 
     mk = 2 * Np // BATCH
-    kcfg = KatyushaCfg(N=Np, batch=BATCH, m=mk, block=True, ns=True)
+    kcfg = KatyushaCfg(N=Np, batch=BATCH, m=mk, block=True, ns=True,
+                       fused=True)
     kkey = jax.random.PRNGKey(0)
     Lm = jnp.max(jnp.asarray(prob.L, jnp.float32))
     stk0 = katyusha_init(

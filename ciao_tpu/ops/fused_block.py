@@ -211,12 +211,16 @@ def saga_block_update(A, b2, s, z2, start, scale2, B: int,
 
 MODE_LSQ = 0       # c = scale·(a_i·z − b_i)        (least-squares rows)
 MODE_LOGISTIC = 1  # c = −y_i·σ(−y_i·a_i·z)          (logistic rows)
+MODE_HUBER = 2     # c = scale·clip(a_i·z − b_i, ±δ) (Huber rows; aux = δ)
 
 
-def _coeff_formula(mode, r, b_t, scale):
+def _coeff_formula(mode, r, b_t, scale, aux=0.0):
     c_lsq = scale * (r - b_t)
     c_log = -b_t * jax.nn.sigmoid(-b_t * r)
-    return jnp.where(mode == MODE_LSQ, c_lsq, c_log)
+    # Huber: clip(scale·(r−b), ±scale·δ) ≡ scale·clip(r−b, ±δ)
+    c_hub = jnp.clip(c_lsq, -scale * aux, scale * aux)
+    return jnp.where(mode == MODE_LSQ, c_lsq,
+                     jnp.where(mode == MODE_LOGISTIC, c_log, c_hub))
 
 
 SLAB_ROWS = 8  # coefficient slab layout: (8, N/8), c_i at (i·8//N, i mod N/8)
@@ -281,6 +285,7 @@ def _saga_coeff_multi_kernel(prec, quant, weighted, starts_ref, *rest):
     invN = sc_ref[0, 4]
     sag = sc_ref[0, 5]
     mode = sc_ref[0, 6]
+    aux = sc_ref[0, 7]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
     ncols = c_vm.shape[1]    # N / 8
 
@@ -308,7 +313,7 @@ def _saga_coeff_multi_kernel(prec, quant, weighted, starts_ref, *rest):
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]             # (1, TILE) dequant
         r = r * rs_t
-    c_new = _coeff_formula(mode, r, b_t, scale)
+    c_new = _coeff_formula(mode, r, b_t, scale, aux)
     # the coefficient slab stays in VMEM for the whole launch — block
     # revisits within a launch are hazard-free (no in/out DMA race)
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]   # (1, TILE)
@@ -352,7 +357,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
     """K = len(starts) coefficient-mode SAGA/SAG block steps in ONE
     kernel launch. ``b8``/``c8`` are the offsets/coefficients in the
     (8, N/8) row-major slab layout; ``z2``/``av2`` are (1, n);
-    ``scalars`` is the (1, 7) row [scale, γ, γλ, 1/B, 1/N, sag, mode].
+    ``scalars`` is the (1, 8) row [scale, γ, γλ, 1/B, 1/N, sag, mode, aux].
     Returns (c8, z2, av2) updated. The L1 prox (soft-threshold; γλ=0 for
     g=Zero) runs in-kernel at each block boundary. For int8-stored rows
     pass the per-row dequant scales as ``rs8`` in the same slab layout
@@ -388,7 +393,7 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
             _bcast_spec((SLAB_ROWS, ncols)),          # c slab (whole)
             _bcast_spec((1, n)),                      # z in
             _bcast_spec((1, n)),                      # av in
-            pl.BlockSpec((1, 7), lambda k, t, st, *p: (0, 0),
+            pl.BlockSpec((1, 8), lambda k, t, st, *p: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -468,6 +473,7 @@ def _svrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
     invB = sc_ref[0, 3]
     mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -489,7 +495,7 @@ def _svrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]           # (1, TILE) dequant
         r = r * rs_t
-    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_live = _coeff_formula(mode, r, b_t, scale, aux)
     c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
     dc = c_anch - c_live
     if quant:
@@ -525,6 +531,7 @@ def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     T = pl.num_programs(0)
     scale = sc_ref[0, 0]
     mode = sc_ref[0, 1]
+    aux = sc_ref[0, 2]       # oracle formula parameter (Huber δ)
 
     @pl.when(i == 0)
     def _():
@@ -536,7 +543,7 @@ def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     )  # (1, TILE)
     if quant:
         r = r * rs_ref[...]
-    c = _coeff_formula(mode, r, b_ref[...], scale)
+    c = _coeff_formula(mode, r, b_ref[...], scale, aux)
     c_ref[...] = c
     cw = c * rs_ref[...] if quant else c
     acc_vm[...] += _stream_dot(
@@ -575,7 +582,7 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int,
             pl.BlockSpec((1, tile), lambda i: (0, i)),   # b tile
             *rs_specs,                                   # dequant scales
             pl.BlockSpec((1, n), lambda i: (0, 0)),      # z
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -601,7 +608,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
     """K = len(starts) SVRG inner block steps in one kernel launch.
     ``b8``/``canch8`` are the offsets/anchor coefficients in the
     (8, N/8) slab layout; ``w2``/``zs2``/``av2`` are (1, n); ``scalars``
-    the (1, 5) row [scale, γ, γλ, 1/B, mode]. Returns (w2, zs2) after
+    the (1, 6) row [scale, γ, γλ, 1/B, mode, aux]. Returns (w2, zs2) after
     the K prox steps (L1 soft-threshold in-kernel; γλ=0 for g=Zero).
     ``rs8``: per-row dequant scales (slab layout), required iff the
     rows are int8-stored."""
@@ -633,7 +640,7 @@ def svrg_coeff_multistep(A, b8, canch8, starts, w2, zs2, av2, scalars,
             _bcast_spec((1, n)),                        # w in
             _bcast_spec((1, n)),                        # zsum in
             _bcast_spec((1, n)),                        # av (read-only)
-            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -747,6 +754,7 @@ def _lfinito_sweep_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     thr = sc_ref[0, 2]       # hat_γ·λ (0 disables the prox: g = Zero)
     invN = sc_ref[0, 3]
     mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -772,7 +780,7 @@ def _lfinito_sweep_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]
         r = r * rs_t
-    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_live = _coeff_formula(mode, r, b_t, scale, aux)
     c_anch = canch_ref[pl.ds(row, 1), :]
     dc = c_anch - c_live
     if quant:
@@ -807,7 +815,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
     Σ 1/γ_i of the k'th VISITED block (i.e. already permuted into visit
     order, so the kernel never needs the global (d,) table and the
     driver can chunk an epoch into several launches); ``scalars`` the
-    (1, 5) row [scale, hat_γ, hat_γ·λ, 1/N, mode]. Returns (av2, z2) —
+    (1, 6) row [scale, hat_γ, hat_γ·λ, 1/N, mode, aux]. Returns (av2, z2) —
     z is the last block's prox point (no z input: each block recomputes
     z = prox(av) before use). ``rs8``: per-row dequant scales (slab
     layout), required iff the rows are int8-stored."""
@@ -840,7 +848,7 @@ def lfinito_sweep_multistep(A, b8, canch8, starts, av2, zf2, invg2,
             _bcast_spec((1, n)),                        # av in
             pl.BlockSpec((1, K), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),      # invg (visit order)
-            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -910,7 +918,8 @@ def _finito_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref,
     hat = sc_ref[0, 2]      # hat_γ
     thr = sc_ref[0, 3]      # hat_γ·λ (0 for g = Zero)
     mode = sc_ref[0, 4]
-    B = sc_ref[0, 5]        # block size as f32-safe int in SMEM row
+    aux = sc_ref[0, 5]      # oracle formula parameter (Huber δ)
+    # (slot 5 was a dead block-size placeholder — never read)
     TILE = A_ref.shape[0]
     ncols = c_vm.shape[1]
 
@@ -936,7 +945,7 @@ def _finito_coeff_multi_kernel(prec, quant, starts_ref, A_ref, b_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]
         r = r * rs_t
-    c_new = _coeff_formula(mode, r, b_t, scale)
+    c_new = _coeff_formula(mode, r, b_t, scale, aux)
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
     dc = c_new - c_old
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
@@ -976,7 +985,7 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
     """K = len(starts) coefficient-mode Finito-basic block steps in one
     launch. ``c8``/``b8`` use the (8, N/8) slab layout; ``zb`` is the
     (d, n) per-block anchor table; ``invg2`` the (1, d) per-block
-    Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, B].
+    Σ 1/γ_i; ``scalars`` = [scale, 1/N, hat_γ, hat_γλ, mode, aux].
     ``rs8``: per-row dequant scales (slab layout), required iff the
     rows are int8-stored. ``interpret`` runs the GENERIC Pallas
     interpreter — the CPU-CI path for use under shard_map, where TPU
@@ -1054,12 +1063,16 @@ def finito_coeff_multistep(A, b8, starts, c8, zb, invg2, z2, av2, scalars,
 # ---------------------------------------------------------------------------
 
 def oracle_scalar_consts(F, g):
-    """(scale, mode, lam) — the oracle/prox constants every coefficient
-    kernel's SMEM scalar row starts and ends with."""
+    """(scale, mode, lam, aux) — the oracle/prox constants every
+    coefficient kernel's SMEM scalar row carries. ``aux`` is the
+    oracle's extra formula parameter (Huber δ; 0 for LSQ/logistic) —
+    the LAST slot of every scalars row so the per-kernel slot layouts
+    stay fixed."""
     scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
     mode = jnp.asarray(float(F.coeff_mode), jnp.float32)
     lam = getattr(g, "lam", 0.0)
-    return scale, mode, lam
+    aux = jnp.asarray(getattr(F, "delta", 0.0), jnp.float32)
+    return scale, mode, lam, aux
 
 
 def lfinito_sweep_chunked(A, b8, c8, starts, invg_v, av2, zf2, scalars,
@@ -1175,6 +1188,7 @@ def _katyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref,
     mode = sc_ref[0, 6]
     tau1 = sc_ref[0, 7]
     tau2 = sc_ref[0, 8]
+    aux = sc_ref[0, 9]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1199,7 +1213,7 @@ def _katyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]           # (1, TILE) dequant
         r = r * rs_t
-    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_live = _coeff_formula(mode, r, b_t, scale, aux)
     c_anch = canch_ref[pl.ds(row, 1), :]          # (1, TILE)
     dc = c_live - c_anch                          # ∇f_i(x) − ∇f_i(x̃)
     if quant:
@@ -1234,7 +1248,7 @@ def katyusha_coeff_multistep(A, b8, canch8, starts, xt2, y2, z2, ys2,
                              precision: str = "highest", rs8=None,
                              interpret: bool = False):
     """K = len(starts) Katyusha inner block steps in one launch.
-    ``scalars`` is the (1, 9) row [scale, α, β, αλ, βλ, 1/B, mode, τ₁,
+    ``scalars`` is the (1, 10) row [scale, α, β, αλ, βλ, 1/B, mode, τ₁, aux-last,
     τ₂]; ``xt2`` the (1, n) anchor point x̃; ``canch8`` its coefficient
     slab. Returns (y2, z2, ys2) after K momentum-coupled prox steps."""
     N, n = A.shape
@@ -1267,7 +1281,7 @@ def katyusha_coeff_multistep(A, b8, canch8, starts, xt2, y2, z2, ys2,
             _bcast_spec((1, n)),                        # z in
             _bcast_spec((1, n)),                        # ysum in
             _bcast_spec((1, n)),                        # av (read-only)
-            pl.BlockSpec((1, 9), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 10), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1346,6 +1360,7 @@ def _sarah_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     eta = sc_ref[0, 3]
     invB = sc_ref[0, 4]
     mode = sc_ref[0, 5]
+    aux = sc_ref[0, 6]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1367,7 +1382,7 @@ def _sarah_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]
         r2 = r2 * rs_t
-    c2 = _coeff_formula(mode, r2, b_t, scale)     # (2, TILE)
+    c2 = _coeff_formula(mode, r2, b_t, scale, aux)  # (2, TILE)
     dc = c2[1:2, :] - c2[0:1, :]                  # ∇f_i(w) − ∇f_i(w_prev)
     if quant:
         dc = dc * rs_t
@@ -1401,7 +1416,7 @@ def sarah_multistep(A, b8, starts, ww2, v2, scalars, B: int,
     """K = len(starts) SARAH recursive block steps in one launch.
     ``ww2`` is the stacked (2, n) [w_prev; w] pair; ``v2`` the (1, n)
     recursive estimator; ``scalars`` the (1, 6) row
-    [scale, γ, γλ, η, 1/B, mode]. Returns (ww2, v2)."""
+    [scale, γ, γλ, η, 1/B, mode, aux]. Returns (ww2, v2)."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
@@ -1428,7 +1443,7 @@ def sarah_multistep(A, b8, starts, ww2, v2, scalars, B: int,
             *rs_specs,                                  # dequant scales
             _bcast_spec((2, n)),                        # [w_prev; w] in
             _bcast_spec((1, n)),                        # v in
-            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 7), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1656,6 +1671,7 @@ def _lsvrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
     thr = sc_ref[0, 2]       # γ·λ (0 disables the prox: g = Zero)
     invB = sc_ref[0, 3]
     mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1677,7 +1693,7 @@ def _lsvrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]
         r = r * rs_t
-    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_live = _coeff_formula(mode, r, b_t, scale, aux)
     c_anch = canch_ref[pl.ds(row, 1), :]
     dc = c_anch - c_live                     # ∇f_i(z) − ∇f_i(w)
     if quant:
@@ -1707,7 +1723,7 @@ def lsvrg_coeff_multistep(A, b8, canch8, starts, stop, w2, av2, scalars,
                           interpret: bool = False):
     """``stop + 1`` L-SVRG block steps in one launch (the (K,) schedule
     ``starts`` must be clamped past ``stop`` by the caller). ``scalars``
-    is the (1, 5) row [scale, γ, γλ, 1/B, mode]. Returns
+    is the (1, 6) row [scale, γ, γλ, 1/B, mode, aux]. Returns
     ``(w2, wpre2)`` — the post-launch iterate and the last processed
     step's PRE-update iterate (the anchor-jump target)."""
     N, n = A.shape
@@ -1738,7 +1754,7 @@ def lsvrg_coeff_multistep(A, b8, canch8, starts, stop, w2, av2, scalars,
             pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # anchor coeffs
             _bcast_spec((1, n)),                        # w in
             _bcast_spec((1, n)),                        # av (read-only)
-            pl.BlockSpec((1, 5), lambda k, t, st, sp: (0, 0),
+            pl.BlockSpec((1, 6), lambda k, t, st, sp: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1793,6 +1809,7 @@ def _lkatyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
     th2 = sc_ref[0, 6]
     invB = sc_ref[0, 7]
     mode = sc_ref[0, 8]
+    aux = sc_ref[0, 9]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1817,7 +1834,7 @@ def _lkatyusha_coeff_multi_kernel(ncols, prec, quant, starts_ref, stop_ref,
     if quant:
         rs_t = rs_ref[pl.ds(row, 1), :]
         r = r * rs_t
-    c_live = _coeff_formula(mode, r, b_t, scale)
+    c_live = _coeff_formula(mode, r, b_t, scale, aux)
     c_anch = canch_ref[pl.ds(row, 1), :]
     dc = c_live - c_anch                     # ∇f_i(x) − ∇f_i(w)
     if quant:
@@ -1851,7 +1868,7 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
                               interpret: bool = False):
     """``stop + 1`` L-Katyusha block steps in one launch. ``wa2`` is the
     (1, n) anchor point w; ``scalars`` the (1, 9) row
-    [scale, η/L, τλ, 1/(1+ησ̂), ησ̂, θ₁, θ₂, 1/B, mode]. Returns
+    [scale, η/L, τλ, 1/(1+ησ̂), ησ̂, θ₁, θ₂, 1/B, mode, aux]. Returns
     ``(y2, z2, ypre2)``."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
@@ -1883,7 +1900,7 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
             _bcast_spec((1, n)),                        # y in
             _bcast_spec((1, n)),                        # z in
             _bcast_spec((1, n)),                        # av (read-only)
-            pl.BlockSpec((1, 9), lambda k, t, st, sp: (0, 0),
+            pl.BlockSpec((1, 10), lambda k, t, st, sp: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1977,6 +1994,7 @@ def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
     glo = sc_ref[0, 4]
     ghi = sc_ref[0, 5]
     gmode = sc_ref[0, 6]
+    aux = sc_ref[0, 7]       # oracle formula parameter (Huber δ)
 
     @pl.when((k == 0) & (t == 0))
     def _():
@@ -1996,7 +2014,7 @@ def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
     if quant:
         rs_t = rs_ref[:]                              # (TILE, 1)
         m = m * rs_t
-    c = _coeff_formula(mode, m, b_t, scale)           # (TILE, 1)
+    c = _coeff_formula(mode, m, b_t, scale, aux)      # (TILE, 1)
     w = (gi * invN) * c
     if quant:
         w = w * rs_t
@@ -2031,7 +2049,7 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
     blocks (caller's contract — see the hazard note above). ``b2``/
     ``g2`` are the (N, 1) offset/γ columns; ``s`` the donated (N, n)
     block table; ``scalars`` the (1, 7) row
-    [scale, 1/N, 1/hat_γ, mode, glo, ghi, gmode]. Returns
+    [scale, 1/N, 1/hat_γ, mode, glo, ghi, gmode, aux]. Returns
     ``(s, av2, z2)``."""
     N, n = s.shape
     quant = A.dtype == jnp.int8
@@ -2056,7 +2074,7 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
             pl.BlockSpec((TILE, n), row_idx),           # s rows (in)
             _bcast_spec((1, n)),                        # av in
             _bcast_spec((1, n)),                        # z in
-            pl.BlockSpec((1, 7), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 8), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[

@@ -148,13 +148,20 @@ class HuberRows(SmoothOracle):
 
     # ---- coefficient (rank-1) structure -------------------------------
     # ∇f_i = c_i·a_i with c_i = scale·clip(a_i·x − b_i, ±δ): the (N,)
-    # coefficients exactly compress the gradient table. The clip is not
-    # an in-kernel MODE_* formula, so no coeff_rows_data — fused gates
-    # stay off and the XLA coefficient paths serve (docstring).
+    # coefficients exactly compress the gradient table. The clip is the
+    # in-kernel MODE_HUBER formula as of round 2 (δ rides the kernels'
+    # trailing ``aux`` scalar slot), so HuberRows serves every fused
+    # path LeastSquaresRows does.
 
     supports_coeff: bool = dataclasses.field(
         default=True, metadata={"static": True}
     )
+    coeff_mode = 2  # ops.fused_block.MODE_HUBER
+
+    def coeff_rows_data(self):
+        """(rows, offsets) consumed by the fused multi-step kernels
+        (δ ships separately as the ``aux`` scalar)."""
+        return self.A, self.b
 
     def coeff_rows_scale(self):
         return self.row_scale

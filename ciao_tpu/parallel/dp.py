@@ -403,7 +403,7 @@ def _finito_coeff_local_round(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
                 jnp.asarray(hat, jnp.float32),
                 jnp.asarray(hat * lam, jnp.float32),
                 jnp.asarray(float(F.coeff_mode), jnp.float32),
-                jnp.zeros((), jnp.float32),
+                jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
             ]
         )[None, :]
         c8, zb, z2, av2 = finito_coeff_multistep(
@@ -748,7 +748,7 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
         )
 
         rows, offs = F.coeff_rows_data()
-        scale, mode, lam = oracle_scalar_consts(F, g)
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         # CPU CI: the generic Pallas interpreter — TPU interpret mode
         # deadlocks under shard_map (fused_block docstring)
         interp = jax.default_backend() != "tpu"
@@ -758,7 +758,7 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
         tile = _pick_tile(B, n_loc, z_full.size, esize=rows.dtype.itemsize)
         c1, gsum = coeff_apply_all(
             rows, offs[None, :], z_full[None, :],
-            jnp.stack([scale, mode])[None, :], tile,
+            jnp.stack([scale, mode, aux])[None, :], tile,
             rs1=rows_scale_row(F), interpret=interp,
         )
         av0 = z_full - (hat / N) * _psum(gsum[0])
@@ -772,6 +772,7 @@ def _lfinito_local_epoch(F, g, cfg: DPCfg, state: DPLFinitoState):
                 jnp.asarray(hat * lam, jnp.float32),
                 jnp.asarray(1.0 / N, jnp.float32),
                 mode,
+                aux,
             ]
         )[None, :]
         av2, _ = lfinito_sweep_chunked(
@@ -939,6 +940,7 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
                 jnp.asarray(1.0 / N, jnp.float32),
                 jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
                 jnp.asarray(float(F.coeff_mode), jnp.float32),
+                jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
             ]
         )[None, :]
         starts = _local_round_starts(
@@ -1094,7 +1096,7 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
 
         m = cfg.m_inner
         rows, offs = F.coeff_rows_data()
-        scale, mode, lam = oracle_scalar_consts(F, g)
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         # CPU CI: the generic Pallas interpreter — TPU interpret mode
         # deadlocks under shard_map (fused_block docstring)
         interp = jax.default_backend() != "tpu"
@@ -1105,6 +1107,7 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
                 jnp.asarray(gamma * lam, jnp.float32),
                 jnp.asarray(1.0 / B, jnp.float32),
                 mode,
+                aux,
             ]
         )[None, :]
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
@@ -1137,7 +1140,7 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
                           esize=rows.dtype.itemsize)
         c1, gsum = coeff_apply_all(
             rows, offs[None, :], z_full[None, :],
-            jnp.stack([scale, mode])[None, :], tile,
+            jnp.stack([scale, mode, aux])[None, :], tile,
             rs1=rows_scale_row(F), interpret=interp,
         )
         canch = c1.reshape(cfg.n_loc)
@@ -1263,12 +1266,12 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
         )
 
         rows, offs = F.coeff_rows_data()
-        scale, mode, lam = oracle_scalar_consts(F, g)
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         interp = jax.default_backend() != "tpu"
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         scalars = jnp.stack([
             scale, f32(alpha), f32(beta), f32(alpha * lam),
-            f32(beta * lam), f32(1.0 / B), mode, f32(tau1), f32(tau2),
+            f32(beta * lam), f32(1.0 / B), mode, f32(tau1), f32(tau2), aux,
         ])[None, :]
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
         y2, z2, ys2, done = katyusha_inner_chunked(
@@ -1301,7 +1304,7 @@ def _katyusha_step_local(F, g, cfg: DPCfg, state: DPKatyushaState):
                           esize=rows.dtype.itemsize)
         c1, gsum = coeff_apply_all(
             rows, offs[None, :], x_tilde[None, :],
-            jnp.stack([scale, mode])[None, :], tile,
+            jnp.stack([scale, mode, aux])[None, :], tile,
             rs1=rows_scale_row(F), interpret=interp,
         )
         canch = c1.reshape(cfg.n_loc)
@@ -1596,13 +1599,13 @@ def _sarah_step_local(F, g, cfg: DPCfg, state: DPSARAHState):
         )
 
         rows, offs = F.coeff_rows_data()
-        scale, mode, lam = oracle_scalar_consts(F, g)
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         interp = jax.default_backend() != "tpu"
         tile = _pick_tile(B, cfg.n_loc, state.x_tilde.size,
                           esize=rows.dtype.itemsize)
         _, gsum = coeff_apply_all(
             rows, offs[None, :], state.x_tilde[None, :],
-            jnp.stack([scale, mode])[None, :], tile,
+            jnp.stack([scale, mode, aux])[None, :], tile,
             rs1=rows_scale_row(F), interpret=interp,
         )
         v0 = _psum(gsum[0]) / N
@@ -1643,7 +1646,7 @@ def _sarah_step_local(F, g, cfg: DPCfg, state: DPSARAHState):
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         scalars = jnp.stack([
             scale, f32(gamma), f32(gamma * lam), f32(eta), f32(1.0 / B),
-            mode,
+            mode, aux,
         ])[None, :]
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
         ww2, v2, done = sarah_inner_chunked(
@@ -1741,12 +1744,12 @@ def _proshi_local_round(F, g, cfg: DPCfg, state: DPProshiState):
 
         from ciao_tpu.ops.fused_block import oracle_scalar_consts
 
-        scale, mode, _ = oracle_scalar_consts(F, g)
+        scale, mode, _, aux = oracle_scalar_consts(F, g)
         glo, ghi, gmode = _proshi_gprox_consts(g, state.hat_gamma)
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         scalars = jnp.stack([
             scale, f32(1.0 / N), f32(1.0 / state.hat_gamma), mode,
-            glo, ghi, gmode,
+            glo, ghi, gmode, aux,
         ])[None, :]
         b2 = F.b[:, None]
         g2 = state.gamma[:, None]

@@ -81,12 +81,12 @@ def _fb_step(F, g, cfg: FBCfg, state: FBState) -> FBState:
         )
 
         rows, offs = F.coeff_rows_data()
-        scale, mode, _ = oracle_scalar_consts(F, g)
+        scale, mode, _, aux = oracle_scalar_consts(F, g)
         tile = _pick_tile(cfg.N, cfg.N, state.y.size,
                           esize=rows.dtype.itemsize)
         _, gsum = coeff_apply_all(
             rows, offs[None, :], state.y[None, :],
-            jnp.stack([scale, mode])[None, :], tile,
+            jnp.stack([scale, mode, aux])[None, :], tile,
             precision=cfg.fused_precision, rs1=rows_scale_row(F),
         )
         grad = gsum[0] / cfg.N

@@ -371,13 +371,13 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
     d = num_blocks(N, B)
     hat = state.hat_gamma
     rows, offs = F.coeff_rows_data()
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
 
     z_full = g.prox_only(state.av, hat)
     tile = _pick_tile(B, N, z_full.size, esize=rows.dtype.itemsize)
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], z_full[None, :],
-        jnp.stack([scale, mode])[None, :], tile,
+        jnp.stack([scale, mode, aux])[None, :], tile,
         precision=cfg.fused_precision,
         rs1=rows_scale_row(F),
     )
@@ -406,6 +406,7 @@ def _lfinito_step_fused(F, g, cfg: FinitoCfg, state: LFinitoState):
             jnp.asarray(hat * lam, jnp.float32),
             jnp.asarray(1.0 / N, jnp.float32),
             mode,
+            aux,
         ]
     )[None, :]
     zf2 = z_full[None, :]
@@ -624,7 +625,7 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
             jnp.asarray(hat, jnp.float32),
             jnp.asarray(hat * lam, jnp.float32),
             jnp.asarray(float(F.coeff_mode), jnp.float32),
-            jnp.zeros((), jnp.float32),
+            jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
         ]
     )[None, :]
     invg2 = state.invg[None, :].astype(jnp.float32)

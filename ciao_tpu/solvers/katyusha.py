@@ -162,11 +162,11 @@ def _katyusha_step_fused(F, g, cfg: KatyushaCfg, state: KatyushaState,
     B, m = cfg.batch, cfg.m
     rows, offs = F.coeff_rows_data()
     av, xt = state.av, state.x_tilde
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     scalars = jnp.stack([
         scale, f32(alpha), f32(beta), f32(alpha * lam), f32(beta * lam),
-        f32(1.0 / B), mode, f32(tau1), f32(tau2),
+        f32(1.0 / B), mode, f32(tau1), f32(tau2), aux,
     ])[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     y2, z2, ys2, done = katyusha_inner_chunked(
@@ -186,7 +186,7 @@ def _katyusha_step_fused(F, g, cfg: KatyushaCfg, state: KatyushaState,
     tile = _pick_tile(B, cfg.N, x_tilde.size, esize=rows.dtype.itemsize)
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], x_tilde[None, :],
-        jnp.stack([scale, mode])[None, :], tile,
+        jnp.stack([scale, mode, aux])[None, :], tile,
         precision=cfg.fused_precision, rs1=rows_scale_row(F),
     )
     return state._replace(

@@ -207,12 +207,12 @@ def _lsvrg_run_fused(F, g, state, cfg: LSVRGCfg, steps: int):
 
     B, N, K = cfg.batch, cfg.N, _LOOPLESS_LAUNCH
     rows, offs = F.coeff_rows_data()
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     gamma = state.gamma
     scalars = jnp.stack([
         scale, jnp.asarray(gamma, jnp.float32),
         jnp.asarray(gamma * lam, jnp.float32),
-        jnp.asarray(1.0 / B, jnp.float32), mode,
+        jnp.asarray(1.0 / B, jnp.float32), mode, aux,
     ])[None, :]
     slab = (SLAB_ROWS, N // SLAB_ROWS)
     b8 = offs.reshape(slab)
@@ -223,7 +223,7 @@ def _lsvrg_run_fused(F, g, state, cfg: LSVRGCfg, steps: int):
 
     def refresh(wpre2):
         c1, gsum = coeff_apply_all(
-            rows, offs[None, :], wpre2, jnp.stack([scale, mode])[None, :],
+            rows, offs[None, :], wpre2, jnp.stack([scale, mode, aux])[None, :],
             tile, precision=cfg.fused_precision, rs1=rs1,
         )
         return c1.reshape(slab), gsum[0] / N
@@ -496,7 +496,7 @@ def _lkatyusha_run_fused(F, g, state, cfg: LKatyushaCfg, steps: int):
 
     B, N, K = cfg.batch, cfg.N, _LOOPLESS_LAUNCH
     rows, offs = F.coeff_rows_data()
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     th1, th2, sig = state.theta1, state.theta2, state.sigma
     eta = th2 / ((1.0 + th2) * th1)
     step = eta / state.Lmax
@@ -505,7 +505,7 @@ def _lkatyusha_run_fused(F, g, state, cfg: LKatyushaCfg, steps: int):
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     scalars = jnp.stack([
         scale, f32(step), f32(tau * lam), f32(1.0 / denom),
-        f32(eta * sig), f32(th1), f32(th2), f32(1.0 / B), mode,
+        f32(eta * sig), f32(th1), f32(th2), f32(1.0 / B), mode, aux,
     ])[None, :]
     slab = (SLAB_ROWS, N // SLAB_ROWS)
     b8 = offs.reshape(slab)
@@ -516,7 +516,7 @@ def _lkatyusha_run_fused(F, g, state, cfg: LKatyushaCfg, steps: int):
 
     def refresh(ypre2):
         c1, gsum = coeff_apply_all(
-            rows, offs[None, :], ypre2, jnp.stack([scale, mode])[None, :],
+            rows, offs[None, :], ypre2, jnp.stack([scale, mode, aux])[None, :],
             tile, precision=cfg.fused_precision, rs1=rs1,
         )
         return c1.reshape(slab), gsum[0] / N

@@ -150,12 +150,12 @@ def _proshi_run_fused(F, g, state, cfg: ProshiCfg, steps: int):
     K = min(64, d)
     Lq = steps // K
     rem = steps - Lq * K
-    scale, mode, _ = oracle_scalar_consts(F, g)
+    scale, mode, _, aux = oracle_scalar_consts(F, g)
     glo, ghi, gmode = _proshi_gprox_consts(g, state.hat_gamma)
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     scalars = jnp.stack([
         scale, f32(1.0 / N), f32(1.0 / state.hat_gamma), mode,
-        glo, ghi, gmode,
+        glo, ghi, gmode, aux,
     ])[None, :]
     b2 = F.b[:, None]
     g2 = state.gamma[:, None]

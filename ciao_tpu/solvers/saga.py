@@ -305,6 +305,7 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
             jnp.asarray(1.0 / cfg.N, jnp.float32),
             jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
             jnp.asarray(float(F.coeff_mode), jnp.float32),
+            jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
         ]
     )[None, :]
 

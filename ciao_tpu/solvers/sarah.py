@@ -135,12 +135,12 @@ def _sarah_step_fused(F, g, cfg: SARAHCfg, state: SARAHState,
     B, m = cfg.batch, cfg.m
     gamma, eta = state.gamma, state.eta
     rows, offs = F.coeff_rows_data()
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     tile = _pick_tile(B, cfg.N, state.x_tilde.size,
                       esize=rows.dtype.itemsize)
     _, gsum = coeff_apply_all(
         rows, offs[None, :], state.x_tilde[None, :],
-        jnp.stack([scale, mode])[None, :], tile,
+        jnp.stack([scale, mode, aux])[None, :], tile,
         precision=cfg.fused_precision, rs1=rows_scale_row(F),
     )
     v0 = gsum[0] / cfg.N
@@ -149,6 +149,7 @@ def _sarah_step_fused(F, g, cfg: SARAHCfg, state: SARAHState,
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     scalars = jnp.stack([
         scale, f32(gamma), f32(gamma * lam), f32(eta), f32(1.0 / B), mode,
+        aux,
     ])[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     ww2, v2, done = sarah_inner_chunked(

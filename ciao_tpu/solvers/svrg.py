@@ -130,7 +130,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     B, m = cfg.batch, cfg.m_fused
     rows, offs = F.coeff_rows_data()
     gamma, av = state.gamma, state.av
-    scale, mode, lam = oracle_scalar_consts(F, g)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     scalars = jnp.stack(
         [
             scale,
@@ -138,6 +138,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
             jnp.asarray(gamma * lam, jnp.float32),
             jnp.asarray(1.0 / B, jnp.float32),
             mode,
+            aux,
         ]
     )[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
@@ -160,7 +161,7 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     tile = _pick_tile(B, cfg.N, z_full.size, esize=rows.dtype.itemsize)
     c1, gsum = coeff_apply_all(
         rows, offs[None, :], z_full[None, :],
-        jnp.stack([scale, mode])[None, :], tile,
+        jnp.stack([scale, mode, aux])[None, :], tile,
         precision=cfg.fused_precision,
         rs1=rows_scale_row(F),
     )

@@ -857,3 +857,70 @@ def test_beyond_reference_fused_logistic_mode():
             lcfg._replace(fused=True), 40)
     np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_s.w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_huber_fused_mode_matches_stepwise():
+    """MODE_HUBER through the fused kernels (round 2: δ rides the
+    trailing ``aux`` scalar slot): HuberRows now serves the same fused
+    paths as LeastSquaresRows, and the trajectories must equal the
+    stepwise XLA coefficient paths — pinned here through SAGA (VMEM
+    slab), SVRG (streamed anchor + inner loop), and ProShI (streamed
+    table, robust sharing blocks)."""
+    from ciao_tpu.oracles import HuberRows
+    from ciao_tpu.prox import IndBox, Zero as _Zero
+    from ciao_tpu.solvers.proshi import ProshiCfg, proshi_init, proshi_run
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = HuberRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        delta=jnp.asarray(0.02, jnp.float32),   # bites: residuals clip
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    assert F.coeff_mode == 2
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st_s = saga_run(F, g, saga_init(F, g, x0v, gamma, key, cfg), cfg, 64)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = saga_run(F, g, saga_init(F, g, x0v, gamma, key,
+                                        cfg._replace(fused=True)),
+                        cfg._replace(fused=True), 64)
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_s.z),
+                               rtol=1e-4, atol=1e-6)
+    # the clip must actually be active, else this tests nothing beyond LSQ
+    c = np.asarray(F.coeff_all(st_s.z))
+    assert np.any(np.isclose(np.abs(c), float(Np) * 0.02, rtol=1e-5))
+
+    scfg = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
+    gam_s = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    st_s = svrg_run(F, g, svrg_init(F, g, x0v, gam_s, 24, key, scfg),
+                    scfg, 3)
+    scfg_f = scfg._replace(fused=True, m_fused=24)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = svrg_run(F, g, svrg_init(F, g, x0v, gam_s, 24, key, scfg_f),
+                        scfg_f, 3)
+    np.testing.assert_allclose(np.asarray(st_f.z_full),
+                               np.asarray(st_s.z_full),
+                               rtol=1e-4, atol=1e-6)
+
+    gamma_p = jnp.asarray(0.999 * Np / np.asarray(prob.L, np.float32),
+                          jnp.float32)
+    pcfg = ProshiCfg(N=Np, batch=Bp, sweeping=2, alpha=0.999)
+    gp = IndBox(lo=-jnp.inf, hi=jnp.asarray(0.5, jnp.float32))
+    st_s = proshi_run(F, gp, proshi_init(F, gp, x0v, gamma_p, key, pcfg),
+                      pcfg, 24)
+    pcfg_f = pcfg._replace(fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = proshi_run(F, gp,
+                          proshi_init(F, gp, x0v, gamma_p, key, pcfg_f),
+                          pcfg_f, 24)
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_s.z),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.s), np.asarray(st_s.s),
+                               rtol=1e-4, atol=1e-5)
