@@ -34,7 +34,10 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ciao_tpu.oracles import LeastSquaresRows  # noqa: E402
-from ciao_tpu.parallel import DPSAGA, make_mesh, shard_finite_sum  # noqa: E402
+from ciao_tpu.parallel import (  # noqa: E402
+    DPSAGA, TPSAGA, make_mesh, make_mesh_2d, shard_finite_sum,
+    shard_finite_sum_2d,
+)
 from ciao_tpu.prox import NormL1  # noqa: E402
 from ciao_tpu.utils.problems import make_lasso  # noqa: E402
 
@@ -70,6 +73,20 @@ def main():
         local_steps=8, rebase_every=16, maxit=50,
     )(x0, F=F, g=g, L=prob.L)
     results["local"] = np.asarray(jax.device_get(x))
+
+    # tensor-parallel on a (D/2, 2) GLOBAL mesh: the per-step "model"
+    # margin psum and the "data" innovation psum both cross the process
+    # boundary (coordinates of x owned by different processes)
+    mesh2 = make_mesh_2d(D // 2, 2)
+    F2 = shard_finite_sum_2d(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh2,
+    )
+    x, _ = TPSAGA(mesh=mesh2, batch=D, maxit=400)(x0, F=F2, g=g, L=prob.L)
+    results["tp"] = np.asarray(jax.device_get(x))
 
     if jax.process_index() == 0:
         gap = float(prob.cost(results["lockstep"]) - prob.f_star)

@@ -102,7 +102,18 @@ def _single_process_reference():
         mesh=mesh, batch=D, block_sampling=True,
         local_steps=8, rebase_every=16, maxit=50,
     )(x0, F=F, g=g, L=prob.L)
-    return np.asarray(lock), np.asarray(loc), prob
+    from ciao_tpu.parallel import TPSAGA, make_mesh_2d, shard_finite_sum_2d
+
+    mesh2 = make_mesh_2d(D // 2, 2)
+    F2 = shard_finite_sum_2d(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh2,
+    )
+    tp, _ = TPSAGA(mesh=mesh2, batch=D, maxit=400)(x0, F=F2, g=g, L=prob.L)
+    return np.asarray(lock), np.asarray(loc), np.asarray(tp), prob
 
 
 def test_two_process_matches_single_process(two_process_run):
@@ -114,18 +125,23 @@ def test_two_process_matches_single_process(two_process_run):
     roundoff per psum — pinned here at 1e-12 relative over a 400-step
     f64 run (measured ~3e-14; a schedule or sharding bug shows up at
     O(1))."""
-    lock, loc, prob = _single_process_reference()
+    lock, loc, tp, prob = _single_process_reference()
     np.testing.assert_allclose(
         two_process_run["lockstep"], lock, rtol=1e-12, atol=1e-12
     )
     np.testing.assert_allclose(
         two_process_run["local"], loc, rtol=1e-12, atol=1e-12
     )
+    # TP on a (4, 2) GLOBAL mesh: the "model"-axis margin psum and the
+    # "data"-axis innovation psum both crossed the process boundary
+    np.testing.assert_allclose(
+        two_process_run["tp"], tp, rtol=1e-12, atol=1e-12
+    )
 
 
 def test_two_process_gap_recorded(two_process_run):
     """The cross-process run made real progress (sanity that the psum
     carried actual gradient mass, not zeros)."""
-    _, _, prob = _single_process_reference()
+    _, _, _, prob = _single_process_reference()
     x0_gap = prob.cost(np.zeros(32)) - prob.f_star
     assert 0 < float(two_process_run["gap"]) < 0.5 * x0_gap
