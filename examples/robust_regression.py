@@ -3,7 +3,10 @@
 Both are BEYOND the reference's surface (its oracle set has no robust
 loss; its solver set has no accelerated method) but ride the same
 machinery: rank-1 coefficients, contiguous-block streaming, DP
-sharding. The script corrupts 10% of a planted regression's targets
+sharding — and, on TPU, the fused Pallas path: the Huber clip is the
+in-kernel MODE_HUBER coefficient formula (δ rides the kernels' aux
+scalar), so this solve runs at the least-squares fused rates
+(PERF.md round-2 table). The script corrupts 10% of a planted regression's targets
 with gross outliers, then shows
 
   * plain least squares (the closed form) is dragged off the signal;

@@ -897,6 +897,18 @@ def test_huber_fused_mode_matches_stepwise():
     c = np.asarray(F.coeff_all(st_s.z))
     assert np.any(np.isclose(np.abs(c), float(Np) * 0.02, rtol=1e-5))
 
+    # int8-stored Huber rows: both paths compute on the SAME quantized
+    # operator; δ clips the dequantized margins identically
+    F8 = F.with_storage("int8")
+    st_s8 = saga_run(F8, g, saga_init(F8, g, x0v, gamma, key, cfg),
+                     cfg, 64)
+    with pltpu.force_tpu_interpret_mode():
+        st_f8 = saga_run(F8, g, saga_init(F8, g, x0v, gamma, key,
+                                          cfg._replace(fused=True)),
+                         cfg._replace(fused=True), 64)
+    np.testing.assert_allclose(np.asarray(st_f8.z), np.asarray(st_s8.z),
+                               rtol=1e-4, atol=1e-6)
+
     scfg = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
     gam_s = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
     st_s = svrg_run(F, g, svrg_init(F, g, x0v, gam_s, 24, key, scfg),
