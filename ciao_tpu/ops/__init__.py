@@ -11,6 +11,7 @@ s-tile — one pass at speed-of-light HBM traffic.
 """
 
 from ciao_tpu.ops.fused_block import (
+    MODE_HUBER,
     MODE_LOGISTIC,
     MODE_LSQ,
     coeff_multistep_available,
@@ -29,6 +30,7 @@ from ciao_tpu.ops.fused_block import (
 
 __all__ = [
     "coeff_multistep_available",
+    "MODE_HUBER",
     "MODE_LOGISTIC",
     "MODE_LSQ",
     "finito_block_update",

@@ -1248,8 +1248,8 @@ def katyusha_coeff_multistep(A, b8, canch8, starts, xt2, y2, z2, ys2,
                              precision: str = "highest", rs8=None,
                              interpret: bool = False):
     """K = len(starts) Katyusha inner block steps in one launch.
-    ``scalars`` is the (1, 10) row [scale, α, β, αλ, βλ, 1/B, mode, τ₁, aux-last,
-    τ₂]; ``xt2`` the (1, n) anchor point x̃; ``canch8`` its coefficient
+    ``scalars`` is the (1, 10) row [scale, α, β, αλ, βλ, 1/B, mode, τ₁,
+    τ₂, aux]; ``xt2`` the (1, n) anchor point x̃; ``canch8`` its coefficient
     slab. Returns (y2, z2, ys2) after K momentum-coupled prox steps."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
@@ -1415,7 +1415,7 @@ def sarah_multistep(A, b8, starts, ww2, v2, scalars, B: int,
                     interpret: bool = False):
     """K = len(starts) SARAH recursive block steps in one launch.
     ``ww2`` is the stacked (2, n) [w_prev; w] pair; ``v2`` the (1, n)
-    recursive estimator; ``scalars`` the (1, 6) row
+    recursive estimator; ``scalars`` the (1, 7) row
     [scale, γ, γλ, η, 1/B, mode, aux]. Returns (ww2, v2)."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
@@ -1867,7 +1867,7 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
                               precision: str = "highest", rs8=None,
                               interpret: bool = False):
     """``stop + 1`` L-Katyusha block steps in one launch. ``wa2`` is the
-    (1, n) anchor point w; ``scalars`` the (1, 9) row
+    (1, n) anchor point w; ``scalars`` the (1, 10) row
     [scale, η/L, τλ, 1/(1+ησ̂), ησ̂, θ₁, θ₂, 1/B, mode, aux]. Returns
     ``(y2, z2, ypre2)``."""
     N, n = A.shape
@@ -2048,7 +2048,7 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
     """K = len(starts) ProShI block steps in one launch over K DISTINCT
     blocks (caller's contract — see the hazard note above). ``b2``/
     ``g2`` are the (N, 1) offset/γ columns; ``s`` the donated (N, n)
-    block table; ``scalars`` the (1, 7) row
+    block table; ``scalars`` the (1, 8) row
     [scale, 1/N, 1/hat_γ, mode, glo, ghi, gmode, aux]. Returns
     ``(s, av2, z2)``."""
     N, n = s.shape

@@ -10,11 +10,11 @@ reference's oracle set, same protocol).
 The gradient is RANK-1 with scalar coefficient
 c_i(x) = scale·clip(margin − b_i, ±δ), so the whole coefficient-table
 machinery (``table="auto"`` solvers, TP margin/coeff split, storage
-modes) applies exactly as for :class:`LeastSquaresRows`. The clipped
-coefficient is NOT one of the fused Pallas kernels' in-kernel formulas
-(``ops.fused_block.MODE_*``), so this oracle deliberately does not
-expose ``coeff_rows_data`` — the fused gates then keep the solvers on
-the XLA coefficient paths, which stream the same row blocks.
+modes) applies exactly as for :class:`LeastSquaresRows`. As of round 2
+the clip IS an in-kernel formula (``ops.fused_block.MODE_HUBER``; δ
+rides the trailing ``aux`` scalar slot every coefficient kernel
+carries), so this oracle serves every fused Pallas path least-squares
+rows do — measured at the LSQ fused rates (PERF.md).
 
 Smoothness: ∇f_i is scale·‖a_i‖²-Lipschitz (the clip only flattens it),
 same L as the least-squares row.

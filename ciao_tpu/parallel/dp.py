@@ -395,15 +395,17 @@ def _finito_coeff_local_round(F, g, cfg: DPCfg, state: DPFinitoCoeffState):
 
         rows, offs = F.coeff_rows_data()
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
-        lam = getattr(g, "lam", 0.0)
+        from ciao_tpu.ops.fused_block import oracle_scalar_consts
+
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         scalars = jnp.stack(
             [
-                jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+                scale,
                 jnp.asarray(1.0 / N, jnp.float32),
                 jnp.asarray(hat, jnp.float32),
                 jnp.asarray(hat * lam, jnp.float32),
-                jnp.asarray(float(F.coeff_mode), jnp.float32),
-                jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
+                mode,
+                aux,
             ]
         )[None, :]
         c8, zb, z2, av2 = finito_coeff_multistep(
@@ -931,16 +933,19 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
         rows, offs = F.coeff_rows_data()
         lam = getattr(g, "lam", 0.0)
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        from ciao_tpu.ops.fused_block import oracle_scalar_consts
+
+        scale, mode, _lam2, aux = oracle_scalar_consts(F, g)
         scalars = jnp.stack(
             [
-                jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+                scale,
                 jnp.asarray(state.gamma, jnp.float32),
                 jnp.asarray(state.gamma * lam, jnp.float32),
                 jnp.asarray(1.0 / B, jnp.float32),
                 jnp.asarray(1.0 / N, jnp.float32),
                 jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
-                jnp.asarray(float(F.coeff_mode), jnp.float32),
-                jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
+                mode,
+                aux,
             ]
         )[None, :]
         starts = _local_round_starts(

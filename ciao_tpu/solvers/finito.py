@@ -616,16 +616,18 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     slab = (SLAB_ROWS, N // SLAB_ROWS)
     b8 = offs.reshape(slab)
     rs8 = rows_scale_slab(F)
-    lam = getattr(g, "lam", 0.0)
+    from ciao_tpu.ops.fused_block import oracle_scalar_consts
+
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     hat = state.hat_gamma
     scalars = jnp.stack(
         [
-            jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+            scale,
             jnp.asarray(1.0 / N, jnp.float32),
             jnp.asarray(hat, jnp.float32),
             jnp.asarray(hat * lam, jnp.float32),
-            jnp.asarray(float(F.coeff_mode), jnp.float32),
-            jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
+            mode,
+            aux,
         ]
     )[None, :]
     invg2 = state.invg[None, :].astype(jnp.float32)

@@ -295,17 +295,19 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     L = steps // K
     rem = steps - L * K
     rows, offs = F.coeff_rows_data()
-    lam = getattr(g, "lam", 0.0)
+    from ciao_tpu.ops.fused_block import oracle_scalar_consts
+
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
     scalars = jnp.stack(
         [
-            jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+            scale,
             jnp.asarray(state.gamma, jnp.float32),
             jnp.asarray(state.gamma * lam, jnp.float32),
             jnp.asarray(1.0 / B, jnp.float32),
             jnp.asarray(1.0 / cfg.N, jnp.float32),
             jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
-            jnp.asarray(float(F.coeff_mode), jnp.float32),
-            jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),
+            mode,
+            aux,
         ]
     )[None, :]
 

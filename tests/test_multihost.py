@@ -80,8 +80,13 @@ def two_process_run(tmp_path_factory):
     return np.load(outdir / "multihost_out.npz")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _single_process_reference():
-    """The identical problem/solves on THIS process's 8-device mesh."""
+    """The identical problem/solves on THIS process's 8-device mesh
+    (cached: both tests consume it, and it runs three full solves)."""
     D = 8
     N, n = 16 * D, 32
     prob = make_lasso(N=N, n=n, p=4, seed=0)

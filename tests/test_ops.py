@@ -278,7 +278,7 @@ def test_coeff_apply_all_single_pass_anchor():
     )
     z = jax.random.normal(jax.random.PRNGKey(3), (npix,), jnp.float32)
     tile = _pick_tile(128, Np, npix)
-    scalars = jnp.asarray([[float(Np), 0.0]], jnp.float32)
+    scalars = jnp.asarray([[float(Np), 0.0, 0.0]], jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         c1, gsum = coeff_apply_all(F.A, F.b[None, :], z[None, :], scalars, tile)
     np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(F.coeff_all(z)),
