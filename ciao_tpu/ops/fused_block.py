@@ -1493,11 +1493,13 @@ def sarah_inner_chunked(A, b8, ww2, v2, scalars, B: int, m: int,
 
 def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
                              *refs):
-    """K Point-SAGA block steps per launch (least-squares rows only:
-    the per-row prox has the closed θ-solve of
-    ``LeastSquaresRows._pointprox_core``). The coefficient table lives
-    in VMEM scratch for the whole launch (hazard-free block revisits,
-    like the SAGA slab); row square-norms stream like the offsets."""
+    """K Point-SAGA block steps per launch. The per-row prox θ-solve is
+    the closed least-squares form (``LeastSquaresRows._pointprox_core``)
+    or, for logistic rows, the 20-step elementwise Newton of
+    ``logistic._logistic_pointprox_theta`` — pure (1, TILE) VPU work,
+    free next to the row stream. The coefficient table lives in VMEM
+    scratch for the whole launch (hazard-free block revisits, like the
+    SAGA slab); row square-norms stream like the offsets."""
     if quant:
         (rs_ref, na_ref, c_in_ref, x_in_ref, av_in_ref, sc_ref,
          c_out_ref, x_out_ref, av_out_ref,
@@ -1515,6 +1517,7 @@ def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     gamma = sc_ref[0, 1]
     invB = sc_ref[0, 2]
     invN = sc_ref[0, 3]
+    mode = sc_ref[0, 4]
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1543,7 +1546,24 @@ def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
         r = r * rs_t
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
     mz = r + gamma * c_old * na_t
-    theta = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
+    theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
+
+    # logistic rows: θ = −y·σ(−y·(mz − γ‖a‖²θ)) by Newton from the
+    # warm start θ₀ = c_old (oracles.logistic._logistic_pointprox_theta;
+    # φ' ≥ 1, globally convergent) — unconditional VPU work, selected by
+    # ``mode`` (the kernel is row-stream bound either way)
+    gna2 = gamma * na_t
+    y_t = b_t
+
+    def _newton(_, th):
+        m = mz - gna2 * th
+        s = jax.nn.sigmoid(-y_t * m)
+        phi = th + y_t * s
+        dphi = 1.0 + gna2 * s * (1.0 - s)
+        return th - phi / dphi
+
+    theta_log = jax.lax.fori_loop(0, 20, _newton, c_old)
+    theta = jnp.where(mode == MODE_LSQ, theta_lsq, theta_log)
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = theta
     w = c_old - theta
     if quant:
@@ -1574,8 +1594,10 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
                          interpret: bool = False):
     """K = len(starts) Point-SAGA block steps in one launch. ``na8`` is
     the (8, N/8) slab of dequant-corrected row square-norms ‖a_i‖²
-    (precomputed once at init — one pass); ``scalars`` the (1, 4) row
-    [scale, γ, 1/B, 1/N]. Returns (c8, x2, av2)."""
+    (precomputed once at init — one pass); ``scalars`` the (1, 5) row
+    [scale, γ, 1/B, 1/N, mode] (mode selects the in-kernel θ-solve:
+    MODE_LSQ closed form or MODE_LOGISTIC Newton). Returns
+    (c8, x2, av2)."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
@@ -1604,7 +1626,7 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
             _bcast_spec((SLAB_ROWS, ncols)),            # c slab (whole)
             _bcast_spec((1, n)),                        # x in
             _bcast_spec((1, n)),                        # av in
-            pl.BlockSpec((1, 4), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[

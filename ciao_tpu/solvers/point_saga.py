@@ -152,6 +152,7 @@ def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
         jnp.asarray(state.gamma, jnp.float32),
         jnp.asarray(1.0 / B, jnp.float32),
         jnp.asarray(1.0 / cfg.N, jnp.float32),
+        jnp.asarray(float(F.coeff_mode), jnp.float32),
     ])[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
@@ -272,14 +273,16 @@ class PointSAGA:
             and x0.dtype == jnp.float32
         ):
             from ciao_tpu.ops import coeff_multistep_available
-            from ciao_tpu.ops.fused_block import MODE_LSQ
+            from ciao_tpu.ops.fused_block import MODE_LOGISTIC, MODE_LSQ
 
-            # the in-kernel θ-solve is the least-squares closed form
+            # the in-kernel θ-solve: least-squares closed form, or the
+            # 20-step Newton for logistic rows
             fused = (
                 coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
                 and hasattr(F, "coeff_rows_data")
                 and getattr(F, "supports_coeff", False)
-                and getattr(F, "coeff_mode", None) == MODE_LSQ
+                and getattr(F, "coeff_mode", None) in (MODE_LSQ,
+                                                       MODE_LOGISTIC)
             )
         cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling,
                            fused=fused,

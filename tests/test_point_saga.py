@@ -234,3 +234,45 @@ def test_point_saga_fused_multistep_matches_stepwise():
         np.testing.assert_allclose(np.asarray(st_fused.av),
                                    np.asarray(st_step.av),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_point_saga_fused_logistic_newton_matches_stepwise():
+    """MODE_LOGISTIC through the fused Point-SAGA kernel: the per-row
+    prox θ is the in-kernel 20-step Newton (same iteration as
+    oracles.logistic._logistic_pointprox_theta, warm-started at the
+    table coefficient) and must reproduce the stepwise path."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.oracles import LogisticRows
+    from ciao_tpu.prox import Zero
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+
+    rng = np.random.default_rng(0)
+    Np, npix, Bp = 1024, 128, 128
+    X = rng.standard_normal((Np, npix)).astype(np.float32)
+    y = np.sign(rng.standard_normal(Np)).astype(np.float32)
+    F = LogisticRows(X=jnp.asarray(X), y=jnp.asarray(y))
+    g = Zero()
+    gamma = jnp.asarray(0.5, jnp.float32)   # large prox-point stepsize
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    for steps in (24, 137):
+        cfg_step = PointSAGACfg(N=Np, batch=Bp, block=True)
+        st_s = point_saga_run(
+            F, g, point_saga_init(F, g, x0v, gamma, key, cfg_step),
+            cfg_step, steps,
+        )
+        cfg_f = cfg_step._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_f = point_saga_run(
+                F, g, point_saga_init(F, g, x0v, gamma, key, cfg_f),
+                cfg_f, steps,
+            )
+        np.testing.assert_allclose(np.asarray(st_f.x), np.asarray(st_s.x),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_f.c), np.asarray(st_s.c),
+                                   rtol=1e-4, atol=1e-5)
