@@ -930,12 +930,11 @@ def _saga_local_round(F, g, cfg: DPCfg, state: DPSAGAState):
         from ciao_tpu.ops import saga_coeff_multistep
         from ciao_tpu.ops.fused_block import SLAB_ROWS, rows_scale_slab
 
-        rows, offs = F.coeff_rows_data()
-        lam = getattr(g, "lam", 0.0)
-        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
         from ciao_tpu.ops.fused_block import oracle_scalar_consts
 
-        scale, mode, _lam2, aux = oracle_scalar_consts(F, g)
+        rows, offs = F.coeff_rows_data()
+        slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
+        scale, mode, lam, aux = oracle_scalar_consts(F, g)
         scalars = jnp.stack(
             [
                 scale,
