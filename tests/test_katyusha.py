@@ -226,3 +226,42 @@ def test_katyusha_fused_multistep_matches_stepwise():
                                    rtol=1e-3, atol=1e-4)
         assert np.array_equal(np.asarray(st_fused.key),
                               np.asarray(st_step.key))
+
+
+def test_beyond_reference_families_complex_dtype():
+    """Complex dtypes are a reference-mandated capability
+    (test_lasso.jl:3); the beyond-reference families support them too —
+    c128 planted lasso solved to machine precision by each (Point-SAGA
+    solves the smooth problem, so it is pinned against the
+    least-squares optimum)."""
+    import numpy as np
+
+    from ciao_tpu.solvers.fb import FISTA
+    from ciao_tpu.solvers.lsvrg import LKatyusha, LSVRG
+    from ciao_tpu.solvers.point_saga import PointSAGA
+    from ciao_tpu.solvers.sarah import SARAH
+
+    prob = make_lasso(N=64, n=8, p=3, seed=3, dtype=np.complex128)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(64.0),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    x0v = jnp.zeros(8, jnp.complex128)
+    runs = [
+        ciao_tpu.Katyusha(maxit=300)(x0v, F=F, g=g, L=prob.L),
+        SARAH(maxit=300)(x0v, F=F, g=g, L=prob.L),
+        LSVRG(maxit=8000)(x0v, F=F, g=g, L=prob.L),
+        LKatyusha(maxit=8000)(x0v, F=F, g=g, L=prob.L),
+        FISTA(maxit=3000)(x0v, F=F, g=g, L=prob.L),
+    ]
+    for x, _ in runs:
+        assert np.asarray(x).dtype == np.complex128
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-8
+
+    xp, _ = PointSAGA(maxit=20000,
+                      gamma=10.0 / float(np.max(prob.L)))(x0v, F=F, L=prob.L)
+    xs, *_ = np.linalg.lstsq(np.asarray(prob.A), np.asarray(prob.b),
+                             rcond=None)
+    assert np.asarray(xp).dtype == np.complex128
+    assert float(np.max(np.abs(np.asarray(xp) - xs))) < 1e-8
