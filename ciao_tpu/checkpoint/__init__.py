@@ -66,6 +66,12 @@ def save_async(path, state: Any):
 
 
 def load_orbax(path, like: Any) -> Any:
+    """Restore an orbax checkpoint with ``like``'s structure AND
+    shardings — which makes it the ELASTIC-recovery primitive: build
+    ``like`` by initializing the solver on the SURVIVOR mesh (the
+    global array shapes are mesh-independent) and orbax reshards the
+    stored per-shard data to the new layout. Pinned by
+    tests/test_parallel.py::test_elastic_restore_onto_smaller_mesh."""
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()

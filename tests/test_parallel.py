@@ -1657,3 +1657,52 @@ def test_dp_adaptive_iterator_terminates_on_abort(mesh):
     states = list(take(iter(solver.iterator(jnp.zeros(8), F=F, g=g)), 500))
     # the γ-underflow abort must terminate the stream well before 500
     assert len(states) < 500
+
+
+def test_elastic_restore_onto_smaller_mesh(mesh, lasso, tmp_path):
+    """ELASTIC recovery (SURVEY §5 failure-recovery row, production
+    form): a DP-sharded state checkpointed on the 8-device mesh is
+    restored onto a 4-DEVICE mesh — orbax reshards the global (N, ...)
+    tables to the new layout given a target-mesh state template — and
+    the solve RESUMES to the planted optimum. The trajectory after the
+    shrink legitimately differs (the stateless schedules are functions
+    of the mesh layout) but the state is global and algorithmically
+    valid on any mesh the problem divides over."""
+    from ciao_tpu import checkpoint
+    from ciao_tpu.parallel import make_mesh
+
+    prob, F, g = lasso
+    solver8 = DPSAGA(mesh=mesh, batch=8, seed=11)
+    stream8 = iter(solver8.iterator(x0(prob), F=F, g=g, L=prob.L))
+    state8 = next(stream8)
+    for _ in range(200):
+        state8 = next(stream8)
+    mgr = checkpoint.save_async(tmp_path / "elastic", state8)
+    mgr.wait_until_finished()
+
+    # the 4-device survivor mesh: re-shard the oracle, build a state
+    # template with the NEW shardings, restore into it
+    mesh4 = make_mesh(n_data=4, devices=jax.devices()[:4])
+    F4 = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh4,
+    )
+    solver4 = DPSAGA(mesh=mesh4, batch=8, seed=11, maxit=4000)
+    it4 = solver4.iterator(x0(prob), F=F4, g=g, L=prob.L)
+    template = next(iter(it4))
+    restored = checkpoint.load_orbax(tmp_path / "elastic", template)
+    # bits survived the reshard; layout is the survivor mesh's
+    np.testing.assert_array_equal(np.asarray(restored.s),
+                                  np.asarray(state8.s))
+    assert restored.s.sharding.mesh.shape[DATA_AXIS] == 4
+    assert restored.s.sharding.spec == P(DATA_AXIS, None)
+
+    # resume on the smaller mesh and reach the reference tolerance
+    state = restored
+    for _ in range(3000):
+        state = it4._step_fn(state)
+    gap = prob.cost(np.asarray(state.z)) - prob.f_star
+    assert gap < 1e-4
