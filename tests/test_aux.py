@@ -255,3 +255,35 @@ def test_gen_block_ids_matches_next_block_id():
         assert int(swv.pos) == int(sw.pos), sweeping
         assert np.array_equal(np.asarray(swv.order), np.asarray(sw.order))
         assert np.array_equal(np.asarray(swv.key), np.asarray(sw.key))
+
+
+def test_staged_saga_reaches_f32_floor_with_switch():
+    """staged_saga (the PERF.md int8→f32 production schedule as an
+    API): the coarse stage plateaus, the switch rebases, and the f32
+    finish reaches the same objective as a monolithic f32 run of the
+    same total budget — with the stage bookkeeping recorded."""
+    from ciao_tpu.solvers import staged_saga
+
+    Np, npx = 2048, 128
+    prob = make_lasso(N=Np, n=npx, p=8, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    x, info = staged_saga(
+        jnp.zeros(npx, jnp.float32), F, g, L=prob.L,
+        storages=("int8", "f32"), batch=128, chunk_epochs=32,
+        plateau_rtol=1e-4, max_epochs=2048,
+    )
+    assert info.storages == ["int8", "f32"]
+    assert len(info.epochs) == 2 and min(info.epochs) > 0
+    assert info.switched_early[0]  # the int8 stage hit ITS floor
+    # objective improved across the switch (the rebase unlocks it)
+    assert info.objectives[1] < info.objectives[0]
+    # reaches the reference tolerance band of a straight f32 run
+    gap = float(prob.cost(np.asarray(x, np.float64)) - prob.f_star)
+    rel = gap / abs(prob.f_star)
+    assert rel < 1e-3
