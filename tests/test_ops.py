@@ -936,3 +936,72 @@ def test_huber_fused_mode_matches_stepwise():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st_f.s), np.asarray(st_s.s),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("Np,npix,Bp", [
+    (2048, 256, 256),    # TILE == B (single tile per block)
+    (4096, 128, 512),    # ncols = 512, B == ncols (full slab row/block)
+    (1024, 384, 64),     # non-power-of-two n (3×128 lanes), small blocks
+])
+def test_fused_kernels_shape_fuzz(Np, npix, Bp):
+    """Shape fuzz over the fused kernels' slab/tile index arithmetic
+    (row = start // ncols, off = start % ncols, TILE | B, B | ncols):
+    the fixed-shape equality suites all use N=1024, n=128, B=128 — these
+    combos hit single-tile blocks, block == slab-row, and non-pow2 lane
+    counts. Each kernel family must still reproduce its stepwise path."""
+    from ciao_tpu.solvers.katyusha import (
+        KatyushaCfg, katyusha_init, katyusha_run,
+    )
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    # (availability gates include backend == "tpu", so cfg.fused is set
+    # directly here like the other CPU equality suites; the shapes all
+    # satisfy the slab/tile divisibility contracts)
+    prob = make_lasso(N=Np, n=npix, p=4, seed=Np % 97, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(Np)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True)
+    st_s = saga_run(F, g, saga_init(F, g, x0, gamma, key, cfg), cfg, 40)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = saga_run(F, g, saga_init(F, g, x0, gamma, key,
+                                        cfg._replace(fused=True)),
+                        cfg._replace(fused=True), 40)
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_s.z),
+                               rtol=1e-4, atol=1e-6)
+
+    m = max(2, Np // Bp // 2)
+    scfg = SVRGCfg(N=Np, plus=False, batch=Bp, block=True)
+    gam_s = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    st_s = svrg_run(F, g, svrg_init(F, g, x0, gam_s, m, key, scfg),
+                    scfg, 2)
+    scfg_f = scfg._replace(fused=True, m_fused=m)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = svrg_run(F, g, svrg_init(F, g, x0, gam_s, m, key, scfg_f),
+                        scfg_f, 2)
+    np.testing.assert_allclose(np.asarray(st_f.z_full),
+                               np.asarray(st_s.z_full),
+                               rtol=1e-4, atol=1e-6)
+
+    kcfg = KatyushaCfg(N=Np, batch=Bp, m=m, block=True, ns=True)
+    Lm = jnp.asarray(np.max(prob.L), jnp.float32)
+    half = jnp.asarray(0.5, jnp.float32)
+    st_s = katyusha_run(
+        F, g, katyusha_init(F, g, x0, Lm, half, half, key, kcfg), kcfg, 2)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = katyusha_run(
+            F, g,
+            katyusha_init(F, g, x0, Lm, half, half, key,
+                          kcfg._replace(fused=True)),
+            kcfg._replace(fused=True), 2)
+    np.testing.assert_allclose(np.asarray(st_f.x_tilde),
+                               np.asarray(st_s.x_tilde),
+                               rtol=1e-4, atol=1e-6)
