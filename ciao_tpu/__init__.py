@@ -71,6 +71,7 @@ from ciao_tpu.solvers import (
     Proshi,
     SAGA,
     SAG,
+    SSNM,
     SVRG,
     iterator,
     solution,
@@ -93,6 +94,7 @@ __all__ = [
     "Proshi",
     "SAGA",
     "SAG",
+    "SSNM",
     "SVRG",
     "iterator",
     "solution",

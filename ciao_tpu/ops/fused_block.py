@@ -2124,3 +2124,167 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
         interpret=interpret,
     )(starts.astype(jnp.int32), A, b2, g2, *rs_ops, s, av2, z2, scalars)
     return s_new, av_new, z_new
+
+
+# ---------------------------------------------------------------------------
+# fused SSNM (SAGA with sampled negative momentum) multi-step kernel
+# ---------------------------------------------------------------------------
+#
+# SSNM's step is the SAGA coefficient step evaluated at the momentum
+# point y = τ·x + (1−τ)·φ_block instead of the iterate — so the kernel
+# is the SAGA slab kernel plus the Finito coefficient kernel's (d, n)
+# per-block eval-point table (both VMEM-resident for the launch;
+# same-block revisits hazard-free).
+
+def _ssnm_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
+    if quant:
+        (rs_ref, c_in_ref, zb_in_ref, x_in_ref, gb_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, x_out_ref, gb_out_ref,
+         c_vm, zb_vm, x_vm, gb_vm, y_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, zb_in_ref, x_in_ref, gb_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, x_out_ref, gb_out_ref,
+         c_vm, zb_vm, x_vm, gb_vm, y_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    eta = sc_ref[0, 1]
+    thr = sc_ref[0, 2]       # η·λ (0 disables the prox: g = Zero)
+    invB = sc_ref[0, 3]
+    invN = sc_ref[0, 4]
+    mode = sc_ref[0, 5]
+    tau = sc_ref[0, 6]
+    aux = sc_ref[0, 7]       # oracle formula parameter (Huber δ)
+    TILE = A_ref.shape[0]
+    ncols = c_vm.shape[1]
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        c_vm[...] = c_in_ref[...]
+        zb_vm[...] = zb_in_ref[...]
+        x_vm[...] = x_in_ref[...]
+        gb_vm[...] = gb_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        j = starts_ref[k] // (T * TILE)           # block id
+        y_vm[...] = (tau * x_vm[...]
+                     + (1.0 - tau) * zb_vm[pl.ds(j, 1), :])
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        y_vm[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (1, TILE) margins at the momentum point
+    abs_start = starts_ref[k] + t * TILE
+    row = abs_start // ncols
+    off = pl.multiple_of(abs_start % ncols, 128)
+    b_t = b_ref[pl.ds(row, 1), :]
+    if quant:
+        rs_t = rs_ref[pl.ds(row, 1), :]
+        r = r * rs_t
+    c_new = _coeff_formula(mode, r, b_t, scale, aux)
+    c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
+    dc = c_new - c_old
+    c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = c_new
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(
+        dc, A_t, (((1,), (0,)), ((), ())), prec,
+    )
+
+    @pl.when(t == T - 1)
+    def _():
+        j = starts_ref[k] // (T * TILE)
+        y = y_vm[...]
+        grad = innov_vm[...] * invB + gb_vm[...]   # ∇̃ (unbiased)
+        xv = x_vm[...] - eta * grad                # MIRROR step from x
+        x_vm[...] = jnp.sign(xv) * jnp.maximum(jnp.abs(xv) - thr, 0.0)
+        gb_vm[...] += innov_vm[...] * invN         # exact table mean
+        zb_vm[pl.ds(j, 1), :] = y                  # φ_block ← y
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        c_out_ref[...] = c_vm[...]
+        zb_out_ref[...] = zb_vm[...]
+        x_out_ref[...] = x_vm[...]
+        gb_out_ref[...] = gb_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3, 4),
+)
+def ssnm_multistep(A, b8, starts, c8, zb, x2, gb2, scalars, B: int,
+                   precision: str = "highest", rs8=None,
+                   interpret: bool = False):
+    """K = len(starts) SSNM block steps in one launch. ``c8`` is the
+    coefficient slab and ``zb`` the (d, n) stored-point table (both
+    VMEM-resident for the launch — the Finito coefficient kernel's
+    budget); ``scalars`` the (1, 8) row
+    [scale, η, ηλ, 1/B, 1/N, mode, τ, aux]. Returns
+    ``(c8, zb, x2, gb2)``."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs8 is not None), "rs8 required iff rows are int8"
+    d = N // B
+    TILE = _pick_tile(B, N, n, _slab_reserve(N) + 3 * d * n * 4,
+                      esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    ncols = N // SLAB_ROWS
+
+    def slab_idx(k, t, st):
+        a = st[k] + t * TILE
+        return (0, (a % ncols) // TILE)
+
+    rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
+    rs_ops = [rs8] if quant else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((SLAB_ROWS, TILE), slab_idx),  # offsets b
+            *rs_specs,                                  # dequant scales
+            _bcast_spec((SLAB_ROWS, ncols)),            # c slab (whole)
+            _bcast_spec((d, n)),                        # zb (whole)
+            _bcast_spec((1, n)),                        # x in
+            _bcast_spec((1, n)),                        # gbar in
+            pl.BlockSpec((1, 8), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            _bcast_spec((SLAB_ROWS, ncols)),            # c slab out
+            _bcast_spec((d, n)),                        # zb out
+            _bcast_spec((1, n)),                        # x out
+            _bcast_spec((1, n)),                        # gbar out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLAB_ROWS, ncols), jnp.float32),  # c carry
+            pltpu.VMEM((d, n), jnp.float32),            # zb carry
+            pltpu.VMEM((1, n), jnp.float32),            # x carry
+            pltpu.VMEM((1, n), jnp.float32),            # gbar carry
+            pltpu.VMEM((1, n), jnp.float32),            # y (momentum pt)
+            pltpu.VMEM((1, n), jnp.float32),            # innovation accum
+        ],
+    )
+    c_new, zb_new, x_new, gb_new = pl.pallas_call(
+        functools.partial(
+            _ssnm_multi_kernel, _PRECISIONS[precision], quant
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((SLAB_ROWS, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((d, n), zb.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3 + len(rs_ops): 0,       # c slab
+                              4 + len(rs_ops): 1},      # zb table
+        interpret=interpret,
+    )(starts.astype(jnp.int32), A, b8, *rs_ops, c8, zb, x2, gb2, scalars)
+    return c_new, zb_new, x_new, gb_new

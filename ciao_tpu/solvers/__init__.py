@@ -11,6 +11,7 @@ from ciao_tpu.solvers.lsvrg import LKatyusha, LSVRG
 from ciao_tpu.solvers.point_saga import PointSAGA
 from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
+from ciao_tpu.solvers.ssnm import SSNM
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 from ciao_tpu.solvers.sarah import SARAH
 from ciao_tpu.solvers.svrg import SVRG
@@ -33,6 +34,7 @@ __all__ = [
     "Proshi",
     "PointSAGA",
     "SAGA",
+    "SSNM",
     "StagedInfo",
     "staged_saga",
     "SAG",

@@ -1,0 +1,155 @@
+"""SSNM (SAGA with sampled negative momentum — beyond the reference;
+Zhou-Shang-Cheng AISTATS 2019, PAPERS.md). Contracts: (a) τ = 1
+degenerates to EXACTLY the minibatch-SAGA block step; (b) with the
+σ-tuned momentum it beats SAGA ≥50× at a matched step budget on the
+ill-conditioned planted lasso (the acceleration it exists for);
+(c) fused ≡ stepwise on the same sampling stream; (d) the streaming-API
+invariants and the storage-rebase hook every solver obeys."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import ciao_tpu
+from ciao_tpu.oracles import LeastSquaresRows
+from ciao_tpu.prox import NormL1
+from ciao_tpu.solvers.base import take
+from ciao_tpu.solvers.ssnm import SSNM, SSNMCfg, ssnm_init, ssnm_run
+from ciao_tpu.utils.problems import make_lasso
+
+
+@pytest.fixture(scope="module")
+def lasso():
+    prob = make_lasso(N=64, n=8, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(64.0),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    return prob, F, g
+
+
+def test_ssnm_converges(lasso):
+    prob, F, g = lasso
+    x, it = SSNM(maxit=4000, batch=4)(jnp.zeros(8), F=F, g=g, L=prob.L)
+    assert it == 4000
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+
+
+def test_ssnm_tau1_is_exactly_minibatch_saga(lasso):
+    """At τ = 1 the momentum point is the iterate and the update IS the
+    minibatch-SAGA coefficient block step — pinned step-for-step from a
+    shared state on the same (key, it) stream (η = γ)."""
+    from ciao_tpu.solvers.saga import SAGACfg, SAGAState, _saga_step
+
+    prob, F, g = lasso
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)))
+    key = jax.random.PRNGKey(7)
+    x0 = jnp.zeros(8, prob.A.dtype)
+    scfg = SSNMCfg(N=64, batch=4)
+    st = ssnm_init(F, g, x0, jnp.asarray(1.0, x0.dtype), gamma, key, scfg)
+    # the matching SAGA coefficient-block state (bypassing SAGA's
+    # z0 = prox((1-γ)x0) init quirk: both start from the SAME point)
+    acfg = SAGACfg(N=64, sag=False, batch=4, block=True, coeff=True)
+    ast_ = SAGAState(s=st.c, gamma=gamma, av=st.gbar, z=x0, key=key,
+                     it=st.it, status=st.status)
+    for _ in range(5):
+        st = ciao_tpu.solvers.ssnm._ssnm_step(F, g, scfg, st)
+        ast_ = _saga_step(F, g, acfg, ast_)
+        np.testing.assert_array_equal(np.asarray(st.x), np.asarray(ast_.z))
+        np.testing.assert_array_equal(np.asarray(st.c), np.asarray(ast_.s))
+        np.testing.assert_array_equal(np.asarray(st.gbar),
+                                      np.asarray(ast_.av))
+
+
+def test_ssnm_accelerates_past_saga_on_ill_conditioned():
+    """The point of the momentum: on the reference generator's
+    ill-conditioned planted lasso, σ-tuned SSNM lands ≥50× closer than
+    SAGA at a MATCHED step budget (same batch, same step count)."""
+    Np, npx, B = 1024, 64, 8
+    prob = make_lasso(N=Np, n=npx, p=3, seed=0)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(float(Np)),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    budget = 16_000
+    x_saga, _ = ciao_tpu.SAGA(maxit=budget, block_sampling=True, batch=B)(
+        jnp.zeros(npx), F=F, g=g, L=prob.L
+    )
+    # default τ = 1/2 with the coupled η = 1/(3τL) — measured ~1e10×
+    # past SAGA here; the pin is a conservative 50×
+    x_ssnm, _ = SSNM(maxit=budget, batch=B)(
+        jnp.zeros(npx), F=F, g=g, L=prob.L
+    )
+    gap_saga = prob.cost(np.asarray(x_saga)) - prob.f_star
+    gap_ssnm = prob.cost(np.asarray(x_ssnm)) - prob.f_star
+    assert gap_ssnm < gap_saga / 50
+
+
+def test_ssnm_fused_multistep_matches_stepwise():
+    """The K-steps-per-launch fused SSNM kernel (coefficient slab AND
+    the (d, n) stored-point table in VMEM, momentum point formed
+    in-kernel) must reproduce the stepwise path: same sampling stream,
+    same math — including the stepwise remainder."""
+    Np, npix, Bp = 1024, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    eta = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    tau = jnp.asarray(0.3, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    for steps in (24, 137):
+        cfg = SSNMCfg(N=Np, batch=Bp)
+        st_s = ssnm_run(F, g, ssnm_init(F, g, x0, tau, eta, key, cfg),
+                        cfg, steps)
+        cfg_f = cfg._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_f = ssnm_run(F, g, ssnm_init(F, g, x0, tau, eta, key, cfg_f),
+                            cfg_f, steps)
+        assert int(st_f.it) == int(st_s.it)
+        for fld in ("x", "c", "gbar"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_f, fld)),
+                np.asarray(getattr(st_s, fld)),
+                rtol=1e-4, atol=1e-5, err_msg=f"{fld} steps={steps}",
+            )
+        np.testing.assert_allclose(np.asarray(st_f.zb),
+                                   np.asarray(st_s.zb),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_ssnm_iterator_storage_and_errors(lasso):
+    prob, F, g = lasso
+    solver = SSNM(batch=4)
+    it = solver.iterator(jnp.zeros(8), F=F, g=g, L=prob.L)
+    x0 = jnp.zeros(8)
+    assert it.x0 is x0 or np.array_equal(np.asarray(it.x0), np.asarray(x0))
+    states = list(take(iter(it), 3))
+    assert np.array_equal(np.asarray(states[0].x), np.asarray(x0))
+    # storage swap + rebase hook: gbar re-derived under the new rows
+    from ciao_tpu import checkpoint
+
+    Fq = F.with_storage("int8")
+    itq = SSNM(batch=4).iterator(jnp.zeros(8), F=Fq, g=g, L=prob.L)
+    stq = states[-1]
+    first = next(checkpoint.resume_iterator(itq, stq, rebase=True))
+    np.testing.assert_allclose(
+        np.asarray(first.gbar), np.asarray(Fq.apply_all(stq.c) / 64),
+        rtol=1e-6, atol=1e-8,
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        SSNM(batch=5)(jnp.zeros(8), F=F, g=g, L=prob.L)
+    with pytest.raises(ValueError, match="rank-1"):
+        from ciao_tpu.oracles import SqrDistBox
+
+        SSNM(batch=4)(jnp.zeros(8),
+                      F=SqrDistBox(lo=-1.0, hi=1.0, eta=1.0, n_terms=64),
+                      g=g, L=1.0)
