@@ -1852,6 +1852,66 @@ def _rebase_identity_local(F, g, cfg: DPCfg, state):
     and ProShI states are storage-consistent by construction."""
     return state
 
+class DPSSNMState(NamedTuple):
+    tau: jnp.ndarray     # scalar momentum weight (replicated)
+    eta: jnp.ndarray     # scalar stepsize (replicated)
+    c: jnp.ndarray       # (N,) coefficient table, sharded
+    zb: jnp.ndarray      # (D·d_loc, n) per-block stored points, sharded
+    gbar: jnp.ndarray    # (n,) global table mean, replicated
+    x: jnp.ndarray       # (n,) iterate, replicated
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _ssnm_init_local(F, g, x0, tau, eta, key, cfg: DPCfg):
+    """Sharded SSNM bootstrap (solvers.ssnm — beyond the reference):
+    local coefficient shard + one apply psum; every stored point x0."""
+    c = F.coeff_all(x0)
+    gbar = _psum(F.apply_all(c)) / cfg.N
+    d_loc = cfg.n_loc // cfg.b_loc
+    zb = jnp.broadcast_to(x0, (d_loc,) + x0.shape)
+    return DPSSNMState(
+        tau=tau, eta=eta, c=c, zb=zb, gbar=gbar, x=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _ssnm_step_local(F, g, cfg: DPCfg, state: DPSSNMState):
+    """One sharded SSNM step: each device draws a block from its own
+    shard and forms its OWN momentum point y_d = τx + (1−τ)·φ_{j_d}
+    (each term is anchored at its own stored point, so the pmean'd
+    direction stays unbiased); ONE stacked x-sized psum carries the
+    innovation, the mirror step and table-mean delta are replicated."""
+    N, B = cfg.N, cfg.b_loc
+    tau, eta = state.tau, state.eta
+    ax = jax.lax.axis_index(DATA_AXIS)
+    k = jax.random.fold_in(jax.random.fold_in(state.key, state.it), ax)
+    j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
+    start = j * B
+    y = tau * state.x + (1.0 - tau) * state.zb[j]      # per-device y_d
+    c_new = F.coeff_block(y, start, B)
+    c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    innov = _psum(F.apply_rows_block(c_new - c_old, start, B))
+    grad = innov / (B * cfg.D) + state.gbar            # ∇̃ (unbiased)
+    x = g.prox_only(state.x - eta * grad, eta)         # mirror step
+    gbar = state.gbar + innov / N                      # exact table mean
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, c_new, start, 0)
+    zb = state.zb.at[j].set(y)
+    return state._replace(c=c, zb=zb, gbar=gbar, x=x, it=state.it + 1)
+
+
+def _ssnm_rebase_local(F, g, cfg: DPCfg, state: DPSSNMState):
+    """Exact ḡ recompute from the coefficient shards (storage-swap
+    repair; cf. solvers.ssnm.ssnm_rebase)."""
+    return state._replace(gbar=_psum(F.apply_all(state.c)) / cfg.N)
+
+
+
 
 _FAMILY = {
     "finito": (_finito_init_local, _finito_step_local, DPFinitoState, False,
@@ -1882,6 +1942,8 @@ _FAMILY = {
            _rebase_identity_local),
     "point_saga": (_point_saga_init_local, _point_saga_step_local,
                    DPPointSAGAState, True, _point_saga_rebase_local),
+    "ssnm": (_ssnm_init_local, _ssnm_step_local, DPSSNMState, True,
+             _ssnm_rebase_local),
     "proshi": (_proshi_init_local, _proshi_step_or_round, DPProshiState,
                False, _rebase_identity_local),
 }
@@ -3006,6 +3068,84 @@ class DPPointSAGA:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPSSNM:
+    """Data-parallel SSNM (sampled-negative-momentum SAGA — beyond the
+    reference; solvers.ssnm). Coefficient table AND the per-block
+    stored-point table shard by index block; each device forms its own
+    momentum point from its sampled block's stored point (every term is
+    anchored at its own point, so the pmean'd direction stays
+    unbiased); ONE x-sized psum per step. ``batch`` is the GLOBAL
+    minibatch."""
+
+    mesh: object = None
+    batch: int = 0
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    tau: Optional[float] = None
+    sigma: Optional[float] = None
+    eta: Optional[float] = None
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError(
+                "DPSSNM needs a rank-1 (coefficient) oracle; "
+                f"{type(F).__name__} is not"
+            )
+        rdt = real_dtype_of(x0)
+        batch = self.batch or mesh.shape[DATA_AXIS]
+        D, b_loc = _validate_mesh_batch(N, mesh, batch, Sweep.RANDOM,
+                                        "DPSSNM")
+        if (N // D) % b_loc != 0:
+            raise ValueError("DPSSNM: per-device batch must divide N/D")
+        if L is None and (self.eta is None or self.tau is None):
+            raise ValueError("DPSSNM: provide L, or both τ and η")
+        Lmax = None if L is None else jnp.max(jnp.asarray(L, rdt))
+        if self.tau is not None:
+            tau = jnp.asarray(self.tau, rdt)
+        elif self.sigma is not None:
+            tau = jnp.minimum(
+                jnp.sqrt(N * jnp.asarray(self.sigma, rdt) / (3.0 * Lmax)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            tau = jnp.asarray(0.5, rdt)
+        eta = (jnp.asarray(self.eta, rdt) if self.eta is not None
+               else 1.0 / (3.0 * tau * Lmax))  # the mirror coupling
+        cfg = DPCfg(N=N, D=D, b_loc=b_loc, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, coeff=True)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "ssnm", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, tau, eta, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

@@ -153,3 +153,36 @@ def test_ssnm_iterator_storage_and_errors(lasso):
         SSNM(batch=4)(jnp.zeros(8),
                       F=SqrDistBox(lo=-1.0, hi=1.0, eta=1.0, n_terms=64),
                       g=g, L=1.0)
+
+
+def test_dp_ssnm_converges_shards_and_determinism():
+    """DPSSNM on the 8-device mesh: one x-sized psum per step, the
+    coefficient and stored-point tables sharded by index block, each
+    device's momentum point anchored at its own sampled block —
+    converges at the reference tolerance, deterministic in the seed."""
+    from jax.sharding import PartitionSpec as P
+
+    from ciao_tpu.parallel import DATA_AXIS, DPSSNM, make_mesh, shard_finite_sum
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    prob = make_lasso(N=64, n=8, p=3, seed=3)
+    F = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(64.0),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = DPSSNM(mesh=mesh, batch=8, maxit=4000, seed=5)
+    x, _ = solver(jnp.zeros(8), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(jnp.zeros(8), F=F, g=g, L=prob.L)))
+    assert st.c.sharding.spec == P(DATA_AXIS)
+    assert st.zb.sharding.spec == P(DATA_AXIS, None)
+    assert st.x.sharding.spec == P()
+    x2, _ = DPSSNM(mesh=mesh, batch=8, maxit=4000, seed=5)(
+        jnp.zeros(8), F=F, g=g, L=prob.L
+    )
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
