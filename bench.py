@@ -466,6 +466,22 @@ def bench_secondary():
         log(f"lkatyusha fused [{tag}] (p=B/N): {dt / S * 1e3:.4f} ms/step "
             f"({S * 2 * BATCH / dt / 1e6:.0f} M grad-evals/s)")
 
+        from ciao_tpu.solvers.ssnm import SSNMCfg, ssnm_init, ssnm_run
+
+        smcfg = SSNMCfg(N=N, batch=BATCH, fused=True)
+        tau_s = jnp.asarray(0.5, jnp.float32)
+        eta_s = (1.0 / (3.0 * 0.5 * Lm)).astype(jnp.float32)
+        st = ssnm_init(F, g, x0, tau_s, eta_s, key, smcfg)
+        S = 512 * STEPS_PER_EPOCH
+        st2 = ssnm_run(F, g, st, smcfg, S)
+        _ = float(st2.x[0])
+        t0 = time.perf_counter()
+        st2 = ssnm_run(F, g, st, smcfg, S)
+        _ = float(st2.x[0])
+        dt = time.perf_counter() - t0
+        log(f"ssnm fused [{tag}]: {dt / S * 1e3:.4f} ms/step "
+            f"({S * BATCH / dt / 1e6:.0f} M samples/s)")
+
         fcfg = FBCfg(N=N, fast=True, fused=True)
         st = fb_init(F, g, x0, (1.0 / jnp.mean(L)).astype(jnp.float32), fcfg)
         S = 600  # >=0.25 s even at int8's ~0.49 ms/step

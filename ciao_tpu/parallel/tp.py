@@ -1307,6 +1307,83 @@ _LKAT_ST_SPECS = TPLKatyushaState(
 
 # family -> (init_local, step_local, state specs, rebase_local,
 #            init in_specs after (F, g))
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel SSNM (sampled-negative-momentum SAGA)
+# ---------------------------------------------------------------------------
+
+class TPSSNMState(NamedTuple):
+    """SSNM over ("data", "model"): the coefficient table by sample,
+    the stored-point table by sample AND coordinate, the iterate /
+    table mean by coordinate (solvers.ssnm re-laid for 2-D sharding)."""
+
+    tau: jnp.ndarray     # scalar momentum weight
+    eta: jnp.ndarray     # scalar stepsize
+    c: jnp.ndarray       # (N,) P("data")
+    zb: jnp.ndarray      # (d, n) P("data", "model")
+    gbar: jnp.ndarray    # (n,) P("model")
+    x: jnp.ndarray       # (n,) P("model")
+    key: jnp.ndarray
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _tp_ssnm_init(F, g, x0, tau, eta, key, cfg: TPCfg):
+    """Coefficient bootstrap via column-partial margins (cf.
+    _tp_saga_init); every stored point x0 (local coordinates)."""
+    r = _psum_m(F.margin_all(x0))
+    c = F.coeff_from_margin_all(r)
+    gbar = _psum_d(F.apply_all(c)) / cfg.N
+    d_loc = cfg.n_loc // cfg.b_loc
+    zb = jnp.broadcast_to(x0, (d_loc,) + x0.shape)
+    return TPSSNMState(
+        tau=tau, eta=eta, c=c, zb=zb, gbar=gbar, x=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_ssnm_step(F, g, cfg: TPCfg, state: TPSSNMState):
+    """One TP SSNM block step: the momentum point y = τx + (1−τ)·zb[j]
+    is a LOCAL coordinate combination (zb shards over both axes), then
+    the usual margin psum over "model" and innovation psum over "data";
+    the mirror step and prox act on local coordinates."""
+    N, B = cfg.N, cfg.b_loc
+    tau, eta = state.tau, state.eta
+    key, sub = jax.random.split(state.key)
+    row = jax.lax.axis_index(DATA_AXIS)
+    k = jax.random.fold_in(sub, row)
+    j = jax.random.randint(k, (), 0, cfg.n_loc // B, dtype=jnp.int32)
+    start = j * B
+    y = tau * state.x + (1.0 - tau) * state.zb[j]
+    r = _psum_m(F.margin_block(y, start, B))
+    c_new = F.coeff_from_margin(r, start, B)
+    c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
+    innov = _psum_d(F.apply_rows_block(c_new - c_old, start, B))
+    grad = innov / (B * cfg.D) + state.gbar
+    x = g.prox_only(state.x - eta * grad, eta)       # mirror step
+    gbar = state.gbar + innov / N
+    c = jax.lax.dynamic_update_slice_in_dim(state.c, c_new, start, 0)
+    zb = state.zb.at[j].set(y)
+    return state._replace(c=c, zb=zb, gbar=gbar, x=x, key=key,
+                          it=state.it + 1)
+
+
+_SSNM_ST_SPECS = TPSSNMState(
+    tau=P(), eta=P(), c=P(DATA_AXIS), zb=P(DATA_AXIS, MODEL_AXIS),
+    gbar=P(MODEL_AXIS), x=P(MODEL_AXIS), key=P(), it=P(), status=P(),
+)
+
+
+def _tp_ssnm_rebase(F, g, cfg: TPCfg, state: TPSSNMState):
+    """2-D mirror of solvers.ssnm.ssnm_rebase (storage-swap repair)."""
+    return state._replace(gbar=_psum_d(F.apply_all(state.c)) / cfg.N)
+
+
 _TP_FAMILY = {
     "saga": (_tp_saga_init, _tp_saga_step, _ST_SPECS, _tp_saga_rebase,
              (P(MODEL_AXIS), P(), P())),
@@ -1333,6 +1410,8 @@ _TP_FAMILY = {
            _tp_rebase_identity, (P(MODEL_AXIS), P())),
     "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
                _tp_proshi_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
+    "ssnm": (_tp_ssnm_init, _tp_ssnm_step, _SSNM_ST_SPECS,
+             _tp_ssnm_rebase, (P(MODEL_AXIS), P(), P(), P())),
 }
 
 
@@ -2142,6 +2221,97 @@ class TPLKatyusha:
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
         x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
         disp = lambda it, st: print(f"{it:5d} | {float(st.theta1):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPSSNM:
+    """Sampled-negative-momentum SAGA on a ("data", "model") mesh —
+    samples AND coordinates sharded (solvers.ssnm). Requires a rank-1
+    oracle with the margin protocol and a separable prox; ``batch`` is
+    the per-data-row contiguous block size."""
+
+    mesh: object = None
+    batch: int = 1
+    maxit: int = 10000
+    verbose: bool = False
+    freq: int = 1000
+    tau: Optional[float] = None
+    sigma: Optional[float] = None
+    eta: Optional[float] = None
+    seed: int = 0
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPSSNM needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPSSNM shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not getattr(F, "supports_coeff", False):
+            raise ValueError("TPSSNM needs a rank-1 (coefficient) oracle")
+        if not hasattr(F, "margin_block"):
+            raise ValueError(
+                "TPSSNM shards coordinates and needs the margin protocol "
+                f"(dense row oracles); {type(F).__name__} is DP-only"
+            )
+        if N % D != 0 or (N // D) % self.batch != 0:
+            raise ValueError("TPSSNM: need N divisible by D and N/D by batch")
+        if x0.size % M != 0:
+            raise ValueError("TPSSNM: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if L is None and (self.eta is None or self.tau is None):
+            raise ValueError("TPSSNM: provide L, or both τ and η")
+        Lmax = None if L is None else jnp.max(jnp.asarray(L, rdt))
+        if self.tau is not None:
+            tau = jnp.asarray(self.tau, rdt)
+        elif self.sigma is not None:
+            tau = jnp.minimum(
+                jnp.sqrt(N * jnp.asarray(self.sigma, rdt) / (3.0 * Lmax)),
+                jnp.asarray(0.5, rdt),
+            )
+        else:
+            tau = jnp.asarray(0.5, rdt)
+        eta = (jnp.asarray(self.eta, rdt) if self.eta is not None
+               else 1.0 / (3.0 * tau * Lmax))  # the mirror coupling
+        cfg = TPCfg(N=N, D=D, M=M, b_loc=self.batch)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "ssnm", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        key = jax.random.PRNGKey(self.seed)
+        init = lambda: init_c(F, g, x0, tau, eta, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau):.3e}")
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )

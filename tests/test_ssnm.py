@@ -186,3 +186,40 @@ def test_dp_ssnm_converges_shards_and_determinism():
         jnp.zeros(8), F=F, g=g, L=prob.L
     )
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_tp_ssnm_converges_and_shards():
+    """TPSSNM on a (4, 2) mesh: the stored-point table shards over BOTH
+    axes, the momentum combination is purely local coordinates, the
+    per-step collectives stay one 'model' margin psum + one 'data'
+    innovation psum — converges at the reference tolerance with the
+    expected layouts."""
+    from jax.sharding import PartitionSpec as P
+
+    from ciao_tpu.parallel import (
+        DATA_AXIS, MODEL_AXIS, TPSSNM, make_mesh_2d, shard_finite_sum_2d,
+    )
+
+    mesh2 = make_mesh_2d(4, 2)
+    prob = make_lasso(N=64, n=8, p=3, seed=3)
+    F = shard_finite_sum_2d(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(64.0),
+        ),
+        mesh2,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    solver = TPSSNM(mesh=mesh2, batch=4, maxit=4000)
+    x, _ = solver(jnp.zeros(8), F=F, g=g, L=prob.L)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-4
+    st = next(iter(solver.iterator(jnp.zeros(8), F=F, g=g, L=prob.L)))
+    assert st.c.sharding.spec == P(DATA_AXIS)
+    assert st.zb.sharding.spec == P(DATA_AXIS, MODEL_AXIS)
+    assert st.x.sharding.spec == P(MODEL_AXIS)
+    from ciao_tpu.prox import NormL2
+
+    with pytest.raises(ValueError, match="separable"):
+        TPSSNM(mesh=mesh2, batch=4)(
+            jnp.zeros(8), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
+        )
