@@ -100,8 +100,21 @@ class SolverIterable:
                     return
                 yield state
         else:
+            # Backpressure WITHOUT a per-step sync: each yielded step is
+            # an async dispatch, and a consumer that never materializes
+            # values lets the runtime's inflight queue grow unboundedly —
+            # observed as nondeterministic native ABORTS on the CPU
+            # backend once thousands of executions queue up (the
+            # unsynced `loop(take(iter, 500))` pattern). One
+            # block_until_ready per 128 steps bounds the queue at
+            # negligible cost (vs the 2-30 ms/step tunnel readback the
+            # can_abort path pays).
+            k = 0
             while True:
                 state = self._step_fn(state)
+                k += 1
+                if k % 128 == 0:
+                    jax.block_until_ready(state)
                 yield state
 
 

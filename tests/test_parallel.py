@@ -1701,8 +1701,96 @@ def test_elastic_restore_onto_smaller_mesh(mesh, lasso, tmp_path):
     assert restored.s.sharding.spec == P(DATA_AXIS, None)
 
     # resume on the smaller mesh and reach the reference tolerance
+    # (periodic sync: unbounded async dispatch queues abort the CPU
+    # runtime — the round-2 crash mechanism, see SolverIterable)
     state = restored
-    for _ in range(3000):
+    for k in range(3000):
         state = it4._step_fn(state)
+        if k % 128 == 0:
+            jax.block_until_ready(state)
     gap = prob.cost(np.asarray(state.z)) - prob.f_star
     assert gap < 1e-4
+
+
+def test_dp_saga_local_round_fused_huber(mesh):
+    """HuberRows now passes the fused gates (MODE_HUBER, round 2), so
+    DPSAGA(local_steps=K) runs its local rounds through the fused
+    kernel where it previously fell back to XLA — the fused round must
+    reproduce the stepwise local round with the clip ACTIVE."""
+    from ciao_tpu.oracles import HuberRows
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32)
+    F = shard_finite_sum(
+        HuberRows(
+            A=jnp.asarray(prob.A, jnp.float32),
+            b=jnp.asarray(prob.b, jnp.float32),
+            delta=jnp.asarray(0.02, jnp.float32),   # bites
+            scale=jnp.asarray(float(Np), jnp.float32),
+        ),
+        mesh,
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
+                    alpha=0.999, block=True, coeff=True, local_steps=4,
+                    fused=fused)
+        init_c, _, run_c, _ = build_dp_functions("saga", mesh, F, g, cfg)
+        st = init_c(F, g, z0, gamma, key)
+        st = run_c(F, g, st, 3)
+        outs.append(st)
+    np.testing.assert_allclose(np.asarray(outs[1].z), np.asarray(outs[0].z),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[1].s), np.asarray(outs[0].s),
+                               rtol=2e-4, atol=1e-4)
+    # the clip is genuinely active on this δ
+    c = np.asarray(outs[0].s)
+    assert np.any(np.isclose(np.abs(c), float(Np) * 0.02, rtol=1e-5))
+
+
+def test_elastic_restore_onto_larger_mesh(mesh, lasso, tmp_path):
+    """The GROW direction of elastic recovery: a state saved on a
+    4-device mesh restores onto the full 8-device mesh and resumes
+    (orbax reshards to the larger template's layout)."""
+    from ciao_tpu import checkpoint
+    from ciao_tpu.parallel import make_mesh
+
+    prob, F8, g = lasso
+    mesh4 = make_mesh(n_data=4, devices=jax.devices()[:4])
+    F4 = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+            scale=jnp.asarray(float(N)),
+        ),
+        mesh4,
+    )
+    it4 = DPSAGA(mesh=mesh4, batch=8, seed=11).iterator(
+        x0(prob), F=F4, g=g, L=prob.L
+    )
+    s4 = iter(it4)
+    state = next(s4)
+    for _ in range(100):
+        state = next(s4)
+    mgr = checkpoint.save_async(tmp_path / "grow", state)
+    mgr.wait_until_finished()
+
+    it8 = DPSAGA(mesh=mesh, batch=8, seed=11).iterator(
+        x0(prob), F=F8, g=g, L=prob.L
+    )
+    template = next(iter(it8))
+    restored = checkpoint.load_orbax(tmp_path / "grow", template)
+    assert restored.s.sharding.mesh.shape[DATA_AXIS] == 8
+    np.testing.assert_array_equal(np.asarray(restored.s),
+                                  np.asarray(state.s))
+    st = restored
+    for k in range(3000):
+        st = it8._step_fn(st)
+        if k % 128 == 0:
+            jax.block_until_ready(st)
+    assert prob.cost(np.asarray(st.z)) - prob.f_star < 1e-4
