@@ -102,8 +102,23 @@ def resume_iterator(iterable, state, rebase: bool = False):
             )
         state = fn(state)
     yield state
-    while True:
-        state = iterable._step_fn(state)
-        if int(state.status) != Status.RUNNING:
-            return
-        yield state
+    if getattr(iterable, "_can_abort", True):
+        while True:
+            state = iterable._step_fn(state)
+            if int(state.status) != Status.RUNNING:
+                return
+            yield state
+    else:
+        # same policy as SolverIterable: no per-step status readback
+        # for families that cannot abort (a 2-30 ms/iterate tunnel
+        # sync), with periodic backpressure so the async dispatch
+        # queue stays bounded
+        import jax
+
+        k = 0
+        while True:
+            state = iterable._step_fn(state)
+            k += 1
+            if k % 128 == 0:
+                jax.block_until_ready(state)
+            yield state
