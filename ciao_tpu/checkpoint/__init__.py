@@ -119,6 +119,6 @@ def resume_iterator(iterable, state, rebase: bool = False):
         while True:
             state = iterable._step_fn(state)
             k += 1
-            if k % 128 == 0:
+            if k % 16 == 0:
                 jax.block_until_ready(state)
             yield state

@@ -100,20 +100,24 @@ class SolverIterable:
                     return
                 yield state
         else:
-            # Backpressure WITHOUT a per-step sync: each yielded step is
-            # an async dispatch, and a consumer that never materializes
-            # values lets the runtime's inflight queue grow unboundedly —
-            # observed as nondeterministic native ABORTS on the CPU
-            # backend once thousands of executions queue up (the
-            # unsynced `loop(take(iter, 500))` pattern). One
-            # block_until_ready per 128 steps bounds the queue at
-            # negligible cost (vs the 2-30 ms/step tunnel readback the
-            # can_abort path pays).
+            # Backpressure WITHOUT a per-step sync. Each yielded step
+            # is an async dispatch; a consumer that never materializes
+            # values lets the inflight queue grow without bound, and on
+            # the multi-device CPU backend that is FATAL: every queued
+            # shard_map program holds 8 collective participants, and
+            # XLA's in-process rendezvous (in_process_communicator.cc)
+            # LOG(FATAL)s — silently — when a starved participant
+            # misses its terminate timeout (core-dump diagnosis: abort
+            # under absl LogMessage::SendToLog beneath
+            # Rendezvous<AllGatherParticipant>). A sync every 16 steps
+            # keeps ≤16 programs (~128 participants) in flight, which
+            # survives heavy host load; cost is negligible vs the
+            # 2-30 ms/step tunnel readback the can_abort path pays.
             k = 0
             while True:
                 state = self._step_fn(state)
                 k += 1
-                if k % 128 == 0:
+                if k % 16 == 0:
                     jax.block_until_ready(state)
                 yield state
 

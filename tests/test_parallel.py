@@ -1706,7 +1706,7 @@ def test_elastic_restore_onto_smaller_mesh(mesh, lasso, tmp_path):
     state = restored
     for k in range(3000):
         state = it4._step_fn(state)
-        if k % 128 == 0:
+        if k % 16 == 0:
             jax.block_until_ready(state)
     gap = prob.cost(np.asarray(state.z)) - prob.f_star
     assert gap < 1e-4
@@ -1791,6 +1791,6 @@ def test_elastic_restore_onto_larger_mesh(mesh, lasso, tmp_path):
     st = restored
     for k in range(3000):
         st = it8._step_fn(st)
-        if k % 128 == 0:
+        if k % 16 == 0:
             jax.block_until_ready(st)
     assert prob.cost(np.asarray(st.z)) - prob.f_star < 1e-4
