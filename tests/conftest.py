@@ -29,14 +29,14 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
-    """Bound live-executable accumulation: the full suite runs ~500 jit
-    compilations in one process, and the XLA CPU compiler has been
-    observed to segfault near the END of the suite (inside
-    backend_compile_and_load, ~test 470) while every half-suite run
-    passes — an accumulated-state crash, not a test bug. Dropping the
-    compilation caches at module boundaries keeps the live-executable
-    count at the per-module level (cross-module cache hits are rare —
-    modules use distinct problem shapes — so the recompile cost is
-    negligible)."""
+    """Bound live-executable memory: the full suite runs ~500 jit
+    compilations in one process; dropping the compilation caches at
+    module boundaries keeps the live-executable count per-module
+    (cross-module cache hits are rare — modules use distinct problem
+    shapes — so the recompile cost is negligible). NOTE the suite's
+    historical native crashes were NOT this — they were XLA's CPU
+    in-process collective rendezvous LOG(FATAL)ing under deep unsynced
+    dispatch queues (see CLAUDE.md and SolverIterable's backpressure);
+    this fixture just keeps memory flat on top of that fix."""
     yield
     jax.clear_caches()
