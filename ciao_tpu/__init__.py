@@ -63,6 +63,8 @@ from ciao_tpu.solvers import (
     Finito,
     FISTA,
     ForwardBackward,
+    PANOC,
+    ZeroFPR,
     Katyusha,
     LKatyusha,
     LSVRG,
@@ -86,6 +88,8 @@ __all__ = [
     "Finito",
     "ForwardBackward",
     "FISTA",
+    "PANOC",
+    "ZeroFPR",
     "Katyusha",
     "LSVRG",
     "LKatyusha",

@@ -167,6 +167,15 @@ class SmoothOracle(abc.ABC):
         """Full-pass gradient sum (SVRG anchor / init); override with matmul."""
         return jnp.sum(self.grad_all(x), axis=0)
 
+    def value_sum_and_grad_sum_all(self, x):
+        """``(Σ_i f_i(x), Σ_i ∇f_i(x))`` in one full pass — the
+        line-search primitive of the Newton-type deterministic solvers
+        (PANOC/ZeroFPR FBE evaluations): row-structured overrides
+        compute both reductions from the SAME streamed margin, with no
+        (N, n) gradient intermediate."""
+        vals, grads = self.value_and_grad_all(x)
+        return jnp.sum(vals), jnp.sum(grads, axis=0)
+
     def grad_pointwise(self, xs, idx):
         """Per-sample grads with per-sample eval points: xs is (B, n)."""
         return jax.vmap(lambda xi, j: self.value_and_grad_i(xi, j)[1])(xs, idx)

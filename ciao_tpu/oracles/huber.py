@@ -119,6 +119,15 @@ class HuberRows(SmoothOracle):
             return (c * self.row_scale) @ self.A.astype(x.dtype)
         return c @ self.A
 
+    def value_sum_and_grad_sum_all(self, x):
+        # both reductions from ONE streamed margin (PANOC line search)
+        r = self._margin_all(x) - self.b
+        c = self._coeff_from_res(r)
+        val = self.scale * jnp.sum(_hub_val(r, self.delta))
+        if self.row_scale is not None:
+            return val, (c * self.row_scale) @ self.A.astype(x.dtype)
+        return val, c @ self.A
+
     def _dense_all(self, dtype):
         if self.row_scale is not None:
             return self.A.astype(dtype) * self.row_scale[:, None]

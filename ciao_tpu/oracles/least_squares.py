@@ -136,6 +136,17 @@ class LeastSquaresRows(SmoothOracle):
         r = self.A @ x - self.b
         return self.scale * self._conjA() * r[:, None]
 
+    def value_sum_and_grad_sum_all(self, x):
+        # both reductions from ONE streamed margin (PANOC line search)
+        if self.row_scale is not None:
+            rs = self.row_scale
+            r = (self.A.astype(x.dtype) @ x) * rs - self.b
+            val = 0.5 * self.scale * jnp.sum(jnp.real(r * jnp.conj(r)))
+            return val, self.scale * ((r * rs) @ self.A.astype(x.dtype))
+        r = self.A @ x - self.b
+        val = 0.5 * self.scale * jnp.sum(jnp.real(r * jnp.conj(r)))
+        return val, self.scale * (r @ self._conjA())
+
     def value_and_grad_all(self, x):
         if self.row_scale is not None:
             Ad = self.A.astype(x.dtype) * self.row_scale[:, None]

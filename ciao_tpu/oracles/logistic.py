@@ -106,6 +106,15 @@ class LogisticRows(SmoothOracle):
             return (coeff * self.row_scale) @ self.X.astype(x.dtype)
         return coeff @ self.X
 
+    def value_sum_and_grad_sum_all(self, x):
+        # both reductions from ONE streamed margin (PANOC line search)
+        t = -self.y * self._margin_all(x)
+        coeff = -self.y * jax.nn.sigmoid(t)
+        val = jnp.sum(_log1pexp(t))
+        if self.row_scale is not None:
+            return val, (coeff * self.row_scale) @ self.X.astype(x.dtype)
+        return val, coeff @ self.X
+
     def grad_all(self, x):
         if self.row_scale is not None:
             Xd = self.X.astype(x.dtype) * self.row_scale[:, None]

@@ -33,6 +33,7 @@ import numpy as np
 class Status(enum.IntEnum):
     RUNNING = 0
     GAMMA_UNDERFLOW = 1  # adaptive backtracking abort (Finito_adaptive.jl:123-125)
+    CONVERGED = 2        # tolerance met (PANOC/ZeroFPR ‖x−z‖/γ ≤ tol)
 
 
 def solution(state):
@@ -97,6 +98,11 @@ class SolverIterable:
             while True:
                 state = self._step_fn(state)
                 if int(state.status) != Status.RUNNING:
+                    # a CONVERGED state is the best iterate — yield it;
+                    # an aborted one (γ underflow) is invalid — drop it,
+                    # matching the reference's return-nothing abort
+                    if int(state.status) == Status.CONVERGED:
+                        yield state
                     return
                 yield state
         else:

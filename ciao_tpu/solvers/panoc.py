@@ -1,0 +1,391 @@
+"""PANOC and ZeroFPR — L-BFGS-accelerated proximal-gradient solvers
+(BEYOND the reference; the flagship Newton-type methods of the KUL
+group's ProximalAlgorithms.jl, which the reference's own Project.toml
+pulls in — reference users benchmark CIAO's incremental solvers against
+exactly these).
+
+Both minimize φ(x) = f(x) + g(x), f = (1/N)Σ_i f_i smooth, g
+proximable, by globalizing a quasi-Newton step with the
+**forward-backward envelope** (FBE; Themelis, Stella & Patrinos,
+SIOPT 2018):
+
+    z(x)  = prox_{γg}(x − γ∇f(x)),   r(x) = x − z(x)
+    φ_γ(x) = f(x) − Re⟨∇f(x), r⟩ + ‖r‖²/(2γ) + g(z)
+
+φ_γ is real-valued, continuous, has the same minimizers as φ for
+γ < 1/L_f, and — crucially for TPU — one FBE evaluation is ONE
+streamed full pass over the oracle rows
+(``oracle.value_sum_and_grad_sum_all``: value and gradient reductions
+off the SAME margin, no (N, n) intermediate) plus an O(n) prox.
+
+* **PANOC** (Stella, Themelis, Sopasakis & Patrinos, CDC 2017):
+  candidate x⁺(τ) = x − (1−τ)r + τd, d = −H·r from L-BFGS on the
+  residual pairs (s = Δx, y = Δr); backtrack τ = 1, ½, ¼, … until
+  φ_γ(x⁺) ≤ φ_γ(x) − σ‖r‖²; τ→0 degenerates to the plain
+  forward-backward step, which always satisfies the decrease for
+  γ < 1/L_f — so every iteration is at least as good as ISTA and the
+  quasi-Newton steps give superlinear tail convergence.
+* **ZeroFPR** (Themelis, Stella & Patrinos, SIOPT 2018): same envelope,
+  but the L-BFGS direction is built and applied at the *forward-
+  backward point* xbar = z(x): x⁺ = xbar + τd with pairs
+  (s = Δxbar, y = ΔR(xbar)). Costs one extra oracle pass per
+  iteration (∇f(xbar)); often takes fewer iterations.
+
+TPU design notes:
+  - Everything is a single jitted ``lax.scan`` body; the line search is
+    a bounded ``lax.while_loop`` whose final trial forces τ = 0 (the
+    safe FB point), so control flow never leaves the device.
+  - L-BFGS memory is a static-shape (mem, n) ring buffer pair with a
+    masked two-loop recursion (``fori_loop`` over the static memory
+    size; invalid slots carry ρ = 0 and contribute nothing) — no
+    dynamic shapes, no host sync.
+  - Complex iterates are handled as real 2n-vectors: every inner
+    product in the two-loop recursion and the FBE is Re⟨·,·⟩.
+
+No analog in the reference (its surface is purely incremental —
+``src/CIAOAlgorithms.jl:1`` exports Finito/ProShI/SAGA/SVRG only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ciao_tpu.prox import Zero
+from ciao_tpu.solvers.base import (
+    SolverIterable,
+    Status,
+    real_dtype_of,
+    run_solver_loop,
+)
+
+
+class PANOCCfg(NamedTuple):
+    N: int
+    mem: int = 5          # L-BFGS memory (static ring size)
+    max_ls: int = 10      # line-search trials before forcing τ = 0
+    zerofpr: bool = False  # direction at xbar (ZeroFPR) vs at x (PANOC)
+    tol: Optional[float] = None  # ‖r‖/γ stop (None = run maxit)
+
+
+class PANOCState(NamedTuple):
+    gamma: jnp.ndarray   # scalar stepsize (fixed)
+    sigma: jnp.ndarray   # sufficient-decrease constant σ
+    x: jnp.ndarray       # (n,) iterate
+    fx: jnp.ndarray      # f(x) = Σf_i(x)/N
+    gradx: jnp.ndarray   # (n,) ∇f(x)
+    z: jnp.ndarray       # (n,) prox point z(x)
+    gz: jnp.ndarray      # g(z)
+    fbe: jnp.ndarray     # φ_γ(x)
+    S: jnp.ndarray       # (mem, n) L-BFGS s-pairs ring
+    Y: jnp.ndarray       # (mem, n) L-BFGS y-pairs ring
+    rho: jnp.ndarray     # (mem,) 1/Re⟨y, s⟩ (0 = empty/rejected slot)
+    head: jnp.ndarray    # ring write cursor
+    count: jnp.ndarray   # valid pairs (≤ mem)
+    pbase: jnp.ndarray   # ZeroFPR: previous xbar ((0,) under PANOC)
+    presid: jnp.ndarray  # ZeroFPR: previous R(xbar) ((0,) under PANOC)
+    tau: jnp.ndarray     # last accepted τ (diagnostic)
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        # the prox point: feasible/sparse under g (x itself is the
+        # smooth-side iterate and e.g. never exactly sparse under L1)
+        return self.z
+
+
+def _rdot(a, b):
+    """Re⟨a, b⟩ — the real inner product of the underlying real space."""
+    return jnp.real(jnp.vdot(a, b))
+
+
+def _eval_fbe(F, g, u, gamma, N):
+    """One FBE evaluation: ONE streamed oracle pass + one prox.
+
+    Returns (f_u, grad_u, z_u, g_zu, r_u, fbe_u)."""
+    val, gsum = F.value_sum_and_grad_sum_all(u)
+    f_u = jnp.real(val) / N
+    grad_u = gsum / N
+    z_u, g_zu = g.prox(u - gamma * grad_u, gamma)
+    r_u = u - z_u
+    fbe_u = (f_u - _rdot(grad_u, r_u) + 0.5 / gamma * _rdot(r_u, r_u)
+             + jnp.real(g_zu))
+    return f_u, grad_u, z_u, g_zu, r_u, fbe_u
+
+
+def _lbfgs_direction(S, Y, rho, head, count, r):
+    """Two-loop recursion d = −H·r over the masked ring buffers.
+
+    Invalid slots carry rho = 0 so their α/β contributions vanish —
+    the loops always run ``mem`` (static) iterations. H0 = γ_H·I with
+    the standard Barzilai-Borwein scaling from the newest pair."""
+    m = S.shape[0]
+    rdt = rho.dtype
+
+    def bwd(i, carry):
+        q, alphas = carry
+        idx = (head - 1 - i) % m
+        a = rho[idx] * _rdot(S[idx], q)
+        q = q - a * Y[idx]
+        return q, alphas.at[idx].set(a)
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd, (r, jnp.zeros((m,), rdt)))
+
+    last = (head - 1) % m
+    yy = _rdot(Y[last], Y[last])
+    sy = _rdot(S[last], Y[last])
+    gam_h = jnp.where((count > 0) & (yy > 0), sy / jnp.where(yy > 0, yy, 1.0),
+                      jnp.ones((), rdt))
+    q = q * gam_h
+
+    def fwd(i, q):
+        idx = (head - count + i) % m
+        b = rho[idx] * _rdot(Y[idx], q)
+        return q + (alphas[idx] - b) * S[idx]
+
+    q = jax.lax.fori_loop(0, m, fwd, q)
+    d = -q
+    # numerical safeguard: a broken direction falls back to −r (the FB
+    # direction), which the τ-search accepts unconditionally
+    ok = jnp.isfinite(_rdot(d, d))
+    return jnp.where(ok, d, -r)
+
+
+def _push_pair(state: PANOCState, s, y, valid=True) -> PANOCState:
+    """Ring-push an (s, y) pair, rejected unless ``valid`` and the
+    curvature Re⟨y, s⟩ > ε‖s‖‖y‖ (keeps H positive definite)."""
+    sy = _rdot(y, s)
+    ss = _rdot(s, s)
+    yy = _rdot(y, y)
+    eps = jnp.asarray(1e-12, sy.dtype)
+    good = (sy > eps * jnp.sqrt(ss * yy) + eps) & valid
+    h = state.head
+    S = jnp.where(good, state.S.at[h].set(s), state.S)
+    Y = jnp.where(good, state.Y.at[h].set(y), state.Y)
+    rho = jnp.where(
+        good, state.rho.at[h].set(1.0 / jnp.where(good, sy, 1.0)), state.rho
+    )
+    head = jnp.where(good, (h + 1) % state.S.shape[0], h)
+    count = jnp.where(good, jnp.minimum(state.count + 1, state.S.shape[0]),
+                      state.count)
+    return state._replace(S=S, Y=Y, rho=rho, head=head, count=count)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def panoc_init(F, g, x0, gamma, sigma, cfg: PANOCCfg) -> PANOCState:
+    rdt = real_dtype_of(x0)
+    fx, gradx, z, gz, _r, fbe = _eval_fbe(F, g, x0, gamma, cfg.N)
+    m = cfg.mem
+    paux = x0.size if cfg.zerofpr else 0
+    return PANOCState(
+        gamma=gamma, sigma=sigma, x=x0, fx=fx, gradx=gradx, z=z,
+        gz=jnp.real(gz), fbe=fbe,
+        S=jnp.zeros((m, x0.size), x0.dtype),
+        Y=jnp.zeros((m, x0.size), x0.dtype),
+        rho=jnp.zeros((m,), rdt),
+        head=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32),
+        pbase=jnp.zeros((paux,), x0.dtype),
+        presid=jnp.zeros((paux,), x0.dtype),
+        tau=jnp.ones((), rdt),
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
+    gamma, sigma = state.gamma, state.sigma
+    r = state.x - state.z
+    rr = _rdot(r, r)
+
+    if cfg.zerofpr:
+        # ZeroFPR: evaluate the residual AT the prox point xbar = z(x)
+        # (one extra oracle pass), push the (Δxbar, ΔR(xbar)) pair from
+        # the PREVIOUS iteration, and build/apply the direction there.
+        base = state.z
+        _fb, _gb, _zbar, _gzb, rbar, _fbeb = _eval_fbe(
+            F, g, base, gamma, cfg.N
+        )
+        state = _push_pair(state, base - state.pbase,
+                           rbar - state.presid, valid=state.it > 1)
+        state = state._replace(pbase=base, presid=rbar)
+        dir_resid = rbar
+    else:
+        base = state.x
+        dir_resid = r
+
+    d = _lbfgs_direction(state.S, state.Y, state.rho, state.head,
+                         state.count, dir_resid)
+
+    rdt = state.fbe.dtype
+    target = state.fbe - sigma * rr
+
+    def ls_candidate(j):
+        tau = jnp.where(j >= cfg.max_ls, jnp.zeros((), rdt),
+                        jnp.asarray(0.5, rdt) ** j)
+        if cfg.zerofpr:
+            # τ = 0 → the FB point z(x) exactly (safe fallback)
+            u = state.z + tau * d
+        else:
+            u = state.x - (1.0 - tau) * r + tau * d
+        return tau, u
+
+    def ls_body(carry):
+        j = carry[0]
+        tau, u = ls_candidate(j)
+        f_u, grad_u, z_u, g_zu, r_u, fbe_u = _eval_fbe(F, g, u, gamma, cfg.N)
+        accepted = fbe_u <= target
+        return (j + 1, accepted, tau, u, f_u, grad_u, z_u,
+                jnp.real(g_zu), r_u, fbe_u)
+
+    def ls_cond(carry):
+        j, accepted = carry[0], carry[1]
+        return (~accepted) & (j <= cfg.max_ls)
+
+    # trial j=0 is τ=1 (pure quasi-Newton); trial j=max_ls forces τ=0,
+    # the plain FB step, which satisfies the decrease for γ < 1/L_f —
+    # the loop is bounded and always exits with a usable candidate.
+    z0 = jnp.zeros((), rdt)
+    init_carry = ls_body((jnp.zeros((), jnp.int32), False, z0, state.x,
+                          z0, state.gradx, state.z, z0, r, z0))
+    (_, _, tau, u, f_u, grad_u, z_u, g_zu, r_u, fbe_u) = \
+        jax.lax.while_loop(ls_cond, ls_body, init_carry)
+
+    new = state._replace(
+        x=u, fx=f_u, gradx=grad_u, z=z_u, gz=g_zu, fbe=fbe_u, tau=tau,
+        it=state.it + 1,
+    )
+    if not cfg.zerofpr:
+        # PANOC pair: (Δx, ΔR(x)) — r_u = R(u) is free from the
+        # accepted candidate's own FBE evaluation
+        new = _push_pair(new, u - state.x, r_u - r)
+
+    if cfg.tol is not None:
+        resid = jnp.sqrt(_rdot(r_u, r_u)) / gamma
+        new = new._replace(
+            status=jnp.where(resid <= cfg.tol,
+                             jnp.asarray(int(Status.CONVERGED), jnp.int32),
+                             new.status)
+        )
+    return new
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def panoc_step(F, g, state, cfg: PANOCCfg):
+    return jax.lax.cond(
+        state.status == int(Status.RUNNING),
+        lambda s: _panoc_step(F, g, cfg, s), lambda s: s, state,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def panoc_run(F, g, state, cfg: PANOCCfg, steps: int):
+    def body(s, _):
+        with jax.named_scope("panoc_step"):
+            return jax.lax.cond(
+                s.status == int(Status.RUNNING),
+                lambda t: _panoc_step(F, g, cfg, t), lambda t: t, s,
+            ), None
+
+    return jax.lax.scan(body, state, None, length=steps)[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class PANOC:
+    """L-BFGS-accelerated forward-backward facade.
+
+    ``maxit`` counts iterations (each = 1 + #line-search-trials oracle
+    passes; τ=1 usually accepts after the first few iterations, so the
+    steady-state cost is ~2 passes/step — same order as FISTA with far
+    fewer iterations). ``tol`` (on ‖x−z‖/γ) stops early when set.
+    """
+
+    gamma: Optional[float] = None
+    alpha: float = 0.95   # γ = α/L_f when γ not given
+    beta: float = 0.5     # σ = β(1−γL_f)/(2γ)
+    maxit: int = 100
+    tol: Optional[float] = None
+    mem: int = 5
+    max_ls: int = 10
+    verbose: bool = False
+    freq: int = 10
+    zerofpr: bool = False
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert 0 < self.alpha < 1 and 0 < self.beta < 1
+        assert self.maxit > 0 and self.freq > 0
+        assert self.mem >= 1 and self.max_ls >= 1
+        assert self.tol is None or self.tol > 0
+
+    def _setup(self, x0, F, g, L, N):
+        x0 = jnp.asarray(x0)
+        if N is None:
+            if F is None:
+                raise ValueError("provide F or N")
+            N = F.num_terms
+        if F is None:
+            from ciao_tpu.oracles import ZeroOracle
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+            if L is not None:
+                Lf = jnp.mean(jnp.asarray(L, rdt))
+                sigma = self.beta * jnp.maximum(1.0 - gamma * Lf, 0.05) \
+                    / (2.0 * gamma)
+            else:
+                # unknown L: conservative σ assuming γ ≈ α/L_f
+                sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            if L is None:
+                raise ValueError(
+                    "PANOC: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            Lf = jnp.mean(jnp.asarray(L, rdt))
+            gamma = self.alpha / Lf
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        cfg = PANOCCfg(N=N, mem=self.mem, max_ls=self.max_ls,
+                       zerofpr=self.zerofpr, tol=self.tol)
+        init = lambda: panoc_init(F, g, x0, gamma,
+                                  jnp.asarray(sigma, rdt), cfg)
+        return x0, F, g, cfg, init
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
+
+        def run_chunk(state, k):
+            return panoc_run(F, g, state, cfg, k)
+
+        def disp(it, state):
+            print(f"{it:5d} | {float(state.gamma):.3e} | "
+                  f"τ={float(state.tau):.3f}")
+
+        state, it = run_solver_loop(
+            init, run_chunk, self.maxit, self.verbose, self.freq, disp,
+            observe,
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, cfg, init = self._setup(x0, F, g, L, N)
+        step = lambda s: panoc_step(F, g, s, cfg)
+        # full-gradient method: a storage switch self-heals (the next
+        # step recomputes everything from x) — rebase is identity
+        return SolverIterable(x0_orig, init, step,
+                              rebase_fn=lambda s: s,
+                              can_abort=self.tol is not None)
+
+
+def ZeroFPR(**kwargs) -> PANOC:
+    """ZeroFPR facade: ``PANOC(zerofpr=True)`` — the direction lives at
+    the forward-backward point xbar (one extra oracle pass/iteration,
+    typically fewer iterations)."""
+    return PANOC(zerofpr=True, **kwargs)

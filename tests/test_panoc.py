@@ -1,0 +1,158 @@
+"""PANOC / ZeroFPR — L-BFGS-accelerated forward-backward (beyond the
+reference; the ProximalAlgorithms.jl flagship methods its users compare
+against). Pins: superlinear tail vs FISTA at matched budget, machine-
+precision convergence on the planted problems, tol-based early stop via
+Status.CONVERGED, iterator/batch equality, complex dtypes, and the
+τ-fallback safety (line search exhausts → plain FB step)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ciao_tpu
+from ciao_tpu.oracles import LeastSquaresRows, LogisticRows
+from ciao_tpu.prox import NormL1
+from ciao_tpu.solvers.base import Status, take
+from ciao_tpu.utils.problems import make_lasso
+
+N, n = 64, 8
+
+
+@pytest.fixture(scope="module")
+def lasso():
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    return prob, F, g
+
+
+def x0(prob):
+    return jnp.zeros(prob.A.shape[1], prob.A.dtype)
+
+
+def test_panoc_zerofpr_converge_machine_precision(lasso):
+    """60 Newton-type iterations reach the planted optimum to ~eps —
+    the quasi-Newton tail FISTA cannot match (its 60-step gap is 3e-3,
+    test_panoc_beats_fista)."""
+    prob, F, g = lasso
+    for solver in (ciao_tpu.PANOC(maxit=60), ciao_tpu.ZeroFPR(maxit=60)):
+        x, it = solver(x0(prob), F=F, g=g, L=prob.L, N=N)
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-12
+        assert it == 60
+
+
+def test_panoc_beats_fista(lasso):
+    """At a matched FULL-PASS budget (PANOC steady state ≈ 2 passes
+    per iteration: one for the accepted candidate, ~0-1 extra trials),
+    PANOC must land ≥ 1000x closer than FISTA."""
+    prob, F, g = lasso
+    xp, _ = ciao_tpu.PANOC(maxit=50)(x0(prob), F=F, g=g, L=prob.L, N=N)
+    xf, _ = ciao_tpu.FISTA(maxit=100)(x0(prob), F=F, g=g, L=prob.L, N=N)
+    gap_p = prob.cost(np.asarray(xp)) - prob.f_star
+    gap_f = prob.cost(np.asarray(xf)) - prob.f_star
+    assert gap_p * 1000 < gap_f, (gap_p, gap_f)
+
+
+def test_panoc_tol_early_stop(lasso):
+    prob, F, g = lasso
+    solver = ciao_tpu.PANOC(maxit=500, tol=1e-10)
+    x, it = solver(x0(prob), F=F, g=g, L=prob.L, N=N)
+    assert it < 500
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-12
+    # the iterator surfaces the stop as exhaustion (status CONVERGED)
+    states = list(take(iter(solver.iterator(x0(prob), F=F, g=g,
+                                            L=prob.L, N=N)), 500))
+    assert len(states) < 500
+    assert int(states[-1].status) == Status.CONVERGED
+
+
+def test_panoc_iterator_matches_batch(lasso):
+    prob, F, g = lasso
+    solver = ciao_tpu.PANOC(maxit=7)
+    it = solver.iterator(x0(prob), F=F, g=g, L=prob.L, N=N)
+    states = list(take(iter(it), 7))
+    x_batch, _ = solver(x0(prob), F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_array_equal(np.asarray(states[-1].solution),
+                                  np.asarray(x_batch))
+    # maxit=1 == init state (framework-wide convention)
+    x1, _ = solver.__class__(maxit=1)(x0(prob), F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_array_equal(np.asarray(states[0].solution),
+                                  np.asarray(x1))
+    with pytest.raises(ValueError, match="smoothness"):
+        ciao_tpu.PANOC(maxit=2)(x0(prob), F=F, g=g, N=N)
+
+
+def test_panoc_complex_dtype():
+    prob = make_lasso(N=N, n=n, p=3, seed=3, dtype=np.complex128)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b), scale=jnp.asarray(float(N))
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    for solver in (ciao_tpu.PANOC(maxit=80), ciao_tpu.ZeroFPR(maxit=80)):
+        x, _ = solver(jnp.zeros(n, prob.A.dtype), F=F, g=g, L=prob.L, N=N)
+        assert x.dtype == prob.A.dtype
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-10
+
+
+def test_panoc_logistic_l1():
+    """Reference logistic+L1 problem (test_logistic_l1.jl data via
+    utils.problems): PANOC reaches the reference tolerance in a few
+    dozen iterations."""
+    from ciao_tpu.utils.problems import make_logistic_l1
+
+    prob = make_logistic_l1()
+    F = LogisticRows(
+        X=jnp.asarray(prob.X), y=jnp.asarray(prob.y),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    z0 = jnp.zeros(prob.X.shape[1], jnp.asarray(prob.X).dtype)
+    x, _ = ciao_tpu.PANOC(maxit=80)(z0, F=F, g=g, L=prob.L,
+                                    N=prob.X.shape[0])
+    assert np.max(np.abs(np.asarray(x) - prob.x_star)) < 1e-6
+
+
+def test_panoc_gamma_only_and_ls_fallback(lasso):
+    """Explicit γ without L (σ from the conservative default) still
+    converges; a deliberately too-large γ exercises the τ→0 fallback
+    every step without diverging (bounded line search)."""
+    prob, F, g = lasso
+    gam = 0.95 / float(np.mean(prob.L))
+    x, _ = ciao_tpu.PANOC(gamma=gam, maxit=60)(x0(prob), F=F, g=g, N=N)
+    assert prob.cost(np.asarray(x)) - prob.f_star < 1e-12
+    # γ = 4/L violates the FB decrease; iterates must remain finite
+    xb, _ = ciao_tpu.PANOC(gamma=4.0 / float(np.mean(prob.L)), maxit=30)(
+        x0(prob), F=F, g=g, L=prob.L, N=N
+    )
+    assert np.all(np.isfinite(np.asarray(xb)))
+
+
+def test_value_sum_and_grad_sum_all_consistent(lasso):
+    """The fused value+grad full pass (PANOC's FBE primitive) must agree
+    with the separate reductions on every row-structured oracle."""
+    import jax
+
+    prob, F, g = lasso
+    x = jnp.asarray(np.random.default_rng(0).normal(size=n))
+    val, gsum = F.value_sum_and_grad_sum_all(x)
+    vals, grads = F.value_and_grad_all(x)
+    np.testing.assert_allclose(float(val), float(jnp.sum(vals)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gsum),
+                               np.asarray(jnp.sum(grads, axis=0)),
+                               rtol=1e-10, atol=1e-12)
+
+    from ciao_tpu.oracles import HuberRows
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.normal(size=(16, n)))
+    b = jnp.asarray(rng.normal(size=16))
+    yv = jnp.asarray(np.sign(rng.normal(size=16)))
+    for O in (HuberRows(A=A, b=b, delta=jnp.asarray(0.7)),
+              LogisticRows(X=A, y=yv)):
+        val, gsum = O.value_sum_and_grad_sum_all(x)
+        vals, grads = O.value_and_grad_all(x)
+        np.testing.assert_allclose(float(val), float(jnp.sum(vals)),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(gsum),
+                                   np.asarray(jnp.sum(grads, axis=0)),
+                                   rtol=1e-10, atol=1e-12)
