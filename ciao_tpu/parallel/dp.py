@@ -46,6 +46,7 @@ from ciao_tpu.solvers.base import (
     resolve_gamma_array,
     run_solver_loop,
 )
+from ciao_tpu.solvers.panoc import PANOCState as _PANOCState
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +126,7 @@ class DPCfg(NamedTuple):
     m_inner: int = 0      # static inner-loop length (SVRG fused local mode; Katyusha)
     variant: str = "basic"
     tol_b: float = 1e-9   # adaptive backtracking underflow bound
+    max_ls: int = 10      # PANOC/ZeroFPR line-search trial bound
 
     @property
     def n_loc(self):
@@ -1553,6 +1555,66 @@ def _fb_step_local(F, g, cfg: DPCfg, state: DPFBState):
     return state._replace(t=t_new, x=x_new, y=y_new, it=state.it + 1)
 
 
+class _PsumFBEOracle:
+    """Oracle adapter for the replicated PANOC step: the ONLY oracle
+    entry the FBE machinery uses (``value_sum_and_grad_sum_all``) runs
+    on the local row shard and psums both reductions — so the whole
+    solvers.panoc step body (L-BFGS, line search) reuses verbatim,
+    executing replicated. The while_loop's collectives are legal under
+    shard_map because its condition is computed from replicated values:
+    every device takes the same trial count."""
+
+    def __init__(self, F):
+        self._F = F
+
+    def value_sum_and_grad_sum_all(self, u):
+        v, gsum = self._F.value_sum_and_grad_sum_all(u)
+        return _psum(v), _psum(gsum)
+
+
+def _panoc_cfg(cfg: DPCfg):
+    from ciao_tpu.solvers.panoc import PANOCCfg
+
+    return PANOCCfg(N=cfg.N, mem=cfg.m_inner, max_ls=cfg.max_ls,
+                    zerofpr=cfg.variant == "zerofpr", tol=None)
+
+
+def _panoc_init_local(F, g, x0, gamma, sigma, key, cfg: DPCfg):
+    """Sharded PANOC/ZeroFPR bootstrap (solvers.panoc — beyond the
+    reference): table-free; only the oracle rows shard, the L-BFGS ring
+    and every iterate replicate. ``key`` is unused (deterministic)."""
+    from ciao_tpu.solvers import panoc as _p
+
+    rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
+    pcfg = _panoc_cfg(cfg)
+    Fp = _PsumFBEOracle(F)
+    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, g, x0, gamma, cfg.N)
+    m = pcfg.mem
+    paux = x0.size if pcfg.zerofpr else 0
+    return _p.PANOCState(
+        gamma=gamma, sigma=sigma, x=x0, fx=fx, gradx=gradx, z=z,
+        gz=jnp.real(gz), fbe=fbe,
+        S=jnp.zeros((m, x0.size), x0.dtype),
+        Y=jnp.zeros((m, x0.size), x0.dtype),
+        rho=jnp.zeros((m,), rdt),
+        head=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32),
+        pbase=jnp.zeros((paux,), x0.dtype),
+        presid=jnp.zeros((paux,), x0.dtype),
+        tau=jnp.ones((), rdt),
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _panoc_step_local(F, g, cfg: DPCfg, state):
+    """One sharded PANOC/ZeroFPR step: each FBE evaluation is one local
+    streaming pass + TWO psums (scalar value + x-sized gradient); the
+    quasi-Newton direction and line search replicate exactly (cf.
+    solvers.panoc._panoc_step)."""
+    from ciao_tpu.solvers.panoc import _panoc_step
+
+    return _panoc_step(_PsumFBEOracle(F), g, _panoc_cfg(cfg), state)
+
+
 class DPSARAHState(NamedTuple):
     gamma: jnp.ndarray      # scalar stepsize
     eta: jnp.ndarray        # scalar ProxSARAH damping
@@ -1940,6 +2002,8 @@ _FAMILY = {
               _rebase_identity_local),
     "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
            _rebase_identity_local),
+    "panoc": (_panoc_init_local, _panoc_step_local, _PANOCState, True,
+              _rebase_identity_local),
     "point_saga": (_point_saga_init_local, _point_saga_step_local,
                    DPPointSAGAState, True, _point_saga_rebase_local),
     "ssnm": (_ssnm_init_local, _ssnm_step_local, DPSSNMState, True,
@@ -2994,6 +3058,97 @@ class DPForwardBackward:
 def DPFISTA(**kwargs) -> DPForwardBackward:
     """``DPForwardBackward(fast=True)``."""
     return DPForwardBackward(fast=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPPANOC:
+    """Data-parallel PANOC/ZeroFPR (beyond the reference — see
+    :class:`ciao_tpu.solvers.PANOC`). Each FBE evaluation is one local
+    streaming pass over the device's row shard + one scalar and one
+    x-sized psum; the L-BFGS direction and line search replicate, so
+    the trajectory EQUALS the single-chip solver to reduction order."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    alpha: float = 0.95
+    beta: float = 0.5
+    maxit: int = 100
+    mem: int = 5
+    max_ls: int = 10
+    verbose: bool = False
+    freq: int = 10
+    zerofpr: bool = False
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert 0 < self.alpha < 1 and 0 < self.beta < 1
+        assert self.maxit > 0 and self.freq > 0
+        assert self.mem >= 1 and self.max_ls >= 1
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        rdt = real_dtype_of(x0)
+        D = mesh.shape[DATA_AXIS]
+        if N % D != 0:
+            raise ValueError(
+                f"DPPANOC: N={N} must divide evenly over the "
+                f"{D}-device data axis"
+            )
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+            if L is not None:
+                Lf = jnp.mean(jnp.asarray(L, rdt))
+                sigma = self.beta * jnp.maximum(1.0 - gamma * Lf, 0.05) \
+                    / (2.0 * gamma)
+            else:
+                sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            if L is None:
+                raise ValueError(
+                    "DPPANOC: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            Lf = jnp.mean(jnp.asarray(L, rdt))
+            gamma = self.alpha / Lf
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999,
+                    m_inner=self.mem, max_ls=self.max_ls,
+                    variant="zerofpr" if self.zerofpr else "panoc")
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "panoc", mesh, F, g, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(0)
+        sigma = jnp.asarray(sigma, rdt)
+        init = lambda: init_c(F, g, x0, gamma, sigma, key)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(
+            f"{it:5d} | {float(st.gamma):.3e} | τ={float(st.tau):.3f}"
+        )
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def DPZeroFPR(**kwargs) -> DPPANOC:
+    """``DPPANOC(zerofpr=True)``."""
+    return DPPANOC(zerofpr=True, **kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

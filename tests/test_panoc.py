@@ -128,6 +128,28 @@ def test_panoc_gamma_only_and_ls_fallback(lasso):
     assert np.all(np.isfinite(np.asarray(xb)))
 
 
+def test_dp_panoc_matches_single_chip(lasso):
+    """DPPANOC/DPZeroFPR on the 8-device mesh: deterministic method —
+    the sharded trajectory must EQUAL the single-chip one (the FBE
+    psums are the only cross-device ops)."""
+    from ciao_tpu.parallel import (
+        DPPANOC, DPZeroFPR, make_mesh, shard_finite_sum,
+    )
+
+    prob, F, g = lasso
+    z0 = x0(prob)
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh)
+    for DP, SC in ((DPPANOC, ciao_tpu.PANOC), (DPZeroFPR, ciao_tpu.ZeroFPR)):
+        x_dp, _ = DP(mesh=mesh, maxit=40)(z0, F=Fd, g=g, L=prob.L, N=N)
+        x_sc, _ = SC(maxit=40)(z0, F=F, g=g, L=prob.L, N=N)
+        np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_sc),
+                                   rtol=1e-9, atol=1e-12)
+        assert prob.cost(np.asarray(x_dp)) - prob.f_star < 1e-12
+    with pytest.raises(ValueError, match="divide evenly"):
+        DPPANOC(mesh=mesh, maxit=2)(z0, F=Fd, g=g, L=prob.L, N=N - 1)
+
+
 def test_value_sum_and_grad_sum_all_consistent(lasso):
     """The fused value+grad full pass (PANOC's FBE primitive) must agree
     with the separate reductions on every row-structured oracle."""
