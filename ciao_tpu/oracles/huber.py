@@ -232,6 +232,12 @@ class HuberRows(SmoothOracle):
             r = r * self.row_scale
         return self._coeff_from_res(r - self.b)
 
+    def value_from_margin_all(self, r):
+        """Σ_i f_i from the raw margins Ax (TP PANOC's FBE)."""
+        if self.row_scale is not None:
+            r = r * self.row_scale
+        return self.scale * jnp.sum(_hub_val(r - self.b, self.delta))
+
     # ---- contiguous-block fast paths ----------------------------------
     def grad_block(self, x, start, size: int):
         A_B, b_B = self._slice(start, size)

@@ -292,6 +292,14 @@ class LeastSquaresRows(SmoothOracle):
             r = r * self.row_scale
         return self.scale * (r - self.b)
 
+    def value_from_margin_all(self, r):
+        """Σ_i f_i from the raw margins Ax (TP PANOC's FBE: the margin
+        psums over "model", values reduce over the local row shard)."""
+        if self.row_scale is not None:
+            r = r * self.row_scale
+        res = r - self.b
+        return 0.5 * self.scale * jnp.sum(jnp.real(res * jnp.conj(res)))
+
     # ---- fused Pallas table-refresh kernels (TPU, f32) ---------------
     # One streaming VMEM pass per block: row gradients + table write +
     # aggregate innovation (ciao_tpu.ops.fused_block). Callers gate on

@@ -228,6 +228,12 @@ class LogisticRows(SmoothOracle):
             r = r * self.row_scale
         return -self.y * jax.nn.sigmoid(-self.y * r)
 
+    def value_from_margin_all(self, r):
+        """Σ_i f_i from the raw margins Xx (TP PANOC's FBE)."""
+        if self.row_scale is not None:
+            r = r * self.row_scale
+        return jnp.sum(_log1pexp(-self.y * r))
+
     # ---- proximal-point structure (Point-SAGA) ------------------------
     # prox of one logistic row is z − γθ·a_j with the scalar θ solving
     # θ = −y·σ(−y·(m_z − γ|a_j|²θ)) — a 1-D monotone root found by a

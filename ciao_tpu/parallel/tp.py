@@ -1030,6 +1030,101 @@ _FB_ST_SPECS = TPFBState(
 )
 
 
+class TPPANOCCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    mem: int = 5
+    max_ls: int = 10
+    zerofpr: bool = False
+
+
+class _TPFBEOracle:
+    """``value_sum_and_grad_sum_all`` over the 2-D-sharded oracle —
+    the single entry solvers.panoc's FBE machinery needs: raw margins
+    psum over "model", then the value and gradient reductions psum over
+    "data" (the gradient stays a local "model" shard)."""
+
+    def __init__(self, F):
+        self._F = F
+
+    def value_sum_and_grad_sum_all(self, u):
+        r = _psum_m(self._F.margin_all(u))
+        val = _psum_d(self._F.value_from_margin_all(r))
+        gsum = _psum_d(self._F.apply_all(self._F.coeff_from_margin_all(r)))
+        return val, gsum
+
+
+class _TPProxAdapter:
+    """Separable prox on the local coordinate shard whose VALUE psums
+    over "model" — the FBE term g(z) must be the global value or the
+    replicated line-search condition would diverge across shards."""
+
+    def __init__(self, g):
+        self._g = g
+
+    def prox(self, x, gamma):
+        z = self._g.prox_only(x, gamma)
+        return z, _psum_m(self._g.value(z))
+
+
+def _tp_rdot(a, b):
+    """Re⟨a, b⟩ of model-sharded vectors: local vdot + "model" psum."""
+    return _psum_m(jnp.real(jnp.vdot(a, b)))
+
+
+def _tp_panoc_init(F, g, x0, gamma, sigma, cfg: TPPANOCCfg):
+    """2-D-sharded PANOC/ZeroFPR bootstrap (solvers.panoc — beyond the
+    reference): the L-BFGS ring shards over "model" with the iterate;
+    every scalar carry replicates."""
+    from ciao_tpu.solvers import panoc as _p
+
+    rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
+    Fp, gp = _TPFBEOracle(F), _TPProxAdapter(g)
+    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, gp, x0, gamma, cfg.N,
+                                             _tp_rdot)
+    m = cfg.mem
+    paux = x0.size if cfg.zerofpr else 0
+    return _p.PANOCState(
+        gamma=gamma, sigma=sigma, x=x0, fx=fx, gradx=gradx, z=z,
+        gz=jnp.real(gz), fbe=fbe,
+        S=jnp.zeros((m, x0.size), x0.dtype),
+        Y=jnp.zeros((m, x0.size), x0.dtype),
+        rho=jnp.zeros((m,), rdt),
+        head=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32),
+        pbase=jnp.zeros((paux,), x0.dtype),
+        presid=jnp.zeros((paux,), x0.dtype),
+        tau=jnp.ones((), rdt),
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_panoc_step(F, g, cfg: TPPANOCCfg, state):
+    """One 2-D-sharded PANOC/ZeroFPR step (cf. solvers.panoc
+    ._panoc_step, reused verbatim): each FBE evaluation is one margin
+    psum over "model" + two "data" psums; every two-loop inner product
+    psums over "model", so the replicated scalars (and hence the line
+    search's trip count) agree across all devices."""
+    from ciao_tpu.solvers.panoc import PANOCCfg, _panoc_step
+
+    pcfg = PANOCCfg(N=cfg.N, mem=cfg.mem, max_ls=cfg.max_ls,
+                    zerofpr=cfg.zerofpr, tol=None)
+    return _panoc_step(_TPFBEOracle(F), _TPProxAdapter(g), pcfg, state,
+                       rdot=_tp_rdot)
+
+
+def _panoc_st_specs():
+    from ciao_tpu.solvers.panoc import PANOCState
+
+    return PANOCState(
+        gamma=P(), sigma=P(), x=P(MODEL_AXIS), fx=P(),
+        gradx=P(MODEL_AXIS), z=P(MODEL_AXIS), gz=P(), fbe=P(),
+        S=P(None, MODEL_AXIS), Y=P(None, MODEL_AXIS), rho=P(),
+        head=P(), count=P(), pbase=P(MODEL_AXIS), presid=P(MODEL_AXIS),
+        tau=P(), it=P(), status=P(),
+    )
+
+
 class TPProshiState(NamedTuple):
     """ProShI sharing-problem state on the ("data","model") mesh: the
     (N, n) block-variable table shards over BOTH axes, γ over "data",
@@ -1408,6 +1503,8 @@ _TP_FAMILY = {
                    _tp_point_saga_rebase, (P(MODEL_AXIS), P(), P())),
     "fb": (_tp_fb_init, _tp_fb_step, _FB_ST_SPECS,
            _tp_rebase_identity, (P(MODEL_AXIS), P())),
+    "panoc": (_tp_panoc_init, _tp_panoc_step, _panoc_st_specs(),
+              _tp_rebase_identity, (P(MODEL_AXIS), P(), P())),
     "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
                _tp_proshi_rebase, (P(MODEL_AXIS), P(DATA_AXIS), P())),
     "ssnm": (_tp_ssnm_init, _tp_ssnm_step, _SSNM_ST_SPECS,
@@ -2050,6 +2147,118 @@ class TPForwardBackward:
 def TPFISTA(**kwargs) -> TPForwardBackward:
     """``TPForwardBackward(fast=True)``."""
     return TPForwardBackward(fast=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPPANOC:
+    """PANOC/ZeroFPR on a ("data", "model") mesh (beyond the reference
+    — see :class:`ciao_tpu.solvers.PANOC`): rows shard over "data",
+    coordinates (iterate, gradient, L-BFGS ring) over "model". Each FBE
+    evaluation costs one margin psum over "model" and two "data" psums;
+    the line search and two-loop recursion run on replicated scalars,
+    so the trajectory equals the single-chip solver to reduction order.
+    Requires the margin protocol (dense row oracles) and a separable
+    prox."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    alpha: float = 0.95
+    beta: float = 0.5
+    maxit: int = 100
+    mem: int = 5
+    max_ls: int = 10
+    verbose: bool = False
+    freq: int = 10
+    zerofpr: bool = False
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert 0 < self.alpha < 1 and 0 < self.beta < 1
+        assert self.maxit > 0 and self.freq > 0
+        assert self.mem >= 1 and self.max_ls >= 1
+
+    def _setup(self, x0, F, g, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPPANOC needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            N = F.num_terms
+        if g is None:
+            g = Zero()
+        if not getattr(g, "separable", False):
+            raise ValueError(
+                "TPPANOC shards coordinates — the prox must be separable "
+                f"(got {type(g).__name__})"
+            )
+        if not hasattr(F, "value_from_margin_all"):
+            raise ValueError(
+                "TPPANOC needs the margin-value protocol "
+                "(margin_all/value_from_margin_all — dense row oracles); "
+                f"{type(F).__name__} is DP-only"
+            )
+        if N % D != 0:
+            raise ValueError("TPPANOC: need N divisible by D")
+        if x0.size % M != 0:
+            raise ValueError("TPPANOC: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+            if L is not None:
+                Lf = jnp.mean(jnp.asarray(L, rdt))
+                sigma = self.beta * jnp.maximum(1.0 - gamma * Lf, 0.05) \
+                    / (2.0 * gamma)
+            else:
+                sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            if L is None:
+                raise ValueError(
+                    "TPPANOC: provide the smoothness moduli L, or a "
+                    "stepsize γ"
+                )
+            Lf = jnp.mean(jnp.asarray(L, rdt))
+            gamma = self.alpha / Lf
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        cfg = TPPANOCCfg(N=N, D=D, M=M, mem=self.mem, max_ls=self.max_ls,
+                         zerofpr=self.zerofpr)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(g, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "panoc", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        sigma = jnp.asarray(sigma, rdt)
+        init = lambda: init_c(F, g, x0, gamma, sigma)
+        step = lambda s: step_c(F, g, s)
+        run = lambda s, k: run_c(F, g, s, k)
+        rebase = lambda s: rebase_c(F, g, s)
+        return x0, F, g, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):
+        x0, F, g, init, step, run, _ = self._setup(x0, F, g, L, N)
+        disp = lambda it, st: print(
+            f"{it:5d} | {float(st.gamma):.3e} | τ={float(st.tau):.3f}"
+        )
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, g, init, step, run, rebase = self._setup(x0, F, g, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def TPZeroFPR(**kwargs) -> TPPANOC:
+    """``TPPANOC(zerofpr=True)``."""
+    return TPPANOC(zerofpr=True, **kwargs)
 
 
 def _tp_guard_loopless(who, mesh, x0, F, g, N, batch):

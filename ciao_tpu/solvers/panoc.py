@@ -104,21 +104,23 @@ def _rdot(a, b):
     return jnp.real(jnp.vdot(a, b))
 
 
-def _eval_fbe(F, g, u, gamma, N):
+def _eval_fbe(F, g, u, gamma, N, rdot=_rdot):
     """One FBE evaluation: ONE streamed oracle pass + one prox.
 
-    Returns (f_u, grad_u, z_u, g_zu, r_u, fbe_u)."""
+    Returns (f_u, grad_u, z_u, g_zu, r_u, fbe_u). ``rdot`` is the real
+    inner product — parallel variants pass a collective-reducing one
+    (TP: local vdot + psum over the model axis)."""
     val, gsum = F.value_sum_and_grad_sum_all(u)
     f_u = jnp.real(val) / N
     grad_u = gsum / N
     z_u, g_zu = g.prox(u - gamma * grad_u, gamma)
     r_u = u - z_u
-    fbe_u = (f_u - _rdot(grad_u, r_u) + 0.5 / gamma * _rdot(r_u, r_u)
+    fbe_u = (f_u - rdot(grad_u, r_u) + 0.5 / gamma * rdot(r_u, r_u)
              + jnp.real(g_zu))
     return f_u, grad_u, z_u, g_zu, r_u, fbe_u
 
 
-def _lbfgs_direction(S, Y, rho, head, count, r):
+def _lbfgs_direction(S, Y, rho, head, count, r, rdot=_rdot):
     """Two-loop recursion d = −H·r over the masked ring buffers.
 
     Invalid slots carry rho = 0 so their α/β contributions vanish —
@@ -130,38 +132,38 @@ def _lbfgs_direction(S, Y, rho, head, count, r):
     def bwd(i, carry):
         q, alphas = carry
         idx = (head - 1 - i) % m
-        a = rho[idx] * _rdot(S[idx], q)
+        a = rho[idx] * rdot(S[idx], q)
         q = q - a * Y[idx]
         return q, alphas.at[idx].set(a)
 
     q, alphas = jax.lax.fori_loop(0, m, bwd, (r, jnp.zeros((m,), rdt)))
 
     last = (head - 1) % m
-    yy = _rdot(Y[last], Y[last])
-    sy = _rdot(S[last], Y[last])
+    yy = rdot(Y[last], Y[last])
+    sy = rdot(S[last], Y[last])
     gam_h = jnp.where((count > 0) & (yy > 0), sy / jnp.where(yy > 0, yy, 1.0),
                       jnp.ones((), rdt))
     q = q * gam_h
 
     def fwd(i, q):
         idx = (head - count + i) % m
-        b = rho[idx] * _rdot(Y[idx], q)
+        b = rho[idx] * rdot(Y[idx], q)
         return q + (alphas[idx] - b) * S[idx]
 
     q = jax.lax.fori_loop(0, m, fwd, q)
     d = -q
     # numerical safeguard: a broken direction falls back to −r (the FB
     # direction), which the τ-search accepts unconditionally
-    ok = jnp.isfinite(_rdot(d, d))
+    ok = jnp.isfinite(rdot(d, d))
     return jnp.where(ok, d, -r)
 
 
-def _push_pair(state: PANOCState, s, y, valid=True) -> PANOCState:
+def _push_pair(state: PANOCState, s, y, valid=True, rdot=_rdot) -> PANOCState:
     """Ring-push an (s, y) pair, rejected unless ``valid`` and the
     curvature Re⟨y, s⟩ > ε‖s‖‖y‖ (keeps H positive definite)."""
-    sy = _rdot(y, s)
-    ss = _rdot(s, s)
-    yy = _rdot(y, y)
+    sy = rdot(y, s)
+    ss = rdot(s, s)
+    yy = rdot(y, y)
     eps = jnp.asarray(1e-12, sy.dtype)
     good = (sy > eps * jnp.sqrt(ss * yy) + eps) & valid
     h = state.head
@@ -196,10 +198,11 @@ def panoc_init(F, g, x0, gamma, sigma, cfg: PANOCCfg) -> PANOCState:
     )
 
 
-def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
+def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
+                rdot=_rdot) -> PANOCState:
     gamma, sigma = state.gamma, state.sigma
     r = state.x - state.z
-    rr = _rdot(r, r)
+    rr = rdot(r, r)
 
     if cfg.zerofpr:
         # ZeroFPR: evaluate the residual AT the prox point xbar = z(x)
@@ -207,10 +210,11 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
         # the PREVIOUS iteration, and build/apply the direction there.
         base = state.z
         _fb, _gb, _zbar, _gzb, rbar, _fbeb = _eval_fbe(
-            F, g, base, gamma, cfg.N
+            F, g, base, gamma, cfg.N, rdot
         )
         state = _push_pair(state, base - state.pbase,
-                           rbar - state.presid, valid=state.it > 1)
+                           rbar - state.presid, valid=state.it > 1,
+                           rdot=rdot)
         state = state._replace(pbase=base, presid=rbar)
         dir_resid = rbar
     else:
@@ -218,7 +222,7 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
         dir_resid = r
 
     d = _lbfgs_direction(state.S, state.Y, state.rho, state.head,
-                         state.count, dir_resid)
+                         state.count, dir_resid, rdot)
 
     rdt = state.fbe.dtype
     target = state.fbe - sigma * rr
@@ -236,7 +240,8 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
     def ls_body(carry):
         j = carry[0]
         tau, u = ls_candidate(j)
-        f_u, grad_u, z_u, g_zu, r_u, fbe_u = _eval_fbe(F, g, u, gamma, cfg.N)
+        f_u, grad_u, z_u, g_zu, r_u, fbe_u = _eval_fbe(F, g, u, gamma,
+                                                       cfg.N, rdot)
         accepted = fbe_u <= target
         return (j + 1, accepted, tau, u, f_u, grad_u, z_u,
                 jnp.real(g_zu), r_u, fbe_u)
@@ -261,10 +266,10 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState) -> PANOCState:
     if not cfg.zerofpr:
         # PANOC pair: (Δx, ΔR(x)) — r_u = R(u) is free from the
         # accepted candidate's own FBE evaluation
-        new = _push_pair(new, u - state.x, r_u - r)
+        new = _push_pair(new, u - state.x, r_u - r, rdot=rdot)
 
     if cfg.tol is not None:
-        resid = jnp.sqrt(_rdot(r_u, r_u)) / gamma
+        resid = jnp.sqrt(rdot(r_u, r_u)) / gamma
         new = new._replace(
             status=jnp.where(resid <= cfg.tol,
                              jnp.asarray(int(Status.CONVERGED), jnp.int32),

@@ -150,6 +150,30 @@ def test_dp_panoc_matches_single_chip(lasso):
         DPPANOC(mesh=mesh, maxit=2)(z0, F=Fd, g=g, L=prob.L, N=N - 1)
 
 
+def test_tp_panoc_matches_single_chip(lasso):
+    """TPPANOC/TPZeroFPR on a (4 data x 2 model) mesh: the 2-D-sharded
+    trajectory must equal the single-chip one (margin psum over
+    "model", value/gradient psums over "data", replicated line search);
+    non-separable proxes are rejected."""
+    from ciao_tpu.parallel import (
+        TPPANOC, TPZeroFPR, make_mesh_2d, shard_finite_sum_2d,
+    )
+    from ciao_tpu.prox import NormL2
+
+    prob, F, g = lasso
+    z0 = x0(prob)
+    mesh2 = make_mesh_2d(4, 2)
+    F2 = shard_finite_sum_2d(F, mesh2)
+    for TP, SC in ((TPPANOC, ciao_tpu.PANOC), (TPZeroFPR, ciao_tpu.ZeroFPR)):
+        x_tp, _ = TP(mesh=mesh2, maxit=40)(z0, F=F2, g=g, L=prob.L, N=N)
+        x_sc, _ = SC(maxit=40)(z0, F=F, g=g, L=prob.L, N=N)
+        np.testing.assert_allclose(np.asarray(x_tp), np.asarray(x_sc),
+                                   rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="separable"):
+        TPPANOC(mesh=mesh2)(z0, F=F2, g=NormL2(lam=jnp.asarray(1.0)),
+                            L=prob.L, N=N)
+
+
 def test_value_sum_and_grad_sum_all_consistent(lasso):
     """The fused value+grad full pass (PANOC's FBE primitive) must agree
     with the separate reductions on every row-structured oracle."""
