@@ -599,6 +599,110 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int,
     return c1, gsum
 
 
+def _value_formula(mode, r, b_t, scale, aux=0.0):
+    """Per-row loss values from the (already dequant-scaled) margins —
+    the value-side twin of ``_coeff_formula`` (PANOC's FBE needs
+    f AND ∇f from the same streamed pass)."""
+    res = r - b_t
+    v_lsq = 0.5 * scale * res * res
+    # stable log(1+exp(t)), t = −y·r (b_t carries the labels y)
+    t = -b_t * r
+    v_log = jnp.maximum(t, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(t)))
+    a = jnp.abs(res)
+    v_hub = scale * jnp.where(a <= aux, 0.5 * res * res,
+                              aux * (a - 0.5 * aux))
+    return jnp.where(mode == MODE_LSQ, v_lsq,
+                     jnp.where(mode == MODE_LOGISTIC, v_log, v_hub))
+
+
+def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):
+    """One streaming pass: per row-tile compute the coefficients AND
+    the per-row loss values from the same margin, accumulating both the
+    value sum and the gradient sum Σ c_i·a_i — the whole FBE oracle
+    read of PANOC/ZeroFPR in a single read of A."""
+    if quant:
+        (rs_ref, z_ref, sc_ref, val_ref, c_ref, av_ref,
+         acc_vm, vacc_vm) = refs
+    else:
+        rs_ref = None
+        (z_ref, sc_ref, val_ref, c_ref, av_ref, acc_vm, vacc_vm) = refs
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    scale = sc_ref[0, 0]
+    mode = sc_ref[0, 1]
+    aux = sc_ref[0, 2]
+
+    @pl.when(i == 0)
+    def _():
+        acc_vm[...] = jnp.zeros_like(acc_vm)
+        vacc_vm[...] = jnp.zeros_like(vacc_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(
+        z_ref[...], A_t, (((1,), (1,)), ((), ())), prec,
+    )  # (1, TILE)
+    if quant:
+        r = r * rs_ref[...]
+    c = _coeff_formula(mode, r, b_ref[...], scale, aux)
+    c_ref[...] = c
+    v = _value_formula(mode, r, b_ref[...], scale, aux)
+    vacc_vm[...] += jnp.sum(v, axis=-1, keepdims=True)  # (1, 1)
+    cw = c * rs_ref[...] if quant else c
+    acc_vm[...] += _stream_dot(
+        cw, A_t, (((1,), (0,)), ((), ())), prec,
+    )  # (1, n)
+
+    @pl.when(i == T - 1)
+    def _():
+        av_ref[...] = acc_vm[...]
+        val_ref[...] = vacc_vm[...]
+
+
+def coeff_value_apply_all(A, b1, z2, scalars, tile: int,
+                          precision: str = "highest", rs1=None,
+                          interpret: bool = False):
+    """PANOC's FBE oracle read in ONE pass over A: returns
+    ``(val, c1, gsum2)`` — the (1, 1) loss sum Σf_i(z), the (1, N)
+    coefficient row c(z) and the (1, n) gradient sum Σ c_i·a_i (caller
+    divides by N). Replaces the XLA value_sum_and_grad_sum_all, which
+    costs 2 passes (margin matmul + cᵀA matmul). Same operand contract
+    as :func:`coeff_apply_all`."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
+    T = N // tile
+    rs_specs = [pl.BlockSpec((1, tile), lambda i: (0, i))] if quant else []
+    rs_ops = [rs1] if quant else []
+
+    val, c1, gsum = pl.pallas_call(
+        functools.partial(_coeff_value_apply_kernel,
+                          _PRECISIONS[precision], quant),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0)),   # A row tile
+            pl.BlockSpec((1, tile), lambda i: (0, i)),   # b tile
+            *rs_specs,                                   # dequant scales
+            pl.BlockSpec((1, n), lambda i: (0, 0)),      # z
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),      # value sum
+            pl.BlockSpec((1, tile), lambda i: (0, i)),   # c tile
+            pl.BlockSpec((1, n), lambda i: (0, 0)),      # gradient sum
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32),
+                        pltpu.VMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(A, b1, *rs_ops, z2, scalars)
+    return val, c1, gsum
+
+
 @functools.partial(
     jax.jit, static_argnames=("B", "precision", "interpret"),
 )

@@ -1588,7 +1588,7 @@ def _panoc_init_local(F, g, x0, gamma, sigma, key, cfg: DPCfg):
     rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
     pcfg = _panoc_cfg(cfg)
     Fp = _PsumFBEOracle(F)
-    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, g, x0, gamma, cfg.N)
+    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, g, x0, gamma, pcfg)
     m = pcfg.mem
     paux = x0.size if pcfg.zerofpr else 0
     return _p.PANOCState(

@@ -1081,7 +1081,9 @@ def _tp_panoc_init(F, g, x0, gamma, sigma, cfg: TPPANOCCfg):
 
     rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
     Fp, gp = _TPFBEOracle(F), _TPProxAdapter(g)
-    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, gp, x0, gamma, cfg.N,
+    pcfg = _p.PANOCCfg(N=cfg.N, mem=cfg.mem, max_ls=cfg.max_ls,
+                       zerofpr=cfg.zerofpr, tol=None)
+    fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, gp, x0, gamma, pcfg,
                                              _tp_rdot)
     m = cfg.mem
     paux = x0.size if cfg.zerofpr else 0

@@ -70,6 +70,8 @@ class PANOCCfg(NamedTuple):
     max_ls: int = 10      # line-search trials before forcing τ = 0
     zerofpr: bool = False  # direction at xbar (ZeroFPR) vs at x (PANOC)
     tol: Optional[float] = None  # ‖r‖/γ stop (None = run maxit)
+    fused: bool = False   # one-pass Pallas FBE read (coeff_value_apply_all)
+    fused_precision: str = "highest"  # MXU dots in the fused pass
 
 
 class PANOCState(NamedTuple):
@@ -104,13 +106,34 @@ def _rdot(a, b):
     return jnp.real(jnp.vdot(a, b))
 
 
-def _eval_fbe(F, g, u, gamma, N, rdot=_rdot):
+def _eval_fbe(F, g, u, gamma, cfg: PANOCCfg, rdot=_rdot):
     """One FBE evaluation: ONE streamed oracle pass + one prox.
 
     Returns (f_u, grad_u, z_u, g_zu, r_u, fbe_u). ``rdot`` is the real
     inner product — parallel variants pass a collective-reducing one
     (TP: local vdot + psum over the model axis)."""
-    val, gsum = F.value_sum_and_grad_sum_all(u)
+    N = cfg.N
+    if cfg.fused:
+        # value + coefficients + gradient sum from ONE streamed read of
+        # the oracle rows (the XLA path costs 2 full passes: the margin
+        # matmul and the cᵀA matmul — measured 3.68 → 1.9 ms/step at
+        # the PERF.md 262k x 1024 config)
+        from ciao_tpu.ops.fused_block import (
+            _pick_tile, coeff_value_apply_all, oracle_scalar_consts,
+            rows_scale_row,
+        )
+
+        rows, offs = F.coeff_rows_data()
+        scale, mode, _, aux = oracle_scalar_consts(F, g)
+        tile = _pick_tile(N, N, u.size, esize=rows.dtype.itemsize)
+        val, _, gsum = coeff_value_apply_all(
+            rows, offs[None, :], u[None, :],
+            jnp.stack([scale, mode, aux])[None, :], tile,
+            precision=cfg.fused_precision, rs1=rows_scale_row(F),
+        )
+        val, gsum = val[0, 0], gsum[0]
+    else:
+        val, gsum = F.value_sum_and_grad_sum_all(u)
     f_u = jnp.real(val) / N
     grad_u = gsum / N
     z_u, g_zu = g.prox(u - gamma * grad_u, gamma)
@@ -181,7 +204,7 @@ def _push_pair(state: PANOCState, s, y, valid=True, rdot=_rdot) -> PANOCState:
 @partial(jax.jit, static_argnames=("cfg",))
 def panoc_init(F, g, x0, gamma, sigma, cfg: PANOCCfg) -> PANOCState:
     rdt = real_dtype_of(x0)
-    fx, gradx, z, gz, _r, fbe = _eval_fbe(F, g, x0, gamma, cfg.N)
+    fx, gradx, z, gz, _r, fbe = _eval_fbe(F, g, x0, gamma, cfg)
     m = cfg.mem
     paux = x0.size if cfg.zerofpr else 0
     return PANOCState(
@@ -210,7 +233,7 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
         # the PREVIOUS iteration, and build/apply the direction there.
         base = state.z
         _fb, _gb, _zbar, _gzb, rbar, _fbeb = _eval_fbe(
-            F, g, base, gamma, cfg.N, rdot
+            F, g, base, gamma, cfg, rdot
         )
         state = _push_pair(state, base - state.pbase,
                            rbar - state.presid, valid=state.it > 1,
@@ -241,7 +264,7 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
         j = carry[0]
         tau, u = ls_candidate(j)
         f_u, grad_u, z_u, g_zu, r_u, fbe_u = _eval_fbe(F, g, u, gamma,
-                                                       cfg.N, rdot)
+                                                       cfg, rdot)
         accepted = fbe_u <= target
         return (j + 1, accepted, tau, u, f_u, grad_u, z_u,
                 jnp.real(g_zu), r_u, fbe_u)
@@ -318,6 +341,7 @@ class PANOC:
     verbose: bool = False
     freq: int = 10
     zerofpr: bool = False
+    fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc dots
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
@@ -325,6 +349,7 @@ class PANOC:
         assert self.maxit > 0 and self.freq > 0
         assert self.mem >= 1 and self.max_ls >= 1
         assert self.tol is None or self.tol > 0
+        assert self.fused_precision in ("highest", "default")
 
     def _setup(self, x0, F, g, L, N):
         x0 = jnp.asarray(x0)
@@ -356,8 +381,20 @@ class PANOC:
             Lf = jnp.mean(jnp.asarray(L, rdt))
             gamma = self.alpha / Lf
             sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        fused = False
+        if x0.dtype == jnp.float32:
+            from ciao_tpu.ops.fused_block import _pick_tile
+
+            fused = (
+                jax.default_backend() == "tpu"
+                and x0.size % 128 == 0
+                and _pick_tile(N, N, x0.size) >= 128
+                and hasattr(F, "coeff_rows_data")
+                and getattr(F, "supports_coeff", False)
+            )
         cfg = PANOCCfg(N=N, mem=self.mem, max_ls=self.max_ls,
-                       zerofpr=self.zerofpr, tol=self.tol)
+                       zerofpr=self.zerofpr, tol=self.tol, fused=fused,
+                       fused_precision=self.fused_precision)
         init = lambda: panoc_init(F, g, x0, gamma,
                                   jnp.asarray(sigma, rdt), cfg)
         return x0, F, g, cfg, init
