@@ -167,6 +167,12 @@ class SmoothOracle(abc.ABC):
         """Full-pass gradient sum (SVRG anchor / init); override with matmul."""
         return jnp.sum(self.grad_all(x), axis=0)
 
+    def value_sum_all(self, x):
+        """``Σ_i f_i(x)`` — the value-only full pass (adaptive PANOC's
+        γ-backtracking probe: one margin read, no gradient). Row
+        oracles override to skip the gradient entirely."""
+        return self.value_sum_and_grad_sum_all(x)[0]
+
     def value_sum_and_grad_sum_all(self, x):
         """``(Σ_i f_i(x), Σ_i ∇f_i(x))`` in one full pass — the
         line-search primitive of the Newton-type deterministic solvers

@@ -119,6 +119,10 @@ class HuberRows(SmoothOracle):
             return (c * self.row_scale) @ self.A.astype(x.dtype)
         return c @ self.A
 
+    def value_sum_all(self, x):
+        # ONE margin pass, no back-projection (adaptive PANOC γ-probe)
+        return self.value_from_margin_all(self.margin_all(x))
+
     def value_sum_and_grad_sum_all(self, x):
         # both reductions from ONE streamed margin (PANOC line search)
         r = self._margin_all(x) - self.b

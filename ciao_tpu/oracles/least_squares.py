@@ -136,6 +136,10 @@ class LeastSquaresRows(SmoothOracle):
         r = self.A @ x - self.b
         return self.scale * self._conjA() * r[:, None]
 
+    def value_sum_all(self, x):
+        # ONE margin pass, no back-projection (adaptive PANOC γ-probe)
+        return self.value_from_margin_all(self.margin_all(x))
+
     def value_sum_and_grad_sum_all(self, x):
         # both reductions from ONE streamed margin (PANOC line search)
         if self.row_scale is not None:

@@ -106,6 +106,10 @@ class LogisticRows(SmoothOracle):
             return (coeff * self.row_scale) @ self.X.astype(x.dtype)
         return coeff @ self.X
 
+    def value_sum_all(self, x):
+        # ONE margin pass, no back-projection (adaptive PANOC γ-probe)
+        return self.value_from_margin_all(self.margin_all(x))
+
     def value_sum_and_grad_sum_all(self, x):
         # both reductions from ONE streamed margin (PANOC line search)
         t = -self.y * self._margin_all(x)

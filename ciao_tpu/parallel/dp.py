@@ -127,6 +127,7 @@ class DPCfg(NamedTuple):
     variant: str = "basic"
     tol_b: float = 1e-9   # adaptive backtracking underflow bound
     max_ls: int = 10      # PANOC/ZeroFPR line-search trial bound
+    adaptive: bool = False  # PANOC/ZeroFPR γ-backtracking mode
 
     @property
     def n_loc(self):
@@ -1571,12 +1572,17 @@ class _PsumFBEOracle:
         v, gsum = self._F.value_sum_and_grad_sum_all(u)
         return _psum(v), _psum(gsum)
 
+    def value_sum_all(self, u):
+        # adaptive γ-backtracking probe: local margin read + one psum
+        return _psum(self._F.value_sum_all(u))
+
 
 def _panoc_cfg(cfg: DPCfg):
     from ciao_tpu.solvers.panoc import PANOCCfg
 
     return PANOCCfg(N=cfg.N, mem=cfg.m_inner, max_ls=cfg.max_ls,
-                    zerofpr=cfg.variant == "zerofpr", tol=None)
+                    zerofpr=cfg.variant == "zerofpr", tol=None,
+                    adaptive=cfg.adaptive)
 
 
 def _panoc_init_local(F, g, x0, gamma, sigma, key, cfg: DPCfg):
@@ -3078,6 +3084,7 @@ class DPPANOC:
     verbose: bool = False
     freq: int = 10
     zerofpr: bool = False
+    adaptive: bool = False  # γ-backtracking (auto when no γ and no L)
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
@@ -3099,6 +3106,7 @@ class DPPANOC:
                 f"DPPANOC: N={N} must divide evenly over the "
                 f"{D}-device data axis"
             )
+        adaptive = self.adaptive or (self.gamma is None and L is None)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
             if L is not None:
@@ -3107,17 +3115,20 @@ class DPPANOC:
                     / (2.0 * gamma)
             else:
                 sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
-        else:
-            if L is None:
-                raise ValueError(
-                    "DPPANOC: provide the smoothness moduli L, or a "
-                    "stepsize γ"
-                )
+        elif L is not None:
             Lf = jnp.mean(jnp.asarray(L, rdt))
             gamma = self.alpha / Lf
             sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            # adaptive bootstrap: eager finite-difference probe (the
+            # sharded oracle's grad_sum_all auto-partitions under GSPMD)
+            from ciao_tpu.solvers.panoc import _probe_gamma
+
+            gamma = _probe_gamma(F, x0, N, self.alpha, rdt)
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
         cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999,
                     m_inner=self.mem, max_ls=self.max_ls,
+                    adaptive=adaptive,
                     variant="zerofpr" if self.zerofpr else "panoc")
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "panoc", mesh, F, g, cfg, extra_init_scalars=1

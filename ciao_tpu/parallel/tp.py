@@ -1037,6 +1037,7 @@ class TPPANOCCfg(NamedTuple):
     mem: int = 5
     max_ls: int = 10
     zerofpr: bool = False
+    adaptive: bool = False
 
 
 class _TPFBEOracle:
@@ -1053,6 +1054,11 @@ class _TPFBEOracle:
         val = _psum_d(self._F.value_from_margin_all(r))
         gsum = _psum_d(self._F.apply_all(self._F.coeff_from_margin_all(r)))
         return val, gsum
+
+    def value_sum_all(self, u):
+        # adaptive γ-backtracking probe: margin psum + value psum only
+        r = _psum_m(self._F.margin_all(u))
+        return _psum_d(self._F.value_from_margin_all(r))
 
 
 class _TPProxAdapter:
@@ -1082,7 +1088,8 @@ def _tp_panoc_init(F, g, x0, gamma, sigma, cfg: TPPANOCCfg):
     rdt = jnp.zeros((), jnp.result_type(x0)).real.dtype
     Fp, gp = _TPFBEOracle(F), _TPProxAdapter(g)
     pcfg = _p.PANOCCfg(N=cfg.N, mem=cfg.mem, max_ls=cfg.max_ls,
-                       zerofpr=cfg.zerofpr, tol=None)
+                       zerofpr=cfg.zerofpr, tol=None,
+                       adaptive=cfg.adaptive)
     fx, gradx, z, gz, _r, fbe = _p._eval_fbe(Fp, gp, x0, gamma, pcfg,
                                              _tp_rdot)
     m = cfg.mem
@@ -1110,7 +1117,8 @@ def _tp_panoc_step(F, g, cfg: TPPANOCCfg, state):
     from ciao_tpu.solvers.panoc import PANOCCfg, _panoc_step
 
     pcfg = PANOCCfg(N=cfg.N, mem=cfg.mem, max_ls=cfg.max_ls,
-                    zerofpr=cfg.zerofpr, tol=None)
+                    zerofpr=cfg.zerofpr, tol=None,
+                    adaptive=cfg.adaptive)
     return _panoc_step(_TPFBEOracle(F), _TPProxAdapter(g), pcfg, state,
                        rdot=_tp_rdot)
 
@@ -2172,6 +2180,7 @@ class TPPANOC:
     verbose: bool = False
     freq: int = 10
     zerofpr: bool = False
+    adaptive: bool = False  # γ-backtracking (auto when no γ and no L)
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
@@ -2207,6 +2216,7 @@ class TPPANOC:
         if x0.size % M != 0:
             raise ValueError("TPPANOC: need n divisible by the model axis")
         rdt = real_dtype_of(x0)
+        adaptive = self.adaptive or (self.gamma is None and L is None)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
             if L is not None:
@@ -2215,17 +2225,17 @@ class TPPANOC:
                     / (2.0 * gamma)
             else:
                 sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
-        else:
-            if L is None:
-                raise ValueError(
-                    "TPPANOC: provide the smoothness moduli L, or a "
-                    "stepsize γ"
-                )
+        elif L is not None:
             Lf = jnp.mean(jnp.asarray(L, rdt))
             gamma = self.alpha / Lf
             sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            from ciao_tpu.solvers.panoc import _probe_gamma
+
+            gamma = _probe_gamma(F, x0, N, self.alpha, rdt)
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
         cfg = TPPANOCCfg(N=N, D=D, M=M, mem=self.mem, max_ls=self.max_ls,
-                         zerofpr=self.zerofpr)
+                         zerofpr=self.zerofpr, adaptive=adaptive)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_leaves, g_treedef = jax.tree_util.tree_flatten(

@@ -72,6 +72,7 @@ class PANOCCfg(NamedTuple):
     tol: Optional[float] = None  # ‖r‖/γ stop (None = run maxit)
     fused: bool = False   # one-pass Pallas FBE read (coeff_value_apply_all)
     fused_precision: str = "highest"  # MXU dots in the fused pass
+    adaptive: bool = False  # γ-backtracking on the descent lemma (no L)
 
 
 class PANOCState(NamedTuple):
@@ -201,6 +202,19 @@ def _push_pair(state: PANOCState, s, y, valid=True, rdot=_rdot) -> PANOCState:
     return state._replace(S=S, Y=Y, rho=rho, head=head, count=count)
 
 
+def _probe_gamma(F, x0, N, alpha, rdt):
+    """One-time finite-difference smoothness probe for the adaptive
+    bootstrap: L₀ = ‖∇f(x0+δ) − ∇f(x0)‖/‖δ‖, γ₀ = α/L₀ (the in-step
+    backtracking then keeps the descent lemma true; cf. adaptive
+    Finito's doubling L probe, Finito_adaptive.jl:62-74)."""
+    d = jnp.where(jnp.abs(x0) > 0, 1e-3 * x0,
+                  jnp.asarray(1e-3, x0.dtype))
+    g1 = F.grad_sum_all(x0) / N
+    g2 = F.grad_sum_all(x0 + d) / N
+    L0 = jnp.sqrt(_rdot(g2 - g1, g2 - g1)) / jnp.sqrt(_rdot(d, d))
+    return jnp.asarray(alpha, rdt) / jnp.maximum(L0, 1e-12)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def panoc_init(F, g, x0, gamma, sigma, cfg: PANOCCfg) -> PANOCState:
     rdt = real_dtype_of(x0)
@@ -221,8 +235,66 @@ def panoc_init(F, g, x0, gamma, sigma, cfg: PANOCCfg) -> PANOCState:
     )
 
 
+_ADAPT_ALPHA = 0.95      # target γ·L_local ≤ α after backtracking
+_ADAPT_MAX_HALVINGS = 60  # then Status.GAMMA_UNDERFLOW (adaptive Finito parity)
+
+
+def _gamma_backtrack(F, g, cfg: PANOCCfg, state: PANOCState, rdot):
+    """Adaptive-γ probe at the current x (ProximalAlgorithms PANOC's
+    ``f_model`` test): halve γ until the descent lemma
+    f(z) ≤ f(x) − ⟨∇f(x), r⟩ + (α/2γ)‖r‖² holds at the FB point.
+    Each trial costs ONE value-only oracle pass (``value_sum_all`` — a
+    margin read, no back-projection) + one prox; ∇f(x) is cached. On a
+    γ change the L-BFGS memory flushes (ρ=0 masks the stale pairs) and
+    σ rescales by the γ ratio (σ ∝ 1/γ)."""
+    eps = jnp.finfo(state.fbe.dtype).eps
+
+    def f_at(z):
+        return jnp.real(F.value_sum_all(z)) / cfg.N
+
+    def violated(gamma, r, rr, f_z):
+        ub = (state.fx - rdot(state.gradx, r)
+              + _ADAPT_ALPHA / (2.0 * gamma) * rr)
+        return f_z > ub + 10 * eps * (1.0 + jnp.abs(f_z))
+
+    def cond(c):
+        gamma, _z, _gz, r, rr, f_z, halv = c
+        return violated(gamma, r, rr, f_z) & (halv < _ADAPT_MAX_HALVINGS)
+
+    def body(c):
+        gamma = c[0] * 0.5
+        z, gz = g.prox(state.x - gamma * state.gradx, gamma)
+        r = state.x - z
+        return (gamma, z, jnp.real(gz), r, rdot(r, r), f_at(z), c[6] + 1)
+
+    r0 = state.x - state.z
+    init = (state.gamma, state.z, state.gz, r0, rdot(r0, r0),
+            f_at(state.z), jnp.zeros((), jnp.int32))
+    gamma, z, gz, r, rr, _f_z, halv = jax.lax.while_loop(cond, body, init)
+
+    changed = halv > 0
+    sigma = state.sigma * (state.gamma / gamma)
+    fbe = (state.fx - rdot(state.gradx, r) + rr / (2.0 * gamma) + gz)
+    state = state._replace(
+        gamma=gamma, sigma=sigma, z=z, gz=gz, fbe=fbe,
+        # flush the ring on a γ change: ρ=0 masks every slot
+        rho=jnp.where(changed, jnp.zeros_like(state.rho), state.rho),
+        count=jnp.where(changed, jnp.zeros_like(state.count), state.count),
+        head=jnp.where(changed, jnp.zeros_like(state.head), state.head),
+        status=jnp.where(
+            halv >= _ADAPT_MAX_HALVINGS,
+            jnp.asarray(int(Status.GAMMA_UNDERFLOW), jnp.int32),
+            state.status,
+        ),
+    )
+    return state, changed
+
+
 def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
                 rdot=_rdot) -> PANOCState:
+    gamma_changed = False
+    if cfg.adaptive:
+        state, gamma_changed = _gamma_backtrack(F, g, cfg, state, rdot)
     gamma, sigma = state.gamma, state.sigma
     r = state.x - state.z
     rr = rdot(r, r)
@@ -235,8 +307,11 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
         _fb, _gb, _zbar, _gzb, rbar, _fbeb = _eval_fbe(
             F, g, base, gamma, cfg, rdot
         )
+        # pairs straddling a γ change mix residual maps of different
+        # operators — rejected (the ring was flushed anyway)
         state = _push_pair(state, base - state.pbase,
-                           rbar - state.presid, valid=state.it > 1,
+                           rbar - state.presid,
+                           valid=(state.it > 1) & ~jnp.asarray(gamma_changed),
                            rdot=rdot)
         state = state._replace(pbase=base, presid=rbar)
         dir_resid = rbar
@@ -342,6 +417,12 @@ class PANOC:
     freq: int = 10
     zerofpr: bool = False
     fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc dots
+    #: γ-backtracking on the descent lemma (halve γ until
+    #: f(z) ≤ f(x) − ⟨∇f, r⟩ + (α/2γ)‖r‖²; L-BFGS memory flushes and σ
+    #: rescales on a change; 60 halvings → Status.GAMMA_UNDERFLOW, the
+    #: adaptive-Finito abort). Auto-enabled when neither γ nor L is
+    #: given (γ₀ then comes from a one-time finite-difference L probe).
+    adaptive: bool = False
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
@@ -363,6 +444,7 @@ class PANOC:
         if g is None:
             g = Zero()
         rdt = real_dtype_of(x0)
+        adaptive = self.adaptive or (self.gamma is None and L is None)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
             if L is not None:
@@ -372,14 +454,15 @@ class PANOC:
             else:
                 # unknown L: conservative σ assuming γ ≈ α/L_f
                 sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
-        else:
-            if L is None:
-                raise ValueError(
-                    "PANOC: provide the smoothness moduli L, or a "
-                    "stepsize γ"
-                )
+        elif L is not None:
             Lf = jnp.mean(jnp.asarray(L, rdt))
             gamma = self.alpha / Lf
+            sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
+        else:
+            # adaptive bootstrap: one-time finite-difference L probe
+            # (two full gradient passes, eager), then the in-step
+            # backtracking owns γ
+            gamma = _probe_gamma(F, x0, N, self.alpha, rdt)
             sigma = self.beta * (1.0 - self.alpha) / (2.0 * gamma)
         fused = False
         if x0.dtype == jnp.float32:
@@ -394,7 +477,8 @@ class PANOC:
             )
         cfg = PANOCCfg(N=N, mem=self.mem, max_ls=self.max_ls,
                        zerofpr=self.zerofpr, tol=self.tol, fused=fused,
-                       fused_precision=self.fused_precision)
+                       fused_precision=self.fused_precision,
+                       adaptive=adaptive)
         init = lambda: panoc_init(F, g, x0, gamma,
                                   jnp.asarray(sigma, rdt), cfg)
         return x0, F, g, cfg, init
@@ -423,7 +507,7 @@ class PANOC:
         # step recomputes everything from x) — rebase is identity
         return SolverIterable(x0_orig, init, step,
                               rebase_fn=lambda s: s,
-                              can_abort=self.tol is not None)
+                              can_abort=self.tol is not None or cfg.adaptive)
 
 
 def ZeroFPR(**kwargs) -> PANOC:

@@ -80,8 +80,45 @@ def test_panoc_iterator_matches_batch(lasso):
     x1, _ = solver.__class__(maxit=1)(x0(prob), F=F, g=g, L=prob.L, N=N)
     np.testing.assert_array_equal(np.asarray(states[0].solution),
                                   np.asarray(x1))
-    with pytest.raises(ValueError, match="smoothness"):
-        ciao_tpu.PANOC(maxit=2)(x0(prob), F=F, g=g, N=N)
+
+
+def test_panoc_adaptive_no_smoothness_info(lasso):
+    """No γ and no L auto-enables the adaptive mode: γ₀ from the
+    finite-difference probe, then in-step descent-lemma backtracking —
+    must converge to the same precision as the L-informed run."""
+    prob, F, g = lasso
+    for solver in (ciao_tpu.PANOC(maxit=80), ciao_tpu.ZeroFPR(maxit=80)):
+        x, _ = solver(x0(prob), F=F, g=g, N=N)
+        assert prob.cost(np.asarray(x)) - prob.f_star < 1e-12
+
+
+def test_panoc_adaptive_recovers_from_bad_gamma(lasso):
+    """adaptive=True with a 200x too-large explicit γ: the descent-lemma
+    backtracking must halve γ into the valid range and still converge
+    (without adaptive the same γ leaves the solver crawling through
+    τ=0 fallback steps)."""
+    prob, F, g = lasso
+    bad = 200.0 / float(np.mean(prob.L))
+    xa, _ = ciao_tpu.PANOC(gamma=bad, adaptive=True, maxit=80)(
+        x0(prob), F=F, g=g, N=N
+    )
+    assert prob.cost(np.asarray(xa)) - prob.f_star < 1e-12
+
+
+def test_dp_panoc_adaptive_matches_single_chip(lasso):
+    """Adaptive DPPANOC ≡ adaptive single-chip: the γ-backtracking's
+    while_loop condition is replicated (the value probe psums), so the
+    halving schedule — and hence the whole trajectory — must agree."""
+    from ciao_tpu.parallel import DPPANOC, make_mesh, shard_finite_sum
+
+    prob, F, g = lasso
+    z0 = x0(prob)
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh)
+    x_dp, _ = DPPANOC(mesh=mesh, maxit=40)(z0, F=Fd, g=g, N=N)
+    x_sc, _ = ciao_tpu.PANOC(maxit=40)(z0, F=F, g=g, N=N)
+    np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_sc),
+                               rtol=1e-9, atol=1e-12)
 
 
 def test_panoc_complex_dtype():
