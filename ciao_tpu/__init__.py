@@ -63,6 +63,8 @@ from ciao_tpu.solvers import (
     Finito,
     FISTA,
     ForwardBackward,
+    DavisYin,
+    DouglasRachford,
     PANOC,
     ZeroFPR,
     Katyusha,
@@ -88,6 +90,8 @@ __all__ = [
     "Finito",
     "ForwardBackward",
     "FISTA",
+    "DavisYin",
+    "DouglasRachford",
     "PANOC",
     "ZeroFPR",
     "Katyusha",

@@ -1556,6 +1556,41 @@ def _fb_step_local(F, g, cfg: DPCfg, state: DPFBState):
     return state._replace(t=t_new, x=x_new, y=y_new, it=state.it + 1)
 
 
+class DPDYSState(NamedTuple):
+    gamma: jnp.ndarray      # scalar stepsize
+    lam: jnp.ndarray        # scalar relaxation
+    z: jnp.ndarray          # (n,) governing sequence, replicated
+    xg: jnp.ndarray         # (n,) last prox_g point — solution view
+    key: jnp.ndarray        # unused (deterministic); uniform state
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.xg
+
+
+def _dys_init_local(F, gh, x0, gamma, lam, key, cfg: DPCfg):
+    """Sharded Davis-Yin bootstrap (solvers.dys — beyond the
+    reference): table-free; only the oracle rows shard. ``gh`` packs
+    the TWO proximable terms (g, h) as one pytree."""
+    return DPDYSState(
+        gamma=gamma, lam=lam, z=x0, xg=x0, key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _dys_step_local(F, gh, cfg: DPCfg, state: DPDYSState):
+    """One sharded Davis-Yin step: the solvers.dys step body verbatim
+    with the full gradient as one local streaming pass + ONE x-sized
+    psum; both proxes and the z-algebra replicate."""
+    from ciao_tpu.solvers.dys import _dys_step
+
+    g, h = gh
+    grad_fn = lambda xg: _psum(F.grad_sum_all(xg)) / cfg.N
+    return _dys_step(F, g, h, None, state, grad_fn=grad_fn)
+
+
 class _PsumFBEOracle:
     """Oracle adapter for the replicated PANOC step: the ONLY oracle
     entry the FBE machinery uses (``value_sum_and_grad_sum_all``) runs
@@ -2008,6 +2043,8 @@ _FAMILY = {
               _rebase_identity_local),
     "fb": (_fb_init_local, _fb_step_local, DPFBState, True,
            _rebase_identity_local),
+    "dys": (_dys_init_local, _dys_step_local, DPDYSState, True,
+            _rebase_identity_local),
     "panoc": (_panoc_init_local, _panoc_step_local, _PANOCState, True,
               _rebase_identity_local),
     "point_saga": (_point_saga_init_local, _point_saga_step_local,
@@ -3064,6 +3101,96 @@ class DPForwardBackward:
 def DPFISTA(**kwargs) -> DPForwardBackward:
     """``DPForwardBackward(fast=True)``."""
     return DPForwardBackward(fast=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPDavisYin:
+    """Data-parallel Davis-Yin three-operator splitting (beyond the
+    reference — see :class:`ciao_tpu.solvers.DavisYin`): minimize
+    (1/N)Σf_i + g + h with both g and h proximable. Each step is one
+    local streaming pass over the device's row shard + ONE x-sized
+    psum; the two proxes replicate, so the trajectory equals the
+    single-chip solver to reduction order. ``DPDouglasRachford`` is the
+    f = 0 case (pass no F/L)."""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    lam: float = 1.0
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert 0 < self.lam < 2
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, h, L, N):
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        from ciao_tpu.oracles import ZeroOracle
+
+        if N is None:
+            if F is None:
+                raise ValueError("DPDavisYin: provide F or N")
+            N = F.num_terms
+        if F is None:
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        if h is None:
+            h = Zero()
+        rdt = real_dtype_of(x0)
+        D = mesh.shape[DATA_AXIS]
+        if N % D != 0:
+            raise ValueError(
+                f"DPDavisYin: N={N} must divide evenly over the "
+                f"{D}-device data axis"
+            )
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        elif L is not None:
+            gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
+        elif isinstance(F, ZeroOracle):
+            gamma = jnp.ones((), rdt)  # f = 0: Douglas-Rachford
+        else:
+            raise ValueError(
+                "DPDavisYin: provide the smoothness moduli L, or a "
+                "stepsize γ"
+            )
+        lam = jnp.asarray(self.lam, rdt)
+        gh = (g, h)
+        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "dys", mesh, F, gh, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(0)
+        init = lambda: init_c(F, gh, x0, gamma, lam, key)
+        step = lambda s: step_c(F, gh, s)
+        run = lambda s, k: run_c(F, gh, s, k)
+        rebase = lambda s: rebase_c(F, gh, s)
+        return x0, F, gh, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, h=None, L=None, N=None,
+                 observe=None):
+        x0, F, gh, init, step, run, _ = self._setup(x0, F, g, h, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, h=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, gh, init, step, run, rebase = self._setup(x0, F, g, h, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def DPDouglasRachford(**kwargs) -> DPDavisYin:
+    """``DPDavisYin`` with f = 0 (Douglas-Rachford over the mesh —
+    useful when g/h carry per-coordinate parameter vectors you want
+    resident with the replicated iterate)."""
+    return DPDavisYin(**kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,7 @@ from ciao_tpu.prox.separable import (
 from ciao_tpu.prox.extended import (
     NormL0,
     NormL21,
+    SqrDistPoint,
     NormLinf,
     IndBallL1,
     IndBallLinf,
@@ -47,6 +48,7 @@ __all__ = [
     "NormNuclear",
     "NormL0",
     "NormL21",
+    "SqrDistPoint",
     "NormLinf",
     "IndBallL1",
     "IndBallLinf",

@@ -53,6 +53,26 @@ class NormL0(ProxOperator):
 
 @register_prox
 @dataclasses.dataclass(frozen=True)
+class SqrDistPoint(ProxOperator):
+    """g(x) = (rho/2) ||x - b||^2 — a proximable quadratic around a
+    point (ProximalOperators' ``Translate(SqrNormL2(rho), -b)``); prox
+    is the convex combination (x + gamma*rho*b)/(1 + gamma*rho). The
+    canonical proximable data-fit term for Douglas-Rachford /
+    Chambolle-Pock splits where the quadratic is NOT treated as the
+    smooth part."""
+
+    b: jnp.ndarray = 0.0
+    rho: jnp.ndarray = 1.0
+
+    def value(self, x):
+        return 0.5 * self.rho * jnp.sum(jnp.abs(x - self.b) ** 2).real
+
+    def prox_only(self, x, gamma):
+        return (x + gamma * self.rho * self.b) / (1 + gamma * self.rho)
+
+
+@register_prox
+@dataclasses.dataclass(frozen=True)
 class NormL21(ProxOperator):
     """Group lasso: g(X) = lam * sum_j ||X_slice_j||_2, where each group
     is a slice along ``axis`` (default 0: column norms of a matrix).

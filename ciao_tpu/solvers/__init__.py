@@ -5,6 +5,7 @@ SAGA/SAG, SVRG/SVRG++ — mirroring the reference's public surface
 
 from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
 from ciao_tpu.solvers.fb import FISTA, ForwardBackward
+from ciao_tpu.solvers.dys import DavisYin, DouglasRachford
 from ciao_tpu.solvers.panoc import PANOC, ZeroFPR
 from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
@@ -28,6 +29,8 @@ __all__ = [
     "Finito",
     "ForwardBackward",
     "FISTA",
+    "DavisYin",
+    "DouglasRachford",
     "PANOC",
     "ZeroFPR",
     "Katyusha",

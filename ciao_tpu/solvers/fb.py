@@ -69,29 +69,50 @@ def fb_init(F, g, x0, gamma, cfg: FBCfg) -> FBState:
     )
 
 
-def _fb_step(F, g, cfg: FBCfg, state: FBState) -> FBState:
-    gamma = state.gamma
-    if cfg.fused:
-        # ONE streaming pass over the oracle rows (coefficients + the
-        # gradient sum together) — the XLA grad_sum_all costs ~2 passes
-        # (measured 3.24 → ~1.8 ms/step at the PERF.md config)
+def full_gradient(F, N, y, fused: bool, precision: str = "highest"):
+    """∇((1/N)Σf_i)(y) as ONE streaming pass when ``fused`` (the fused
+    ``coeff_apply_all`` reads coefficients + gradient sum together; the
+    XLA ``grad_sum_all`` costs ~2 passes — measured 3.24 → ~1.8 ms/step
+    at the PERF.md config). Shared by every deterministic full-gradient
+    solver (FB/FISTA here, Davis-Yin, Condat-Vũ)."""
+    if fused:
         from ciao_tpu.ops.fused_block import (
             _pick_tile, coeff_apply_all, oracle_scalar_consts,
             rows_scale_row,
         )
 
         rows, offs = F.coeff_rows_data()
-        scale, mode, _, aux = oracle_scalar_consts(F, g)
-        tile = _pick_tile(cfg.N, cfg.N, state.y.size,
-                          esize=rows.dtype.itemsize)
+        scale, mode, _, aux = oracle_scalar_consts(F, None)
+        tile = _pick_tile(N, N, y.size, esize=rows.dtype.itemsize)
         _, gsum = coeff_apply_all(
-            rows, offs[None, :], state.y[None, :],
+            rows, offs[None, :], y[None, :],
             jnp.stack([scale, mode, aux])[None, :], tile,
-            precision=cfg.fused_precision, rs1=rows_scale_row(F),
+            precision=precision, rs1=rows_scale_row(F),
         )
-        grad = gsum[0] / cfg.N
-    else:
-        grad = F.grad_sum_all(state.y) / cfg.N
+        return gsum[0] / N
+    return F.grad_sum_all(y) / N
+
+
+def fused_full_grad_available(F, x0, N) -> bool:
+    """Gate for the one-pass fused full-gradient read (mirrors the
+    per-family fused gates: TPU backend, f32, lane-aligned n, rank-1
+    coefficient oracle)."""
+    if x0.dtype != jnp.float32:
+        return False
+    from ciao_tpu.ops.fused_block import _pick_tile
+
+    return (
+        jax.default_backend() == "tpu"
+        and x0.size % 128 == 0
+        and _pick_tile(N, N, x0.size) >= 128
+        and hasattr(F, "coeff_rows_data")
+        and getattr(F, "supports_coeff", False)
+    )
+
+
+def _fb_step(F, g, cfg: FBCfg, state: FBState) -> FBState:
+    gamma = state.gamma
+    grad = full_gradient(F, cfg.N, state.y, cfg.fused, cfg.fused_precision)
     x_new = g.prox_only(state.y - gamma * grad, gamma)
     if cfg.fast:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
