@@ -1,0 +1,92 @@
+"""Linear maps for primal-dual composite terms ``h(Kx)``.
+
+The reference's nonsmooth term is always applied to x directly
+(``prox(g, x, γ)`` — `/root/reference/src/algorithms/Finito/
+Finito_basic.jl:84`). Primal-dual splitting (solvers.primal_dual)
+generalizes to g(x) + h(Kx) for a linear K whose presence under a norm
+has no closed prox (total variation, analysis sparsity, fused lasso).
+A map here is a pytree dataclass with
+
+  * ``matvec(x) -> Kx``          ((m,) from (n,))
+  * ``rmatvec(y) -> Kᵀy``        (adjoint; conjugate-transpose for
+                                  complex dtypes)
+  * ``out_dim(n) -> m``
+  * ``opnorm_bound(n) -> float`` — an UPPER bound on ‖K‖₂ (used for
+    the default stepsizes; a bound only costs slightly smaller steps,
+    an underestimate breaks convergence)
+
+All three concrete maps are XLA-fusable elementwise/matmul ops — no
+gather/scatter, so they ride the MXU/VPU at full rate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ciao_tpu.oracles.base import register_oracle, static_field
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class IdentityMap:
+    """K = I — primal-dual degenerates to the plain composite form."""
+
+    def matvec(self, x):
+        return x
+
+    def rmatvec(self, y):
+        return y
+
+    def out_dim(self, n):
+        return n
+
+    def opnorm_bound(self, n):
+        return 1.0
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class DenseMap:
+    """K given as an explicit (m, n) matrix."""
+
+    M: jnp.ndarray
+
+    def matvec(self, x):
+        return self.M @ x
+
+    def rmatvec(self, y):
+        return self.M.conj().T @ y
+
+    def out_dim(self, n):
+        return self.M.shape[0]
+
+    def opnorm_bound(self, n):
+        # exact spectral norm on host at setup time (the map is small
+        # relative to the oracle data; stepsizes are static anyway)
+        return float(np.linalg.norm(np.asarray(self.M), 2))
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class FirstDifference:
+    """K = D, (Dx)_i = x_{i+1} − x_i, shape (n−1, n) — ‖Dx‖₁ is 1-D
+    total variation. The adjoint is the negative divergence."""
+
+    def matvec(self, x):
+        return x[1:] - x[:-1]
+
+    def rmatvec(self, y):
+        # Dᵀy: (Dᵀy)_0 = −y_0, (Dᵀy)_i = y_{i−1} − y_i, (Dᵀy)_{n−1} = y_{n−2}
+        z = jnp.zeros(y.shape[0] + 1, y.dtype)
+        z = z.at[:-1].add(-y)
+        z = z.at[1:].add(y)
+        return z
+
+    def out_dim(self, n):
+        return n - 1
+
+    def opnorm_bound(self, n):
+        return 2.0  # ‖D‖ = 2·sin(π(n−1)/(2n)) < 2
