@@ -59,12 +59,15 @@ from ciao_tpu.prox import (
     MCP,
     SCAD,
 )
+from ciao_tpu.ops.linmap import DenseMap, FirstDifference, IdentityMap
 from ciao_tpu.solvers import (
     Finito,
     FISTA,
     ForwardBackward,
     DavisYin,
     DouglasRachford,
+    CondatVu,
+    ChambollePock,
     PANOC,
     ZeroFPR,
     Katyusha,
@@ -92,6 +95,11 @@ __all__ = [
     "FISTA",
     "DavisYin",
     "DouglasRachford",
+    "CondatVu",
+    "ChambollePock",
+    "IdentityMap",
+    "DenseMap",
+    "FirstDifference",
     "PANOC",
     "ZeroFPR",
     "Katyusha",

@@ -1591,6 +1591,44 @@ def _dys_step_local(F, gh, cfg: DPCfg, state: DPDYSState):
     return _dys_step(F, g, h, None, state, grad_fn=grad_fn)
 
 
+class DPPDState(NamedTuple):
+    tau: jnp.ndarray        # scalar primal stepsize
+    sigma: jnp.ndarray      # scalar dual stepsize
+    x: jnp.ndarray          # (n,) primal iterate, replicated
+    y: jnp.ndarray          # (m,) dual iterate, replicated
+    key: jnp.ndarray        # unused (deterministic); uniform state
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _pd_init_local(F, ghk, x0, tau, sigma, key, cfg: DPCfg):
+    """Sharded Condat-Vũ bootstrap (solvers.primal_dual — beyond the
+    reference): table-free; only the oracle rows shard. ``ghk`` packs
+    (g, h, K) as one pytree (the two proximable terms + linear map)."""
+    _, _, K = ghk
+    m = K.out_dim(x0.shape[0])
+    return DPPDState(
+        tau=tau, sigma=sigma, x=x0, y=jnp.zeros(m, x0.dtype), key=key,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _pd_step_local(F, ghk, cfg: DPCfg, state: DPPDState):
+    """One sharded Condat-Vũ step: the solvers.primal_dual step body
+    verbatim with the full gradient as one local streaming pass + ONE
+    x-sized psum; K's matvec/rmatvec, both proxes and the dual update
+    replicate."""
+    from ciao_tpu.solvers.primal_dual import _pd_step
+
+    g, h, K = ghk
+    grad_fn = lambda x: _psum(F.grad_sum_all(x)) / cfg.N
+    return _pd_step(F, g, h, K, None, state, grad_fn=grad_fn)
+
+
 class _PsumFBEOracle:
     """Oracle adapter for the replicated PANOC step: the ONLY oracle
     entry the FBE machinery uses (``value_sum_and_grad_sum_all``) runs
@@ -2045,6 +2083,8 @@ _FAMILY = {
            _rebase_identity_local),
     "dys": (_dys_init_local, _dys_step_local, DPDYSState, True,
             _rebase_identity_local),
+    "pd": (_pd_init_local, _pd_step_local, DPPDState, True,
+           _rebase_identity_local),
     "panoc": (_panoc_init_local, _panoc_step_local, _PANOCState, True,
               _rebase_identity_local),
     "point_saga": (_point_saga_init_local, _point_saga_step_local,
@@ -3191,6 +3231,105 @@ def DPDouglasRachford(**kwargs) -> DPDavisYin:
     useful when g/h carry per-coordinate parameter vectors you want
     resident with the replicated iterate)."""
     return DPDavisYin(**kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPCondatVu:
+    """Data-parallel Condat-Vũ primal-dual splitting (beyond the
+    reference — see :class:`ciao_tpu.solvers.CondatVu`): minimize
+    (1/N)Σf_i + g(x) + h(Kx) with g, h proximable and K a linear map
+    (:mod:`ciao_tpu.ops.linmap`). Each step is one local streaming pass
+    over the device's row shard + ONE x-sized psum; K's matvec/rmatvec,
+    the two proxes and the dual update replicate, so the trajectory
+    equals the single-chip solver to reduction order.
+    ``DPChambollePock`` is the f = 0 case (pass no F/L)."""
+
+    mesh: object = None
+    tau: Optional[float] = None
+    sigma: Optional[float] = None
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+
+    def __post_init__(self):
+        assert self.tau is None or self.tau > 0
+        assert self.sigma is None or self.sigma > 0
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, h, K, L, N):
+        from ciao_tpu.ops.linmap import IdentityMap
+        from ciao_tpu.oracles import ZeroOracle
+        from ciao_tpu.solvers.primal_dual import CondatVu as _CV
+
+        mesh = self.mesh if self.mesh is not None else make_mesh()
+        x0 = jnp.asarray(x0)
+        if N is None:
+            if F is None:
+                raise ValueError("DPCondatVu: provide F or N")
+            N = F.num_terms
+        if F is None:
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        if h is None:
+            h = Zero()
+        if K is None:
+            K = IdentityMap()
+        rdt = real_dtype_of(x0)
+        D = mesh.shape[DATA_AXIS]
+        if N % D != 0:
+            raise ValueError(
+                f"DPCondatVu: N={N} must divide evenly over the "
+                f"{D}-device data axis"
+            )
+        if L is not None:
+            Lf = float(jnp.mean(jnp.asarray(L, rdt)))
+        elif isinstance(F, ZeroOracle):
+            Lf = 0.0  # Chambolle-Pock: στ‖K‖² ≤ 1
+        elif self.tau is not None:
+            Lf = 0.0  # user owns the condition via explicit τ
+        else:
+            raise ValueError(
+                "DPCondatVu: provide the smoothness moduli L, or an "
+                "explicit stepsize τ"
+            )
+        # the single-chip stepsize policy verbatim (trajectory parity)
+        cv = _CV(tau=self.tau, sigma=self.sigma)
+        tau, sigma = cv._stepsizes(Lf, float(K.opnorm_bound(x0.shape[0])),
+                                   rdt)
+        ghk = (g, h, K)
+        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999)
+        init_c, step_c, run_c, rebase_c = build_dp_functions(
+            "pd", mesh, F, ghk, cfg, extra_init_scalars=1
+        )
+        key = jax.random.PRNGKey(0)
+        init = lambda: init_c(F, ghk, x0, tau, sigma, key)
+        step = lambda s: step_c(F, ghk, s)
+        run = lambda s, k: run_c(F, ghk, s, k)
+        rebase = lambda s: rebase_c(F, ghk, s)
+        return x0, F, ghk, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, h=None, K=None, L=None, N=None,
+                 observe=None):
+        x0, F, ghk, init, step, run, _ = self._setup(x0, F, g, h, K, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, h=None, K=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, ghk, init, step, run, rebase = self._setup(
+            x0, F, g, h, K, L, N
+        )
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def DPChambollePock(**kwargs) -> DPCondatVu:
+    """``DPCondatVu`` with f = 0 (Chambolle-Pock over the mesh):
+    minimize g(x) + h(Kx), both proximable."""
+    return DPCondatVu(**kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

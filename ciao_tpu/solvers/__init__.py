@@ -6,6 +6,7 @@ SAGA/SAG, SVRG/SVRG++ — mirroring the reference's public surface
 from ciao_tpu.solvers.base import SolverIterable, Status, loop, solution, take
 from ciao_tpu.solvers.fb import FISTA, ForwardBackward
 from ciao_tpu.solvers.dys import DavisYin, DouglasRachford
+from ciao_tpu.solvers.primal_dual import ChambollePock, CondatVu
 from ciao_tpu.solvers.panoc import PANOC, ZeroFPR
 from ciao_tpu.solvers.finito import Finito
 from ciao_tpu.solvers.katyusha import Katyusha
@@ -31,6 +32,8 @@ __all__ = [
     "FISTA",
     "DavisYin",
     "DouglasRachford",
+    "CondatVu",
+    "ChambollePock",
     "PANOC",
     "ZeroFPR",
     "Katyusha",

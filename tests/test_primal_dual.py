@@ -1,0 +1,362 @@
+"""Condat-Vũ / Chambolle-Pock primal-dual splitting (beyond the
+reference — the h(Kx) capability the prox-of-g-only reference line
+cannot express, `/root/reference/src/algorithms/Finito/
+Finito_basic.jl:84`). Pins: the Moreau-identity dual prox against
+closed-form conjugate proxes, the linear maps' adjoint identities and
+operator-norm bounds, Chambolle-Pock (f = 0) against a closed-form
+optimum, 1-D TV denoising with an exact optimality certificate, a
+PLANTED fused-lasso optimum, the iterator invariants, and the DP
+trajectory equality."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ciao_tpu
+from ciao_tpu import DenseMap, FirstDifference, IdentityMap
+from ciao_tpu.oracles import LeastSquaresRows
+from ciao_tpu.prox import IndBox, NormL1, SqrDistPoint, Zero
+from ciao_tpu.solvers.primal_dual import prox_conjugate
+
+# ---------------------------------------------------------------------------
+# unit: prox of the conjugate (Moreau identity)
+# ---------------------------------------------------------------------------
+
+
+def test_prox_conjugate_l1_is_linf_ball_projection():
+    """(λ‖·‖₁)* = ind of the ℓ∞ ball of radius λ, so prox_{σh*} is the
+    σ-independent clip onto [−λ, λ]."""
+    u = jnp.asarray(np.linspace(-3.0, 3.0, 41))
+    lam = 0.8
+    h = NormL1(lam=jnp.asarray(lam))
+    for sigma in (0.1, 1.0, 7.3):
+        out = prox_conjugate(h, u, jnp.asarray(sigma))
+        np.testing.assert_allclose(
+            np.asarray(out), np.clip(np.asarray(u), -lam, lam),
+            rtol=0, atol=1e-12,
+        )
+
+
+def test_prox_conjugate_quadratic_closed_form():
+    """h(x) = (ρ/2)‖x−b‖² has h*(y) = ⟨y,b⟩ + ‖y‖²/(2ρ), whose σ-prox
+    is the affine map (u − σb)/(1 + σ/ρ)."""
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(16))
+    b = jnp.asarray(rng.standard_normal(16))
+    rho, sigma = 2.3, 0.6
+    h = SqrDistPoint(b=b, rho=jnp.asarray(rho))
+    out = prox_conjugate(h, u, jnp.asarray(sigma))
+    expect = (np.asarray(u) - sigma * np.asarray(b)) / (1.0 + sigma / rho)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-12, atol=0)
+
+
+def test_prox_conjugate_box_support_function():
+    """(ind_[lo,hi])* is the support function; its σ-prox is
+    u − σ·clip(u/σ, lo, hi) — verified against a 1-D brute-force
+    minimization of σh*(y) + ½(y−u)²."""
+    lo, hi, sigma = -0.5, 2.0, 1.7
+    h = IndBox(lo=lo, hi=hi)
+    grid = np.linspace(-6, 6, 120001)  # y grid
+    # h*(y) = max_{x in [lo,hi]} xy  (support function of the box)
+    hstar = np.maximum(grid * lo, grid * hi)
+    for uv in (-3.0, -0.2, 0.0, 1.4, 4.2):
+        out = float(prox_conjugate(h, jnp.asarray([uv]), jnp.asarray(sigma))[0])
+        brute = grid[np.argmin(sigma * hstar + 0.5 * (grid - uv) ** 2)]
+        assert abs(out - brute) < 2e-4
+        assert abs(out - (uv - sigma * np.clip(uv / sigma, lo, hi))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# unit: linear maps
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_linmap_adjoint_identity(dtype):
+    """⟨Kx, y⟩ = ⟨x, Kᵀy⟩ (conjugate-transpose for complex) for every
+    concrete map — a sign error here breaks every primal-dual run."""
+    rng = np.random.default_rng(1)
+
+    def rand(m):
+        v = rng.standard_normal(m)
+        if np.issubdtype(dtype, np.complexfloating):
+            v = v + 1j * rng.standard_normal(m)
+        return jnp.asarray(v.astype(dtype))
+
+    n = 13
+    M = rand(7 * n).reshape(7, n)
+    for K in (IdentityMap(), FirstDifference(), DenseMap(M=M)):
+        m = K.out_dim(n)
+        x, y = rand(n), rand(m)
+        lhs = complex(jnp.vdot(y, K.matvec(x)))
+        rhs = complex(jnp.vdot(K.rmatvec(y), x))
+        assert abs(lhs - rhs) < 1e-10 * (1 + abs(lhs))
+
+
+def test_linmap_opnorm_bounds():
+    """opnorm_bound must UPPER-bound the true spectral norm (an
+    underestimate breaks the stepsize condition)."""
+    rng = np.random.default_rng(2)
+    n = 24
+    # FirstDifference: materialize D and compare
+    D = np.zeros((n - 1, n))
+    for i in range(n - 1):
+        D[i, i], D[i, i + 1] = -1.0, 1.0
+    fd = FirstDifference()
+    true_fd = np.linalg.norm(D, 2)
+    assert true_fd <= fd.opnorm_bound(n) <= 2.0 + 1e-12
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(fd.matvec(x)), D @ np.asarray(x),
+                               rtol=1e-12, atol=1e-14)
+    M = rng.standard_normal((10, n))
+    dm = DenseMap(M=jnp.asarray(M))
+    assert abs(dm.opnorm_bound(n) - np.linalg.norm(M, 2)) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# acceptance: planted / closed-form optima
+# ---------------------------------------------------------------------------
+
+
+def test_chambolle_pock_closed_form():
+    """f = 0, K = I: min (1/2)‖x−b‖² + λ‖x‖₁ — optimum soft(b, λ).
+    This pins the whole primal-dual recursion on a problem whose only
+    nontrivial piece is the dual (conjugate-prox) update."""
+    b = jnp.asarray(np.linspace(-2.0, 2.0, 16))
+    lam = 0.7
+    g = SqrDistPoint(b=b, rho=jnp.asarray(1.0))
+    h = NormL1(lam=jnp.asarray(lam))
+    x, it = ciao_tpu.ChambollePock(maxit=2000)(
+        jnp.zeros(16, b.dtype), g=g, h=h, N=1
+    )
+    x_star = np.sign(np.asarray(b)) * np.maximum(np.abs(np.asarray(b)) - lam, 0)
+    np.testing.assert_allclose(np.asarray(x), x_star, rtol=0, atol=1e-8)
+    assert it == 2000
+
+
+def _tv_certificate(x, b, lam):
+    """Exact optimality certificate for min ½‖x−b‖² + λ‖Dx‖₁: a dual
+    z with x − b + λDᵀz = 0, ‖z‖∞ ≤ 1, z = sign(Dx) on active jumps."""
+    n = x.shape[0]
+    D = np.zeros((n - 1, n))
+    for i in range(n - 1):
+        D[i, i], D[i, i + 1] = -1.0, 1.0
+    z, res, *_ = np.linalg.lstsq(D.T, (b - x) / lam, rcond=None)
+    assert np.linalg.norm(D.T @ z - (b - x) / lam, np.inf) < 1e-6
+    assert np.max(np.abs(z)) <= 1.0 + 1e-6
+    d = D @ x
+    active = np.abs(d) > 1e-6
+    np.testing.assert_allclose(z[active], np.sign(d[active]),
+                               rtol=0, atol=1e-6)
+
+
+def test_tv_denoise_certificate_and_smooth_equivalence():
+    """1-D TV denoising min ½‖x−b‖² + λ‖Dx‖₁ two ways — Chambolle-Pock
+    (quadratic as prox) and Condat-Vũ (quadratic as the smooth
+    finite-sum) — both must satisfy the EXACT subdifferential
+    certificate and agree with each other."""
+    rng = np.random.default_rng(3)
+    n = 32
+    truth = np.repeat([0.0, 1.5, -0.5, 2.0], n // 4)
+    b_np = truth + 0.3 * rng.standard_normal(n)
+    b = jnp.asarray(b_np)
+    lam = 0.4
+    K = FirstDifference()
+    h = NormL1(lam=jnp.asarray(lam))
+
+    x_cp, _ = ciao_tpu.ChambollePock(maxit=20000)(
+        jnp.zeros(n, b.dtype), g=SqrDistPoint(b=b, rho=jnp.asarray(1.0)),
+        h=h, K=K, N=1,
+    )
+    # same objective with the quadratic as the SMOOTH term:
+    # (1/N)Σ (N/2)(x_i − b_i)² = ½‖x−b‖², rows of the identity
+    F = LeastSquaresRows(A=jnp.eye(n, dtype=b.dtype), b=b,
+                         scale=jnp.asarray(float(n), b.dtype))
+    L = np.full(n, float(n))
+    x_cv, _ = ciao_tpu.CondatVu(maxit=20000)(
+        jnp.zeros(n, b.dtype), F=F, h=h, K=K, L=L, N=n,
+    )
+    _tv_certificate(np.asarray(x_cp), b_np, lam)
+    _tv_certificate(np.asarray(x_cv), b_np, lam)
+    np.testing.assert_allclose(np.asarray(x_cv), np.asarray(x_cp),
+                               rtol=0, atol=5e-6)
+    # TV produced exact flat runs (piecewise constant, not dense noise)
+    assert np.sum(np.abs(np.diff(np.asarray(x_cp))) > 1e-4) < n // 2
+
+
+def _planted_fused_lasso(n=40, lam1=0.3, lam2=0.5, seed=4):
+    """Plant the EXACT optimum of ½‖x−b‖² + λ₁‖x‖₁ + λ₂‖Dx‖₁ by
+    choosing interior subgradients and solving the stationarity
+    condition for b (SURVEY.md §4's planted-optimum recipe applied to
+    the three-term objective)."""
+    rng = np.random.default_rng(seed)
+    x_star = np.repeat([0.0, 1.5, 0.0, -2.0, 0.75], n // 5)
+    # z1 ∈ ∂‖x*‖₁ — strictly interior on the zeros
+    z1 = np.sign(x_star)
+    z1[x_star == 0] = rng.uniform(-0.6, 0.6, np.sum(x_star == 0))
+    d = np.diff(x_star)
+    # z2 ∈ ∂‖Dx*‖₁ — strictly interior on the flat runs
+    z2 = np.sign(d)
+    z2[d == 0] = rng.uniform(-0.6, 0.6, np.sum(d == 0))
+    Dt_z2 = np.zeros(n)
+    Dt_z2[:-1] -= z2
+    Dt_z2[1:] += z2
+    b = x_star + lam1 * z1 + lam2 * Dt_z2  # 0 ∈ ∂obj(x*) exactly
+    return x_star, b
+
+
+def test_fused_lasso_planted_optimum():
+    """Condat-Vũ on the full three-term form: smooth quadratic +
+    g = λ₁‖·‖₁ (prox'd directly) + h = λ₂‖·‖₁ of Dx (dualized)."""
+    n, lam1, lam2 = 40, 0.3, 0.5
+    x_star, b_np = _planted_fused_lasso(n, lam1, lam2)
+    b = jnp.asarray(b_np)
+    F = LeastSquaresRows(A=jnp.eye(n, dtype=b.dtype), b=b,
+                         scale=jnp.asarray(float(n), b.dtype))
+    x, _ = ciao_tpu.CondatVu(maxit=30000)(
+        jnp.zeros(n, b.dtype), F=F, g=NormL1(lam=jnp.asarray(lam1)),
+        h=NormL1(lam=jnp.asarray(lam2)), K=FirstDifference(),
+        L=np.full(n, float(n)), N=n,
+    )
+    assert np.max(np.abs(np.asarray(x) - x_star)) < 1e-5
+
+
+def test_condat_vu_k_identity_matches_davis_yin():
+    """With K = I the three-term problem is exactly Davis-Yin's; the
+    two different splittings must find the same minimizer."""
+    from ciao_tpu.utils.problems import make_lasso
+
+    N, n = 64, 8
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+                         scale=jnp.asarray(float(N)))
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    h = IndBox(lo=-0.4, hi=0.4)
+    z0 = jnp.zeros(n, prob.A.dtype)
+    x_cv, _ = ciao_tpu.CondatVu(maxit=20000)(z0, F=F, g=g, h=h, L=prob.L, N=N)
+    x_dys, _ = ciao_tpu.DavisYin(maxit=20000)(z0, F=F, g=g, h=h,
+                                              L=prob.L, N=N)
+    np.testing.assert_allclose(np.asarray(x_cv), np.asarray(x_dys),
+                               rtol=0, atol=2e-7)
+    assert np.max(np.abs(np.asarray(x_cv))) <= 0.4 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# iterator invariants + validation
+# ---------------------------------------------------------------------------
+
+
+def test_cv_iterator_invariants():
+    from ciao_tpu.solvers.base import take
+
+    n = 16
+    b = jnp.asarray(np.linspace(-1.0, 1.0, n))
+    F = LeastSquaresRows(A=jnp.eye(n, dtype=b.dtype), b=b,
+                         scale=jnp.asarray(float(n), b.dtype))
+    h = NormL1(lam=jnp.asarray(0.2))
+    L = np.full(n, float(n))
+    solver = ciao_tpu.CondatVu(maxit=5)
+    it = solver.iterator(jnp.zeros(n, b.dtype), F=F, h=h,
+                         K=FirstDifference(), L=L, N=n)
+    states = list(take(iter(it), 5))
+    np.testing.assert_array_equal(np.asarray(states[0].solution),
+                                  np.zeros(n))
+    x_batch, _ = solver(jnp.zeros(n, b.dtype), F=F, h=h,
+                        K=FirstDifference(), L=L, N=n)
+    np.testing.assert_array_equal(np.asarray(states[-1].solution),
+                                  np.asarray(x_batch))
+    with pytest.raises(ValueError, match="smoothness"):
+        ciao_tpu.CondatVu(maxit=2)(jnp.zeros(n, b.dtype), F=F, h=h, N=n)
+
+
+def test_cv_stepsize_condition_warning():
+    """User-supplied stepsizes violating τ(L/2 + σ‖K‖²) ≤ 1 warn."""
+    n = 8
+    b = jnp.zeros(n)
+    F = LeastSquaresRows(A=jnp.eye(n), b=b, scale=jnp.asarray(float(n)))
+    with pytest.warns(UserWarning, match="convergence condition"):
+        ciao_tpu.CondatVu(tau=5.0, sigma=5.0, maxit=2)(
+            jnp.zeros(n), F=F, h=NormL1(lam=jnp.asarray(0.1)),
+            K=FirstDifference(), L=np.full(n, float(n)), N=n,
+        )
+
+
+def test_cv_fused_full_pass_matches_xla():
+    """The fused one-pass gradient read must reproduce the XLA step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.solvers.primal_dual import PDCfg, pd_init, pd_run
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npix = 512, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    h = NormL1(lam=jnp.asarray(0.05, jnp.float32))
+    K = FirstDifference()
+    Lf = float(np.mean(prob.L))
+    sigma = 0.5
+    tau = jnp.asarray(0.99 / (Lf / 2.0 + sigma * 4.0), jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    z0 = jnp.zeros(npix, jnp.float32)
+    cfg = PDCfg(N=Np)
+    st_x = pd_run(F, g, h, K, pd_init(F, g, h, K, z0, tau, sigma, cfg),
+                  cfg, 20)
+    cfg_f = cfg._replace(fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = pd_run(F, g, h, K,
+                      pd_init(F, g, h, K, z0, tau, sigma, cfg_f), cfg_f, 20)
+    np.testing.assert_allclose(np.asarray(st_f.x), np.asarray(st_x.x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.y), np.asarray(st_x.y),
+                               rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DP trajectory equality
+# ---------------------------------------------------------------------------
+
+
+def test_dp_condat_vu_matches_single_chip():
+    """DPCondatVu on the 8-device mesh: deterministic method, so the
+    sharded trajectory must equal single-chip to reduction-order
+    tolerance — on the full three-term fused lasso."""
+    from ciao_tpu.parallel import DPCondatVu, make_mesh, shard_finite_sum
+    from ciao_tpu.utils.problems import make_lasso
+
+    N, n = 64, 8
+    prob = make_lasso(N=N, n=n, p=3, seed=3)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+                         scale=jnp.asarray(float(N)))
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    h = NormL1(lam=jnp.asarray(0.05))
+    K = FirstDifference()
+    z0 = jnp.zeros(n, prob.A.dtype)
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh)
+    x_dp, _ = DPCondatVu(mesh=mesh, maxit=300)(z0, F=Fd, g=g, h=h, K=K,
+                                               L=prob.L, N=N)
+    x_sc, _ = ciao_tpu.CondatVu(maxit=300)(z0, F=F, g=g, h=h, K=K,
+                                           L=prob.L, N=N)
+    np.testing.assert_allclose(np.asarray(x_dp), np.asarray(x_sc),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_dp_chambolle_pock_closed_form():
+    """DPChambollePock (f = 0 over the mesh) still reaches the
+    closed-form soft-threshold optimum."""
+    from ciao_tpu.parallel import DPChambollePock, make_mesh
+
+    n = 16
+    b = jnp.asarray(np.linspace(-2.0, 2.0, n))
+    lam = 0.7
+    x, _ = DPChambollePock(mesh=make_mesh(), maxit=2000)(
+        jnp.zeros(n, b.dtype), g=SqrDistPoint(b=b, rho=jnp.asarray(1.0)),
+        h=NormL1(lam=jnp.asarray(lam)), N=8,
+    )
+    x_star = np.sign(np.asarray(b)) * np.maximum(np.abs(np.asarray(b)) - lam, 0)
+    np.testing.assert_allclose(np.asarray(x), x_star, rtol=0, atol=1e-8)
