@@ -315,6 +315,295 @@ def lfinito_10m_epochs_per_s(storage: str = "int8") -> float:
     return epochs / dt
 
 
+def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
+                    E=64, MAX_CHUNKS=40):
+    """BASELINE.md rows 1-2 on the BASELINE config itself: deep-target
+    suboptimality on the 10M×100 sparse Lasso (VERDICT r2 #2).
+
+    The planted well-conditioned generator gives an EXACT f* at this
+    scale, so the suboptimality gap needs no reference solver; the gap
+    is evaluated HOST-SIDE in f64 chunks (an on-chip f32 reduction of
+    10.5M squared residuals cannot resolve rel 1e-6, and f64 is not
+    viable on-chip) and OUTSIDE the solver clock — time-to-target is
+    pure solver wall time. Solver: fused-LFinito f32 epochs (the 10M
+    workhorse, ~19 ms/epoch), plus the staged int8→f32 schedule.
+
+    Returns (t_floor_s, floor_rel, epochs, crossings, staged_s,
+    staged_floor) where ``crossings`` maps each rel target in {1e-3..
+    1e-6} to the solver seconds when first reached (None = floor sits
+    above it — documented, not quoted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.solvers.finito import FinitoCfg, finito_run, lfinito_init
+    from ciao_tpu.utils.problems import make_lasso
+
+    log(f"deep target: generating planted {Nb}x{n_true} lasso (host)")
+    prob = make_lasso(N=Nb, n=n_true, p=8, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+
+    def cost64(z100):
+        """0.5‖Az−b‖² + λ‖z‖₁ in f64, chunked over the host copy of A."""
+        s = 0.0
+        step = 1 << 20
+        for i in range(0, Nb, step):
+            blk = prob.A[i:i + step].astype(np.float64)
+            r = blk @ z100 - prob.b[i:i + step].astype(np.float64)
+            s += float(r @ r)
+        return 0.5 * s + prob.lam * float(np.abs(z100).sum())
+
+    # f* recomputed in f64 the same way (prob.f_star uses a BLAS f32
+    # dot whose ~O(N·eps) error is far above the 1e-6 target)
+    f_star64 = cost64(prob.x_star.astype(np.float64))
+    log(f"deep target: f*(f64) = {f_star64:.9f}")
+
+    def gap64(z):
+        z100 = np.asarray(z)[:n_true].astype(np.float64)
+        return (cost64(z100) - f_star64) / abs(f_star64)
+
+    A_np = np.zeros((Nb, nb), np.float32)
+    A_np[:, :n_true] = prob.A
+    b_dev = jnp.asarray(prob.b, jnp.float32)
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    L = jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros(nb, jnp.float32)
+    import jax as _jax
+
+    cfg = FinitoCfg(N=Nb, batch=Bb, sweeping=3, alpha=0.999,
+                    fused=_jax.default_backend() == "tpu")
+    targets = (1e-3, 1e-4, 1e-5, 1e-6)
+    # E epochs per chunk (~1.2 s f32 at the 10M config); MAX_CHUNKS
+    # bounds each stage at E*MAX_CHUNKS epochs
+
+    def run_plan(stages):
+        """stages = ((storage, stop_rel), ...); returns
+        (t_solve, gap, epochs, crossings)."""
+        t_solve, epochs = 0.0, 0
+        crossings = {t: None for t in targets}
+        gap = float("inf")
+        st = None
+        for storage, stop_rel in stages:
+            A_dev = jnp.asarray(A_np)
+            F = LeastSquaresRows(
+                A=A_dev, b=b_dev, scale=jnp.asarray(float(Nb), jnp.float32)
+            )
+            if storage != "f32":
+                F = F.with_storage(storage)
+            if st is None:
+                st = lfinito_init(F, g, x0, 0.999 * Nb / L, key, cfg)
+            # LFinito's anchor refresh re-derives its state from z_full
+            # every epoch — a storage switch self-heals (no rebase)
+            _ = float(finito_run(F, g, st, cfg, "lfinito", E).z[0])  # warm
+            hist = []
+            for _c in range(MAX_CHUNKS):
+                t0 = time.perf_counter()
+                st = finito_run(F, g, st, cfg, "lfinito", E)
+                _ = float(st.z[0])          # hard sync through the tunnel
+                t_solve += time.perf_counter() - t0
+                epochs += E
+                gap = gap64(st.z)
+                for t in targets:
+                    if gap <= t and crossings[t] is None:
+                        crossings[t] = round(t_solve, 2)
+                hist.append(gap)
+                if gap <= stop_rel:
+                    break
+                # floor detection: <0.5% relative improvement across
+                # the last two chunks (slow linear phases still clear
+                # several % per chunk; a true dtype floor is ~0%)
+                if (len(hist) >= 3
+                        and hist[-3] - hist[-1] < 0.005 * abs(hist[-3])):
+                    break
+            del F, A_dev
+        return t_solve, gap, epochs, crossings
+
+    t_f32, floor_f32, ep_f32, cross_f32 = run_plan((("f32", 1e-6),))
+    log(f"deep target [f32 LFinito]: floor rel {floor_f32:.3e} after "
+        f"{ep_f32} epochs / {t_f32:.1f}s solver time; crossings "
+        f"{cross_f32}")
+    t_stg, floor_stg, ep_stg, cross_stg = run_plan(
+        (("int8", 5e-2), ("f32", 1e-6))
+    )
+    log(f"deep target [staged int8->f32]: floor rel {floor_stg:.3e} after "
+        f"{ep_stg} epochs / {t_stg:.1f}s; crossings {cross_stg}")
+    return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
+            cross_stg)
+
+
+def bench_missing_cells():
+    """The round-2 PERF table's unmeasured narrow-storage cells
+    (VERDICT r2 #5) + the round-3 additions: ZeroFPR bf16/int8,
+    Point-SAGA logistic bf16/int8, Huber-SAGA bf16/int8,
+    importance-SAGA bf16/int8, adaptive-γ PANOC step cost, Davis-Yin
+    and Condat-Vũ step costs, and the widened fused-ProShI gate
+    (shuffled at the cyclic config; random-block at d=64). All timed
+    regions hold >=0.25 s of device work, warmed at the timed shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import HuberRows, LeastSquaresRows, LogisticRows
+    from ciao_tpu.prox import NormL1, Zero as _Zero
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = jax.random.normal(kA, (N, n), jnp.float32)
+    b = jax.random.normal(kb, (N,), jnp.float32)
+    g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
+    L = jnp.sum(A * A, axis=1) * N
+    Lm = jnp.max(L)
+    x0 = jnp.zeros(n, jnp.float32)
+    y_cls = jnp.sign(jax.random.normal(kb, (N,), jnp.float32))
+
+    def timed(fn, state, steps, sync):
+        st = fn(state, steps)
+        _ = float(sync(st))
+        t0 = time.perf_counter()
+        st = fn(state, steps)
+        _ = float(sync(st))
+        return (time.perf_counter() - t0) / steps * 1e3, st
+
+    from ciao_tpu.solvers.panoc import PANOCCfg, panoc_init, panoc_run
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    for tag in ("f32", "bf16", "int8"):
+        F = LeastSquaresRows(A=A, b=b,
+                             scale=jnp.asarray(float(N), jnp.float32))
+        F_log = LogisticRows(X=A, y=y_cls)
+        F_hub = HuberRows(A=A, b=b, delta=jnp.asarray(0.7, jnp.float32),
+                          scale=jnp.asarray(float(N), jnp.float32))
+        if tag != "f32":
+            F, F_log, F_hub = (o.with_storage(tag)
+                               for o in (F, F_log, F_hub))
+
+        # ZeroFPR (2 FBE evals/step at steady τ=1; near a narrow
+        # storage's floor the thrash gauge reports the real evals/step)
+        zcfg = PANOCCfg(N=N, zerofpr=True, fused=True)
+        gam = (0.95 / jnp.mean(L)).astype(jnp.float32)
+        sig = jnp.asarray(0.5 * 0.05 / (2.0 * gam), jnp.float32)
+        st0 = panoc_init(F, g, x0, gam, sig, zcfg)
+        ms, st = timed(lambda s, k: panoc_run(F, g, s, zcfg, k), st0,
+                       128, lambda s: s.x[0])
+        log(f"zerofpr fused [{tag}]: {ms:.2f} ms/step "
+            f"(ls_ewma {float(st.ls_ewma):.2f} evals/step)")
+
+        # Point-SAGA on logistic rows (in-kernel 20-step Newton θ-solve)
+        pcfg = PointSAGACfg(N=N, batch=BATCH, block=True, fused=True)
+        L_log = 0.25 * jnp.sum(A * A, axis=1) * N
+        st0 = point_saga_init(F_log, _Zero(), x0,
+                              (1.0 / (3 * jnp.max(L_log))).astype(
+                                  jnp.float32), key, pcfg)
+        S = 768 * STEPS_PER_EPOCH
+        ms, _ = timed(lambda s, k: point_saga_run(F_log, _Zero(), s,
+                                                  pcfg, k),
+                      st0, S, lambda s: s.x[0])
+        log(f"point-saga logistic fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Huber SAGA (MODE_HUBER coefficient formula, δ = aux scalar)
+        scfg = SAGACfg(N=N, sag=False, batch=BATCH, block=True,
+                       coeff=True, fused=True)
+        st0 = saga_init(F_hub, g, x0,
+                        (1.0 / (3.0 * Lm)).astype(jnp.float32), key, scfg)
+        S = 512 * STEPS_PER_EPOCH
+        ms, _ = timed(lambda s, k: saga_run(F_hub, g, s, scfg, k), st0, S,
+                      lambda s: s.z[0])
+        log(f"huber saga fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Importance-sampled SAGA (inverse-CDF draws + 1/(d·q_j)
+        # weights in the prefetch stream) — q from the TRUE row moduli
+        icfg = SAGACfg(N=N, sag=False, batch=BATCH, block=True,
+                       coeff=True, fused=True, importance=True)
+        d = N // BATCH
+        Lb64 = np.asarray(jax.device_get(L), np.float64)
+        Lblk64 = np.max(Lb64.reshape(d, BATCH), axis=1)
+        q64 = Lblk64 / np.sum(Lblk64)
+        qcum64 = np.cumsum(q64)
+        qcum64 /= qcum64[-1]
+        gam_i = jnp.asarray(1.0 / (3.0 * np.mean(Lblk64)), jnp.float32)
+        st0 = saga_init(F, g, x0, gam_i, key, icfg)
+        st0 = st0._replace(qcum=jnp.asarray(qcum64, jnp.float32),
+                           qinv=jnp.asarray(1.0 / (d * q64), jnp.float32))
+        ms, _ = timed(lambda s, k: saga_run(F, g, s, icfg, k), st0, S,
+                      lambda s: s.z[0])
+        log(f"importance saga fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+    # adaptive-γ PANOC: each γ-trial costs ONE value-only oracle pass
+    # (value_sum_all margin read) on top of the fixed-γ step
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(N), jnp.float32))
+    for adaptive in (False, True):
+        acfg = PANOCCfg(N=N, fused=True, adaptive=adaptive)
+        gam = (0.95 / jnp.mean(L)).astype(jnp.float32)
+        sig = jnp.asarray(0.5 * 0.05 / (2.0 * gam), jnp.float32)
+        st0 = panoc_init(F, g, x0, gam, sig, acfg)
+        ms, _ = timed(lambda s, k: panoc_run(F, g, s, acfg, k), st0, 128,
+                      lambda s: s.x[0])
+        log(f"panoc fused [f32, adaptive={adaptive}]: {ms:.2f} ms/step")
+
+    # Davis-Yin / Condat-Vũ: one full-gradient pass + O(n) proxes per
+    # step — must sit at the FISTA full-pass row
+    from ciao_tpu.ops.linmap import FirstDifference
+    from ciao_tpu.prox import IndBox
+    from ciao_tpu.solvers.dys import DYSCfg, dys_init, dys_run
+    from ciao_tpu.solvers.primal_dual import PDCfg, pd_init, pd_run
+
+    for tag in ("f32", "bf16", "int8"):
+        F = LeastSquaresRows(A=A, b=b,
+                             scale=jnp.asarray(float(N), jnp.float32))
+        if tag != "f32":
+            F = F.with_storage(tag)
+        h = IndBox(lo=-1.0, hi=1.0)
+        dcfg = DYSCfg(N=N, fused=True)
+        gam = (1.0 / jnp.mean(L)).astype(jnp.float32)
+        st0 = dys_init(F, g, h, x0, gam, jnp.ones((), jnp.float32), dcfg)
+        ms, _ = timed(lambda s, k: dys_run(F, g, h, s, dcfg, k), st0, 256,
+                      lambda s: s.xg[0])
+        log(f"davis-yin fused [{tag}]: {ms:.3f} ms/step")
+
+        K = FirstDifference()
+        h1 = NormL1(lam=jnp.asarray(0.05, jnp.float32))
+        pdc = PDCfg(N=N, fused=True)
+        Lf = float(jnp.mean(L))
+        sigma = jnp.asarray(0.5, jnp.float32)
+        tau = jnp.asarray(0.99 / (Lf / 2.0 + 0.5 * 4.0), jnp.float32)
+        st0 = pd_init(F, g, h1, K, x0, tau, sigma, pdc)
+        ms, _ = timed(lambda s, k: pd_run(F, g, h1, K, s, pdc, k), st0,
+                      256, lambda s: s.x[0])
+        log(f"condat-vu fused [{tag}]: {ms:.3f} ms/step")
+
+    # widened fused-ProShI gate (round 3): shuffled at the cyclic
+    # config (65k×1024, d=16) and random-block at d=64 (262k×1024)
+    from ciao_tpu.solvers.proshi import ProshiCfg, proshi_init, proshi_run
+
+    gsh = IndBox(lo=-jnp.inf, hi=1.0)
+    for label, Np2, sweeping, blk in (
+        ("shuffled 65k", 65_536, 3, False),
+        ("random-block 262k (d=64)", N, 1, True),
+    ):
+        A2, b2v = A[:Np2], b[:Np2]
+        Fp2 = LeastSquaresRows(
+            A=A2, b=b2v, scale=jnp.asarray(float(Np2), jnp.float32)
+        )
+        L2 = jnp.sum(A2 * A2, axis=1) * Np2
+        gam2 = (0.999 * Np2 / L2).astype(jnp.float32)
+        S = 8192
+        for fused in (False, True):
+            pcfg2 = ProshiCfg(N=Np2, batch=BATCH, sweeping=sweeping,
+                              alpha=0.999, fused=fused,
+                              block_sampling=blk)
+            st0 = proshi_init(Fp2, gsh, x0, gam2, key, pcfg2)
+            ms, _ = timed(lambda s, k: proshi_run(Fp2, gsh, s, pcfg2, k),
+                          st0, S, lambda s: s.z[0])
+            log(f"proshi [{label}, fused={fused}]: {ms:.4f} ms/step")
+
+
 def bench_secondary():
     """CIAO_BENCH_ALL=1: also time the fused Finito/LFinito/SVRG paths
     (stderr only — the driver consumes the single stdout JSON line)."""
@@ -627,6 +916,7 @@ def main():
     if os.environ.get("CIAO_BENCH_ALL"):
         tpu_samples_per_s(storage="f32")  # exact-f32 path (stderr)
         bench_secondary()
+        bench_missing_cells()
     cpu = cpu_baseline_samples_per_s()
     log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
     print(
@@ -664,6 +954,32 @@ def main():
         }), flush=True)
     except Exception as e:  # noqa: BLE001
         log(f"staged anchor failed ({type(e).__name__}: {e}) — skipped")
+    # BASELINE.md rows 1-2 on the BASELINE config itself (VERDICT r2
+    # #2): time-to-deepest-achievable suboptimality on 10M×100, with
+    # the f32 floor and every crossed rel target machine-captured
+    try:
+        (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
+         cross_stg) = deep_target_10m()
+        # vs_baseline: the reference's single-core batch-1 loop at the
+        # measured ~cpu samples/s would need epochs×N/cpu seconds for
+        # the same epoch count
+        cpu_equiv_s = ep_f32 * 10 * 1024 * 1024 / max(cpu, 1.0)
+        print(json.dumps({
+            "metric": "deep_target_10m_time_to_floor_s",
+            "value": round(t_f32, 2), "unit": "s",
+            "vs_baseline": round(cpu_equiv_s / max(t_f32, 1e-9), 1),
+            "target_rel": 1e-6,
+            "reached_1e6": cross_f32[1e-6] is not None,
+            "floor_rel_f32": float(f"{floor_f32:.3e}"),
+            "epochs_f32": ep_f32,
+            "crossings_f32_s": {f"{t:g}": v for t, v in cross_f32.items()},
+            "staged_int8_f32_time_s": round(t_stg, 2),
+            "floor_rel_staged": float(f"{floor_stg:.3e}"),
+            "crossings_staged_s": {f"{t:g}": v
+                                   for t, v in cross_stg.items()},
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"deep-target anchor failed ({type(e).__name__}: {e}) — skipped")
 
 
 if __name__ == "__main__":

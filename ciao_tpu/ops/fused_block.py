@@ -2068,11 +2068,16 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
 # runs K steps per launch with av/z carried in VMEM and the (N, n)
 # table STREAMED tile-by-tile through input/output aliasing.
 #
-# Hazard contract: the (K,) schedule must visit K DISTINCT blocks — a
-# same-launch revisit would race the streamed write-back (unlike the
-# coefficient kernels, the table cannot live in VMEM). CYCLIC sweeping
-# satisfies this for any K ≤ d window, which is why the driver
-# (solvers/proshi.py) gates the fused path to cyclic schedules.
+# Hazard contract: the APPLIED steps of a launch must visit DISTINCT
+# blocks — a same-launch revisit would race the streamed write-back
+# (unlike the coefficient kernels, the table cannot live in VMEM).
+# CYCLIC sweeping satisfies this for any K ≤ d window and runs
+# unclamped; SHUFFLED and RANDOM (block-sampling) schedules pass a
+# clamp count ``f`` from sampling.gen_block_ids_clamped — the first
+# same-launch duplicate position — and the kernel masks steps k >= f
+# (their tiles are redirected by the wrapper to a block with no
+# committed visit, so the identity write-back cannot race). The driver
+# (solvers/proshi.py) advances the schedule by f only.
 
 def proshi_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     return (
@@ -2121,6 +2126,13 @@ def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
     ghi = sc_ref[0, 5]
     gmode = sc_ref[0, 6]
     aux = sc_ref[0, 7]       # oracle formula parameter (Huber δ)
+    # clamp count (trailing prefetch slot): steps k >= fclamp are MASKED
+    # — their (rewritten, conflict-free) tiles stream through unchanged
+    # and contribute no innovation. The driver commits only fclamp steps
+    # of the schedule (gen_block_ids_clamped); the cyclic caller passes
+    # fclamp = K (no masking).
+    fclamp = starts_ref[K]
+    committed = k < fclamp
 
     @pl.when((k == 0) & (t == 0))
     def _():
@@ -2144,7 +2156,7 @@ def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
     w = (gi * invN) * c
     if quant:
         w = w * rs_t
-    s_new = s_tmp - w * A_f
+    s_new = jnp.where(committed, s_tmp - w * A_f, s_old)
     innov_vm[...] += jnp.sum(s_new - s_old, axis=0, keepdims=True)
     s_out_ref[:] = s_new
 
@@ -2170,19 +2182,41 @@ def _proshi_multi_kernel(prec, quant, starts_ref, A_ref, b_ref, g_ref,
 )
 def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
                      precision: str = "highest", rs2=None,
-                     interpret: bool = False):
+                     interpret: bool = False, f=None):
     """K = len(starts) ProShI block steps in one launch over K DISTINCT
     blocks (caller's contract — see the hazard note above). ``b2``/
     ``g2`` are the (N, 1) offset/γ columns; ``s`` the donated (N, n)
     block table; ``scalars`` the (1, 8) row
     [scale, 1/N, 1/hat_γ, mode, glo, ghi, gmode, aux]. Returns
-    ``(s, av2, z2)``."""
+    ``(s, av2, z2)``.
+
+    ``f`` (optional clamp count, traced int32 scalar): only the first
+    ``f`` steps of the schedule are APPLIED — the shuffled/random fused
+    drivers clamp each launch at the first same-launch block revisit
+    (gen_block_ids_clamped). Masked steps are redirected to a FREE
+    block (one with no committed visit, which exists whenever f < K
+    <= d) so their identity write-back cannot race a committed write,
+    and the kernel zeroes their innovation."""
     N, n = s.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs2 is not None), "rs2 required iff rows are int8"
     TILE = _proshi_tile(B, N, n, esize=A.dtype.itemsize)
     T = B // TILE
     K = starts.shape[0]
+    if f is None:
+        f = jnp.asarray(K, jnp.int32)
+    else:
+        # redirect masked steps' tiles to a block with ZERO committed
+        # visits: scatter-count the committed blocks, take an argmin
+        d = N // B
+        blocks = starts // B
+        live = (jnp.arange(K, dtype=jnp.int32) < f)
+        hits = jnp.zeros(d, jnp.int32).at[blocks].add(live.astype(jnp.int32))
+        free = jnp.argmin(hits).astype(jnp.int32)
+        starts = jnp.where(live, starts, free * B)
+    starts = jnp.concatenate(
+        [starts.astype(jnp.int32), f.astype(jnp.int32)[None]]
+    )
 
     def row_idx(k, t, st):
         return (st[k] // TILE + t, 0)
@@ -2226,7 +2260,7 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
         ],
         input_output_aliases={4 + len(rs_ops): 0},      # s in -> s out
         interpret=interpret,
-    )(starts.astype(jnp.int32), A, b2, g2, *rs_ops, s, av2, z2, scalars)
+    )(starts, A, b2, g2, *rs_ops, s, av2, z2, scalars)
     return s_new, av_new, z_new
 
 

@@ -1679,7 +1679,7 @@ def _panoc_init_local(F, g, x0, gamma, sigma, key, cfg: DPCfg):
         head=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32),
         pbase=jnp.zeros((paux,), x0.dtype),
         presid=jnp.zeros((paux,), x0.dtype),
-        tau=jnp.ones((), rdt),
+        tau=jnp.ones((), rdt), ls_ewma=jnp.ones((), jnp.float32),
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
     )
 
@@ -3415,6 +3415,9 @@ class DPPANOC:
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )
+        from ciao_tpu.solvers.panoc import warn_if_thrashing
+
+        warn_if_thrashing(state, type(self).__name__)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):

@@ -1103,7 +1103,7 @@ def _tp_panoc_init(F, g, x0, gamma, sigma, cfg: TPPANOCCfg):
         head=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32),
         pbase=jnp.zeros((paux,), x0.dtype),
         presid=jnp.zeros((paux,), x0.dtype),
-        tau=jnp.ones((), rdt),
+        tau=jnp.ones((), rdt), ls_ewma=jnp.ones((), jnp.float32),
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
     )
 
@@ -1131,7 +1131,7 @@ def _panoc_st_specs():
         gradx=P(MODEL_AXIS), z=P(MODEL_AXIS), gz=P(), fbe=P(),
         S=P(None, MODEL_AXIS), Y=P(None, MODEL_AXIS), rho=P(),
         head=P(), count=P(), pbase=P(MODEL_AXIS), presid=P(MODEL_AXIS),
-        tau=P(), it=P(), status=P(),
+        tau=P(), ls_ewma=P(), it=P(), status=P(),
     )
 
 
@@ -2260,6 +2260,9 @@ class TPPANOC:
         state, it = run_solver_loop(
             init, run, self.maxit, self.verbose, self.freq, disp, observe
         )
+        from ciao_tpu.solvers.panoc import warn_if_thrashing
+
+        warn_if_thrashing(state, type(self).__name__)
         return state.solution, it
 
     def iterator(self, x0, F=None, g=None, L=None, N=None):

@@ -67,6 +67,15 @@ def next_block_id(
     dynamic-slice start (contiguous blocks avoid XLA's slow TPU row
     scatter; see oracles.base block entry points)."""
     d = num_blocks(n, batch)
+    if sweeping == Sweep.RANDOM:
+        # stateless iid uniform block id: deterministic in (key, pos) so
+        # the fused drivers can draw/clamp whole windows in one
+        # vectorized pass (gen_block_ids / gen_block_ids_clamped) while
+        # reproducing this stepwise stream bit-for-bit. ``pos`` is a
+        # plain draw counter here (no epoch wrap).
+        k = jax.random.fold_in(state.key, state.pos)
+        j = jax.random.randint(k, (), 0, d, dtype=jnp.int32)
+        return j, state._replace(pos=state.pos + 1)
     if sweeping == Sweep.CYCLIC:
         new_pos = state.pos % d + 1  # reference: idxr = mod(idxr, d) + 1
         return new_pos - 1, state._replace(pos=new_pos)
@@ -129,6 +138,12 @@ def gen_block_ids(
     d = num_blocks(n, batch)
     ks = jnp.arange(k, dtype=jnp.int32)
     s = state.pos + ks                  # absolute draw counter
+    if sweeping == Sweep.RANDOM:
+        keys = jax.vmap(lambda t: jax.random.fold_in(state.key, t))(s)
+        blocks = jax.vmap(
+            lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
+        )(keys)
+        return blocks, state._replace(pos=state.pos + k)
     new_pos = (state.pos + k - 1) % d + 1
     if sweeping == Sweep.CYCLIC:
         return s % d, state._replace(pos=new_pos)
@@ -155,5 +170,68 @@ def gen_block_ids(
     n_resh = (state.pos + k - 1) // d   # boundaries crossed in the window
     keys_all = jnp.concatenate([state.key[None], keys_next], axis=0)
     return blocks, SweepState(
+        pos=new_pos, order=orders[n_resh], key=keys_all[n_resh]
+    )
+
+
+def first_duplicate(blocks):
+    """Smallest j with ``blocks[j] in blocks[:j]``, else len(blocks) —
+    the clamp point for fused drivers whose kernels stream a table
+    through in/out aliasing and therefore cannot tolerate a same-launch
+    block revisit (ops.proshi_multistep's hazard contract)."""
+    K = blocks.shape[0]
+    eq = blocks[:, None] == blocks[None, :]           # eq[j, i]
+    earlier = jnp.tril(jnp.ones((K, K), bool), -1)    # i < j
+    dup = jnp.any(eq & earlier, axis=1)               # (K,) j has earlier twin
+    return jnp.where(jnp.any(dup), jnp.argmax(dup), K).astype(jnp.int32)
+
+
+def gen_block_ids_clamped(
+    state: SweepState, k: int, n: int, batch: int, sweeping: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, SweepState]:
+    """The next ``k`` CANDIDATE block ids plus the clamp count ``f`` =
+    the largest prefix with all-distinct blocks, and the state advanced
+    by ``f`` draws ONLY. Because every schedule is stateless in
+    (key, position), the ``k - f`` discarded candidates are re-drawn
+    identically by the next call — so consuming f steps per launch
+    reproduces the stepwise ``next_block_id`` stream bit-for-bit.
+    Shuffled epochs are permutations, so f < k only when the window
+    crosses an epoch boundary AND the fresh permutation's head collides
+    with the old tail; random (iid) windows clamp at the birthday bound
+    ~1.25·sqrt(d). Cyclic windows with k <= d never clamp — use
+    :func:`gen_block_ids` there."""
+    d = num_blocks(n, batch)
+    ks = jnp.arange(k, dtype=jnp.int32)
+    s = state.pos + ks
+    if sweeping == Sweep.RANDOM:
+        keys = jax.vmap(lambda t: jax.random.fold_in(state.key, t))(s)
+        blocks = jax.vmap(
+            lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
+        )(keys)
+        f = first_duplicate(blocks)
+        return blocks, f, state._replace(pos=state.pos + f)
+    if sweeping != Sweep.SHUFFLED:
+        raise ValueError(
+            f"gen_block_ids_clamped serves sweeping 1 or 3; got {sweeping}"
+        )
+    E = k // d + 2
+    e = s // d
+    q = s % d
+
+    def chain(key, _):
+        key2, sub = jax.random.split(key)
+        return key2, (key2, sub)
+
+    _, (keys_next, subs) = jax.lax.scan(chain, state.key, None, length=E)
+    perms = jax.vmap(
+        lambda sk: jax.random.permutation(sk, d).astype(jnp.int32)
+    )(subs)
+    orders = jnp.concatenate([state.order[None, :], perms], axis=0)
+    blocks = orders[e, q]
+    f = first_duplicate(blocks)
+    keys_all = jnp.concatenate([state.key[None], keys_next], axis=0)
+    n_resh = (state.pos + f - 1) // d   # boundaries crossed in the COMMIT
+    new_pos = (state.pos + f - 1) % d + 1
+    return blocks, f, SweepState(
         pos=new_pos, order=orders[n_resh], key=keys_all[n_resh]
     )

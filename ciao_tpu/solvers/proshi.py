@@ -49,8 +49,14 @@ class ProshiCfg(NamedTuple):
     batch: int
     sweeping: int
     alpha: float
-    fused: bool = False  # Pallas K-blocks-per-launch kernel (cyclic only)
+    fused: bool = False  # Pallas K-blocks-per-launch kernel
     fused_precision: str = "highest"
+    # random sweeping draws contiguous random BLOCKS from the stateless
+    # (key, pos) stream instead of scattered without-replacement index
+    # sets — the sanctioned batched form (cf. SAGA block_sampling; the
+    # DP path already samples blocks) and the one the fused kernel can
+    # stream. Backend-independent: stepwise and fused share the stream.
+    block_sampling: bool = False
 
 
 class ProshiState(NamedTuple):
@@ -93,7 +99,7 @@ def proshi_init(F, g, x0, gamma, key, cfg: ProshiCfg) -> ProshiState:
 def _proshi_step(F, g, cfg: ProshiCfg, state: ProshiState) -> ProshiState:
     """Reference ProShI_basic.jl:93-125, batched."""
     N, B = cfg.N, cfg.batch
-    if cfg.sweeping != Sweep.RANDOM and N % B == 0:
+    if (cfg.sweeping != Sweep.RANDOM or cfg.block_sampling) and N % B == 0:
         # contiguous fast path (dynamic-slice DMAs; see finito.py note)
         block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
         start = block * B
@@ -131,30 +137,15 @@ def _proshi_gprox_consts(g, hat):
     return f32(0.0), f32(0.0), f32(GPROX_ZERO)
 
 
-def _proshi_run_fused(F, g, state, cfg: ProshiCfg, steps: int):
-    """Fused multi-block driver: K cyclic block steps per Pallas launch
-    (ops.proshi_multistep — the (N, n) block table streamed through
-    in/out aliasing, av/z carried in VMEM). CYCLIC only: any K ≤ d
-    consecutive cyclic blocks are DISTINCT, which is the kernel's
-    revisit-hazard contract (the streamed table cannot tolerate a
-    same-launch revisit). Sampling parity: gen_block_ids reproduces the
-    stepwise next_block_id stream bit-for-bit. Measured 0.159 → ~0.09
-    ms/step at 65k×1024, B=4096 (PERF.md)."""
-    from ciao_tpu.ops.fused_block import (
-        oracle_scalar_consts, proshi_multistep,
-    )
-    from ciao_tpu.sampling import gen_block_ids
+def _proshi_fused_consts(F, g, state, cfg: ProshiCfg):
+    """The launch-invariant operands of ops.proshi_multistep."""
+    from ciao_tpu.ops.fused_block import oracle_scalar_consts
 
-    B, N = cfg.batch, cfg.N
-    d = N // B
-    K = min(64, d)
-    Lq = steps // K
-    rem = steps - Lq * K
     scale, mode, _, aux = oracle_scalar_consts(F, g)
     glo, ghi, gmode = _proshi_gprox_consts(g, state.hat_gamma)
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     scalars = jnp.stack([
-        scale, f32(1.0 / N), f32(1.0 / state.hat_gamma), mode,
+        scale, f32(1.0 / cfg.N), f32(1.0 / state.hat_gamma), mode,
         glo, ghi, gmode, aux,
     ])[None, :]
     b2 = F.b[:, None]
@@ -162,6 +153,28 @@ def _proshi_run_fused(F, g, state, cfg: ProshiCfg, steps: int):
     rs = getattr(F, "row_scale", None)
     rs2 = None if rs is None else rs[:, None]
     interp = jax.default_backend() != "tpu"
+    return scalars, b2, g2, rs2, interp
+
+
+def _proshi_run_fused(F, g, state, cfg: ProshiCfg, steps: int):
+    """Fused multi-block driver: K cyclic block steps per Pallas launch
+    (ops.proshi_multistep — the (N, n) block table streamed through
+    in/out aliasing, av/z carried in VMEM). Any K ≤ d consecutive
+    cyclic blocks are DISTINCT, which is the kernel's revisit-hazard
+    contract (the streamed table cannot tolerate a same-launch
+    revisit); shuffled/random schedules go through the CLAMPED driver
+    below instead. Sampling parity: gen_block_ids reproduces the
+    stepwise next_block_id stream bit-for-bit. Measured 0.159 → ~0.09
+    ms/step at 65k×1024, B=4096 (PERF.md)."""
+    from ciao_tpu.ops.fused_block import proshi_multistep
+    from ciao_tpu.sampling import gen_block_ids
+
+    B, N = cfg.batch, cfg.N
+    d = N // B
+    K = min(64, d)
+    Lq = steps // K
+    rem = steps - Lq * K
+    scalars, b2, g2, rs2, interp = _proshi_fused_consts(F, g, state, cfg)
 
     def body(carry, _):
         s, av2, z2, sweep = carry
@@ -186,10 +199,59 @@ def _proshi_run_fused(F, g, state, cfg: ProshiCfg, steps: int):
     return state
 
 
+def _proshi_run_fused_clamped(F, g, state, cfg: ProshiCfg, steps: int):
+    """Fused driver for SHUFFLED and RANDOM (block-sampling) schedules:
+    each launch draws a K-step candidate window from the stateless
+    stream and CLAMPS it at the first same-launch block revisit
+    (sampling.gen_block_ids_clamped — the kernel masks the tail and the
+    sweep state advances by the committed count only, so the stream
+    equals stepwise bit-for-bit). Shuffled clamps only at epoch
+    boundaries whose fresh permutation head collides with the old tail
+    — near-zero waste; random clamps at the birthday bound ~1.25√d, so
+    its K is sized to that and the facade gates it to d ≥ 64. Runs as
+    ONE jitted while_loop (single dispatch through the TPU tunnel), the
+    dynamic remainder stepwise."""
+    from ciao_tpu.ops.fused_block import proshi_multistep
+    from ciao_tpu.sampling import gen_block_ids_clamped
+
+    B, N = cfg.batch, cfg.N
+    d = N // B
+    if cfg.sweeping == Sweep.SHUFFLED:
+        K = min(64, d)
+    else:
+        K = min(64, d, max(8, int(1.25 * d ** 0.5) // 8 * 8))
+    scalars, b2, g2, rs2, interp = _proshi_fused_consts(F, g, state, cfg)
+    target = state.it + jnp.asarray(steps, jnp.int32)
+
+    def launch(st):
+        blocks, f, sweep = gen_block_ids_clamped(
+            st.sweep, K, N, B, cfg.sweeping
+        )
+        s, av2, z2 = proshi_multistep(
+            F.A, b2, g2, st.s, blocks * B, st.av[None, :], st.z[None, :],
+            scalars, B, precision=cfg.fused_precision, rs2=rs2,
+            interpret=interp, f=f,
+        )
+        return st._replace(s=s, av=av2[0], z=z2[0], sweep=sweep,
+                           it=st.it + f)
+
+    state = jax.lax.while_loop(
+        lambda st: st.it + K <= target, launch, state
+    )
+    # dynamic (< K, clamp-dependent) remainder: stepwise
+    state = jax.lax.while_loop(
+        lambda st: st.it < target,
+        lambda st: _proshi_step(F, g, cfg, st), state,
+    )
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def proshi_run(F, g, state, cfg: ProshiCfg, steps: int):
     if cfg.fused and steps >= 8:
-        return _proshi_run_fused(F, g, state, cfg, steps)
+        if cfg.sweeping == Sweep.CYCLIC:
+            return _proshi_run_fused(F, g, state, cfg, steps)
+        return _proshi_run_fused_clamped(F, g, state, cfg, steps)
 
     def body(s, _):
         with jax.named_scope("proshi_step"):
@@ -215,6 +277,12 @@ class Proshi:
     freq: int = 10000
     alpha: float = 0.999
     fused_precision: str = "highest"  # MXU/VPU passes in the fused kernel
+    # random sweeping: draw contiguous random BLOCKS (stateless stream)
+    # instead of the reference's scattered without-replacement index
+    # sets — the sanctioned batched form (cf. SAGA ``block_sampling``;
+    # DPProshi already samples blocks) and the only one the fused
+    # streaming kernel can serve. Backend-independent semantics.
+    block_sampling: bool = False
     seed: int = 0
 
     def __post_init__(self):
@@ -223,6 +291,10 @@ class Proshi:
         assert self.maxit > 0
         assert self.freq > 0
         assert self.sweeping in (1, 2, 3)
+        if self.block_sampling:
+            assert self.sweeping == Sweep.RANDOM, (
+                "block_sampling only modifies random sweeping"
+            )
 
     def _setup(self, x0, F, g, L, N):
         x0 = jnp.asarray(x0)
@@ -237,18 +309,30 @@ class Proshi:
             g = Zero()
         rdt = real_dtype_of(x0)
         gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt, who="ProShI")
+        if self.block_sampling and N % self.minibatch[1] != 0:
+            raise ValueError(
+                "ProShI block_sampling needs N divisible by the batch"
+            )
         fused = False
-        if (self.sweeping == Sweep.CYCLIC
-                and x0.dtype == jnp.float32
-                and N % self.minibatch[1] == 0):
+        if x0.dtype == jnp.float32 and N % self.minibatch[1] == 0:
             # the fused kernel needs dense rank-1 row oracles (in-kernel
-            # pointwise coefficients) and an in-kernel coupling prox
+            # pointwise coefficients) and an in-kernel coupling prox;
+            # cyclic/shuffled fuse directly (distinct-block windows,
+            # epoch-boundary clamps); random needs the block-sampling
+            # stream AND d large enough that the birthday clamp
+            # (~1.25√d committed steps of K) keeps the launch efficient
             from ciao_tpu.ops.fused_block import proshi_multistep_available
             from ciao_tpu.prox import IndBox, NormL1
 
+            d = N // self.minibatch[1]
+            sweep_ok = (
+                self.sweeping in (Sweep.CYCLIC, Sweep.SHUFFLED)
+                or (self.block_sampling and d >= 64)
+            )
             fused = (
-                proshi_multistep_available(N, x0.size, self.minibatch[1],
-                                           x0.dtype)
+                sweep_ok
+                and proshi_multistep_available(N, x0.size,
+                                               self.minibatch[1], x0.dtype)
                 and hasattr(F, "coeff_mode")
                 and hasattr(F, "A") and hasattr(F, "b")
                 and isinstance(g, (IndBox, NormL1, Zero))
@@ -257,6 +341,7 @@ class Proshi:
             N=N, batch=self.minibatch[1], sweeping=self.sweeping,
             alpha=float(self.alpha), fused=fused,
             fused_precision=self.fused_precision,
+            block_sampling=self.block_sampling,
         )
         key = jax.random.PRNGKey(self.seed)
         init = lambda: proshi_init(F, g, x0, gamma, key, cfg)

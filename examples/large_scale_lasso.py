@@ -43,7 +43,9 @@ def _build_int8(key, N, n, chunk=524_288):
     def fill(q, rs, L, ck, chunk, start):
         a = jax.random.normal(ck, (chunk, n), jnp.float32)
         qc, rsc = quantize_rows(a)
-        q = jax.lax.dynamic_update_slice(q, qc, (start, 0))
+        q = jax.lax.dynamic_update_slice(
+            q, qc, (start, jnp.zeros((), start.dtype))
+        )
         rs = jax.lax.dynamic_update_slice(rs, rsc, (start,))
         Lc = jnp.sum(a * a, axis=1) * N
         L = jax.lax.dynamic_update_slice(L, Lc, (start,))
@@ -58,12 +60,16 @@ def _build_int8(key, N, n, chunk=524_288):
     return q, rs, L
 
 
-def main(N=2_097_152, n=1_024, B=4_096, epochs=20, storage="f32"):
+def main(N=2_097_152, n=1_024, B=4_096, epochs=20, storage="f32",
+         small=False):
+    if small:  # CI smoke shapes (tests/test_examples.py): same code path
+        N, B, epochs = 2_048, 256, 2
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
     if storage == "int8":
-        N = 4 * N                       # same byte budget as the f32 run
-        q, rs, L = _build_int8(kA, N, n)
+        if not small:
+            N = 4 * N                   # same byte budget as the f32 run
+        q, rs, L = _build_int8(kA, N, n, chunk=min(524_288, N))
         b = jax.random.normal(kb, (N,), jnp.float32)
         F = LeastSquaresRows(A=q, b=b, row_scale=rs,
                              scale=jnp.asarray(float(N), jnp.float32))
@@ -76,7 +82,10 @@ def main(N=2_097_152, n=1_024, B=4_096, epochs=20, storage="f32"):
         if storage == "bf16":
             F = F.with_storage()   # state/coefficients stay f32 (PERF.md)
 
-    cfg = FinitoCfg(N=N, batch=B, sweeping=3, alpha=0.999, fused=True)
+    # the fused Pallas epoch kernel is the TPU path; the CPU smoke run
+    # exercises the identical XLA epoch sweep
+    cfg = FinitoCfg(N=N, batch=B, sweeping=3, alpha=0.999,
+                    fused=jax.default_backend() == "tpu")
     st = lfinito_init(F, g := NormL1(lam=jnp.asarray(0.1, jnp.float32)),
                       jnp.zeros(n, jnp.float32), 0.999 * N / L, key, cfg)
     jax.block_until_ready(st)
@@ -92,6 +101,13 @@ def main(N=2_097_152, n=1_024, B=4_096, epochs=20, storage="f32"):
     bpe = F.A.dtype.itemsize
     print(f"N={N:,} n={n} [{storage}]: {dt / epochs * 1e3:.1f} ms/epoch "
           f"({epochs * 2 * N * n * bpe / dt / 1e9:.0f} GB/s effective)")
+    # the epochs actually optimized: objective strictly below the start
+    # (on-device — the full-size A must never round-trip to host)
+    obj = jax.jit(lambda z: jnp.real(F.value_sum_all(z)) / N
+                  + 0.1 * jnp.sum(jnp.abs(z)))
+    o0, oz = float(obj(jnp.zeros(n, jnp.float32))), float(obj(st.z))
+    assert jnp.isfinite(st.z).all()
+    assert oz < o0, f"LFinito must decrease the objective ({oz} vs {o0})"
 
 
 if __name__ == "__main__":

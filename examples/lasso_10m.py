@@ -32,7 +32,10 @@ from ciao_tpu.prox import NormL1
 from ciao_tpu.solvers.finito import FinitoCfg, finito_run, lfinito_init
 
 
-def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
+def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32",
+         small=False):
+    if small:  # CI smoke shapes (tests/test_examples.py): same code path
+        N, B, epochs = 8_192, 512, 2
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
 
@@ -61,15 +64,17 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
                          row_scale=rs)
     g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
 
-    cfg = FinitoCfg(N=N, batch=B, sweeping=3, alpha=0.999, fused=True)
+    cfg = FinitoCfg(N=N, batch=B, sweeping=3, alpha=0.999,
+                    fused=jax.default_backend() == "tpu")
     st = lfinito_init(F, g, jnp.zeros(n, jnp.float32), 0.999 * N / L, key, cfg)
     jax.block_until_ready(st)
 
-    # size the timed scan so it runs ~0.5 s: through the axon tunnel a
-    # dispatch + scalar readback costs ~2-30 ms, so short runs (e.g. 4
-    # epochs of a small-N problem) report mostly overhead, not kernels
-    est_epoch_s = 2 * N * n * A.dtype.itemsize / 4.5e11
-    epochs = max(epochs, min(512, int(0.5 / est_epoch_s) + 1))
+    if not small:
+        # size the timed scan so it runs ~0.5 s: through the axon tunnel
+        # a dispatch + scalar readback costs ~2-30 ms, so short runs
+        # (e.g. 4 epochs of a small-N problem) report mostly overhead
+        est_epoch_s = 2 * N * n * A.dtype.itemsize / 4.5e11
+        epochs = max(epochs, min(512, int(0.5 / est_epoch_s) + 1))
 
     # warm the TIMED shape (a steps=1 warmup would leave the steps=epochs
     # scan to compile inside the clock)
@@ -85,6 +90,12 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32"):
           f"({epochs * 2 * N * n * bpe / dt / 1e9:.0f} GB/s effective; "
           f"single-core CPU loop ~42k samples/s would need "
           f"~{N / 42_000:.0f}s/epoch)")
+    # the epochs actually optimized (on-device objective read)
+    obj = jax.jit(lambda z: jnp.real(F.value_sum_all(z)) / N
+                  + 0.1 * jnp.sum(jnp.abs(z)))
+    o0, oz = float(obj(jnp.zeros(n, jnp.float32))), float(obj(st.z))
+    assert jnp.isfinite(st.z).all()
+    assert oz < o0, f"LFinito must decrease the objective ({oz} vs {o0})"
 
 
 if __name__ == "__main__":
