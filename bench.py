@@ -338,42 +338,75 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     from ciao_tpu.oracles import LeastSquaresRows
     from ciao_tpu.prox import NormL1
     from ciao_tpu.solvers.finito import FinitoCfg, finito_run, lfinito_init
-    from ciao_tpu.utils.problems import make_lasso
 
-    log(f"deep target: generating planted {Nb}x{n_true} lasso (host)")
-    prob = make_lasso(N=Nb, n=n_true, p=8, seed=0, dtype=np.float32,
-                      well_conditioned=True)
+    HI = jax.lax.Precision.HIGHEST
+    p_supp, lam, rho = 8, 1.0, 10.0
 
-    def cost64(z100):
-        """0.5‖Az−b‖² + λ‖z‖₁ in f64, chunked over the host copy of A."""
-        s = 0.0
-        step = 1 << 20
-        for i in range(0, Nb, step):
-            blk = prob.A[i:i + step].astype(np.float64)
-            r = blk @ z100 - prob.b[i:i + step].astype(np.float64)
-            s += float(r @ r)
-        return 0.5 * s + prob.lam * float(np.abs(z100).sum())
+    # Planted well-conditioned lasso (utils.problems.make_lasso's
+    # capped-column recipe) built ENTIRELY ON DEVICE — a host-generated
+    # 5.4 GB operator would spend many minutes per transfer through the
+    # axon HTTP tunnel. Columns beyond n_true are zero (lane padding).
+    @jax.jit
+    def build(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        y = jax.random.uniform(k1, (Nb,), jnp.float32)
+        y = y / jnp.sqrt(jnp.vdot(y, y))
+        mask = (jnp.arange(nb) < n_true).astype(jnp.float32)
+        C = (jax.random.uniform(k2, (Nb, nb), jnp.float32) * 2.0
+             - 1.0) * mask[None, :]
+        CTy = jnp.abs(jnp.dot(C.T, y, precision=HI))        # (nb,)
+        pth = jnp.sort(CTy)[-p_supp]                        # p-th largest
+        alpha = jnp.where(mask > 0,
+                          jnp.minimum(lam / jnp.maximum(CTy, 1e-30),
+                                      lam / pth), 0.0)
+        A = C * alpha[None, :]
+        supp = CTy >= pth
+        sgn = jnp.sign(jnp.dot(A.T, y, precision=HI))
+        xs = jnp.where(
+            supp,
+            jax.random.uniform(k3, (nb,), jnp.float32)
+            * (rho / np.sqrt(p_supp)) * sgn, 0.0,
+        )
+        b = jnp.dot(A, xs, precision=HI) + y
+        # r* = Ax* − b COMPUTED (not −y: the f32 rounding of b is part
+        # of the problem definition; the gap form below uses this r*)
+        r_star = jnp.dot(A, xs, precision=HI) - b
+        L = jnp.sum(A * A, axis=1) * Nb
+        return A, b, r_star, xs, L
 
-    # f* recomputed in f64 the same way (prob.f_star uses a BLAS f32
-    # dot whose ~O(N·eps) error is far above the 1e-6 target)
-    f_star64 = cost64(prob.x_star.astype(np.float64))
-    log(f"deep target: f*(f64) = {f_star64:.9f}")
+    log(f"deep target: generating planted {Nb}x{n_true} lasso (on device)")
+    A_dev, b_dev, r_star, xs, L = build(jax.random.PRNGKey(0))
+    jax.block_until_ready(L)
 
-    def gap64(z):
-        z100 = np.asarray(z)[:n_true].astype(np.float64)
-        return (cost64(z100) - f_star64) / abs(f_star64)
+    # Suboptimality gap in the cancellation-free DIFFERENCE form:
+    #   cost(z) − cost(x*) = ½‖r*+u‖² − ½‖r*‖² + λ(‖z‖₁−‖x*‖₁)
+    #                      = ½‖u‖² + ⟨u, r*⟩ + λ(‖z‖₁−‖x*‖₁),
+    # u = A(z−x*). b cancels EXACTLY, so the quadratic part needs no
+    # f64: near the optimum ‖u‖ → 0 and the f32 reduction error
+    # (~eps·log N·‖u‖‖r*‖) sits orders below the 1e-6·f* target. The
+    # tiny L1 difference is exact f64 on host. cost(x*) itself carries
+    # only the construction's f32 rounding (≲1e-9 relative — the
+    # measured gap upper-bounds true suboptimality by that much).
+    @jax.jit
+    def gap_quad(z):
+        u = jnp.dot(A_dev, z - xs, precision=HI)
+        return 0.5 * jnp.vdot(u, u) + jnp.vdot(u, r_star)
 
-    A_np = np.zeros((Nb, nb), np.float32)
-    A_np[:, :n_true] = prob.A
-    b_dev = jnp.asarray(prob.b, jnp.float32)
-    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
-    L = jnp.asarray(prob.L, jnp.float32)
+    xs_np = np.asarray(xs, np.float64)
+    f_star = (0.5 * float(jnp.vdot(r_star, r_star))
+              + lam * float(np.abs(xs_np).sum()))
+    log(f"deep target: f* = {f_star:.9f}")
+
+    def gap_rel(z):
+        l1 = lam * (np.abs(np.asarray(z, np.float64)).sum()
+                    - np.abs(xs_np).sum())
+        return (float(gap_quad(z)) + l1) / abs(f_star)
+
+    g = NormL1(lam=jnp.asarray(lam, jnp.float32))
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros(nb, jnp.float32)
-    import jax as _jax
-
     cfg = FinitoCfg(N=Nb, batch=Bb, sweeping=3, alpha=0.999,
-                    fused=_jax.default_backend() == "tpu")
+                    fused=jax.default_backend() == "tpu")
     targets = (1e-3, 1e-4, 1e-5, 1e-6)
     # E epochs per chunk (~1.2 s f32 at the 10M config); MAX_CHUNKS
     # bounds each stage at E*MAX_CHUNKS epochs
@@ -386,7 +419,6 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
         gap = float("inf")
         st = None
         for storage, stop_rel in stages:
-            A_dev = jnp.asarray(A_np)
             F = LeastSquaresRows(
                 A=A_dev, b=b_dev, scale=jnp.asarray(float(Nb), jnp.float32)
             )
@@ -404,7 +436,7 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
                 _ = float(st.z[0])          # hard sync through the tunnel
                 t_solve += time.perf_counter() - t0
                 epochs += E
-                gap = gap64(st.z)
+                gap = gap_rel(st.z)
                 for t in targets:
                     if gap <= t and crossings[t] is None:
                         crossings[t] = round(t_solve, 2)
@@ -417,7 +449,7 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
                 if (len(hist) >= 3
                         and hist[-3] - hist[-1] < 0.005 * abs(hist[-3])):
                     break
-            del F, A_dev
+            del F
         return t_solve, gap, epochs, crossings
 
     t_f32, floor_f32, ep_f32, cross_f32 = run_plan((("f32", 1e-6),))

@@ -1030,6 +1030,49 @@ _FB_ST_SPECS = TPFBState(
 )
 
 
+class TPDYSState(NamedTuple):
+    gamma: jnp.ndarray   # scalar stepsize
+    lam: jnp.ndarray     # scalar relaxation
+    z: jnp.ndarray       # (n,) governing sequence, P("model")
+    xg: jnp.ndarray      # (n,) last prox_g point — solution view
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.xg
+
+
+def _tp_dys_init(F, gh, x0, gamma, lam, cfg: TPFBCfg):
+    """2-D-sharded Davis-Yin bootstrap (solvers.dys — beyond the
+    reference): table-free; the iterate pair shards over "model".
+    ``gh`` packs the two proximable terms (g, h)."""
+    return TPDYSState(
+        gamma=gamma, lam=lam, z=x0, xg=x0,
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_dys_step(F, gh, cfg: TPFBCfg, state: TPDYSState):
+    """One 2-D-sharded Davis-Yin step: the full gradient at the prox
+    point is the TPFB margin/gradient psum pair; both proxes and the
+    z-algebra are coordinate-local (separable g, h)."""
+    g, h = gh
+    gamma = state.gamma
+    xg = g.prox_only(state.z, gamma)
+    r = _psum_m(F.margin_all(xg))
+    grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+    xh = h.prox_only(2.0 * xg - state.z - gamma * grad, gamma)
+    z_new = state.z + state.lam * (xh - xg)
+    return state._replace(z=z_new, xg=xg, it=state.it + 1)
+
+
+_DYS_ST_SPECS = TPDYSState(
+    gamma=P(), lam=P(), z=P(MODEL_AXIS), xg=P(MODEL_AXIS), it=P(),
+    status=P(),
+)
+
+
 class TPPANOCCfg(NamedTuple):
     N: int
     D: int
@@ -1513,6 +1556,8 @@ _TP_FAMILY = {
                    _tp_point_saga_rebase, (P(MODEL_AXIS), P(), P())),
     "fb": (_tp_fb_init, _tp_fb_step, _FB_ST_SPECS,
            _tp_rebase_identity, (P(MODEL_AXIS), P())),
+    "dys": (_tp_dys_init, _tp_dys_step, _DYS_ST_SPECS,
+            _tp_rebase_identity, (P(MODEL_AXIS), P(), P())),
     "panoc": (_tp_panoc_init, _tp_panoc_step, _panoc_st_specs(),
               _tp_rebase_identity, (P(MODEL_AXIS), P(), P())),
     "proshi": (_tp_proshi_init, _tp_proshi_step, _PROSHI_ST_SPECS,
@@ -2157,6 +2202,119 @@ class TPForwardBackward:
 def TPFISTA(**kwargs) -> TPForwardBackward:
     """``TPForwardBackward(fast=True)``."""
     return TPForwardBackward(fast=True, **kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPDavisYin:
+    """Davis-Yin three-operator splitting on a ("data", "model") mesh
+    (beyond the reference; see :class:`ciao_tpu.solvers.DavisYin`):
+    minimize (1/N)Σf_i + g + h with BOTH g and h proximable and
+    SEPARABLE. The full gradient at the prox point is the TPFB margin
+    psum pair (one "model" + one "data" collective per step); both
+    proxes and the relaxation are coordinate-local, so the trajectory
+    equals single-chip to reduction order. Requires a rank-1 oracle
+    with the margin protocol. ``TPDouglasRachford`` is the f = 0 case.
+    (Condat-Vũ stays DP-only: its K matvec mixes coordinates, which
+    under a coordinate shard would cost an extra n-sized all-gather per
+    step — see COVERAGE.md.)"""
+
+    mesh: object = None
+    gamma: Optional[float] = None
+    lam: float = 1.0
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+
+    def __post_init__(self):
+        assert self.gamma is None or self.gamma > 0
+        assert 0 < self.lam < 2
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, h, L, N):
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPDavisYin needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            if F is None:
+                raise ValueError("TPDavisYin: provide F or N")
+            N = F.num_terms
+        if F is None:
+            from ciao_tpu.oracles import ZeroOracle
+
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        if h is None:
+            h = Zero()
+        for term, name in ((g, "g"), (h, "h")):
+            if not getattr(term, "separable", False):
+                raise ValueError(
+                    f"TPDavisYin shards coordinates — {name} must be "
+                    f"separable (got {type(term).__name__})"
+                )
+        from ciao_tpu.oracles import ZeroOracle as _ZO
+
+        if not isinstance(F, _ZO) and not hasattr(F, "margin_all"):
+            raise ValueError(
+                "TPDavisYin needs the margin protocol (dense row "
+                f"oracles); {type(F).__name__} is DP-only"
+            )
+        if N % D != 0:
+            raise ValueError("TPDavisYin: need N divisible by D")
+        if x0.size % M != 0:
+            raise ValueError("TPDavisYin: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if self.gamma is not None:
+            gamma = jnp.asarray(self.gamma, rdt)
+        elif L is not None:
+            gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
+        elif isinstance(F, _ZO):
+            gamma = jnp.ones((), rdt)  # f = 0: Douglas-Rachford
+        else:
+            raise ValueError(
+                "TPDavisYin: provide the smoothness moduli L, or a "
+                "stepsize γ"
+            )
+        lam = jnp.asarray(self.lam, rdt)
+        gh = (g, h)
+        cfg = TPFBCfg(N=N, D=D, M=M)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(gh, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "dys", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        init = lambda: init_c(F, gh, x0, gamma, lam)
+        step = lambda s: step_c(F, gh, s)
+        run = lambda s, k: run_c(F, gh, s, k)
+        rebase = lambda s: rebase_c(F, gh, s)
+        return x0, F, gh, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, h=None, L=None, N=None,
+                 observe=None):
+        x0, F, gh, init, step, run, _ = self._setup(x0, F, g, h, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.gamma):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, h=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, gh, init, step, run, rebase = self._setup(x0, F, g, h, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def TPDouglasRachford(**kwargs) -> TPDavisYin:
+    """``TPDavisYin`` with f = 0 (Douglas-Rachford over the 2-D mesh)."""
+    return TPDavisYin(**kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -165,6 +165,35 @@ def test_dys_fused_full_pass_matches_xla():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_tp_davis_yin_matches_single_chip(lasso):
+    """TPDavisYin on the (4,2) ("data","model") mesh: deterministic
+    method, separable proxes — the 2-D-sharded trajectory must equal
+    single-chip to reduction-order tolerance; the per-coordinate box
+    bounds shard over "model" (model_prox_specs)."""
+    from ciao_tpu.parallel import (
+        TPDavisYin, make_mesh_2d, shard_finite_sum_2d,
+    )
+
+    prob, F, g = lasso
+    h = IndBox(lo=-0.6 * jnp.ones(n), hi=0.6 * jnp.ones(n))
+    z0 = x0(prob)
+    mesh = make_mesh_2d(4, 2)
+    Fd = shard_finite_sum_2d(F, mesh)
+    x_tp, _ = TPDavisYin(mesh=mesh, maxit=300)(z0, F=Fd, g=g, h=h,
+                                               L=prob.L, N=N)
+    x_sc, _ = ciao_tpu.DavisYin(maxit=300)(z0, F=F, g=g, h=h, L=prob.L, N=N)
+    np.testing.assert_allclose(np.asarray(x_tp), np.asarray(x_sc),
+                               rtol=1e-9, atol=1e-12)
+    # the guards actually guard
+    import pytest as _pytest
+
+    from ciao_tpu.prox import NormNuclear
+
+    with _pytest.raises(ValueError, match="separable"):
+        TPDavisYin(mesh=mesh, maxit=2)(z0, F=Fd, g=NormNuclear(
+            lam=jnp.asarray(0.1)), h=h, L=prob.L, N=N)
+
+
 def test_dp_davis_yin_matches_single_chip(lasso):
     """DPDavisYin on the 8-device mesh: deterministic method, so the
     sharded trajectory must equal single-chip to reduction-order

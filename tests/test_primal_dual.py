@@ -241,6 +241,27 @@ def test_condat_vu_k_identity_matches_davis_yin():
     assert np.max(np.abs(np.asarray(x_cv))) <= 0.4 + 1e-9
 
 
+def test_chambolle_pock_complex_dtype():
+    """Complex iterates through the primal-dual recursion (the
+    library-wide c64/c128 capability, reference test_lasso.jl:3): the
+    soft threshold of the conjugate-prox pair acts on |·| with the
+    phase preserved, so min ½‖x−b‖² + λ‖x‖₁ over ℂ has the closed-form
+    complex soft-threshold optimum."""
+    rng = np.random.default_rng(9)
+    b_np = rng.standard_normal(16) + 1j * rng.standard_normal(16)
+    b = jnp.asarray(b_np, jnp.complex128)
+    lam = 0.7
+    g = SqrDistPoint(b=b, rho=jnp.asarray(1.0))
+    h = NormL1(lam=jnp.asarray(lam))
+    x, _ = ciao_tpu.ChambollePock(maxit=3000)(
+        jnp.zeros(16, b.dtype), g=g, h=h, N=1
+    )
+    mag = np.maximum(np.abs(b_np) - lam, 0.0)
+    x_star = mag * b_np / np.maximum(np.abs(b_np), 1e-300)
+    assert np.asarray(x).dtype == np.complex128  # eltype preserved
+    np.testing.assert_allclose(np.asarray(x), x_star, rtol=0, atol=1e-8)
+
+
 # ---------------------------------------------------------------------------
 # iterator invariants + validation
 # ---------------------------------------------------------------------------
