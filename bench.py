@@ -387,9 +387,12 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     # tiny L1 difference is exact f64 on host. cost(x*) itself carries
     # only the construction's f32 rounding (≲1e-9 relative — the
     # measured gap upper-bounds true suboptimality by that much).
+    # NOTE: A/xs/r* are ARGUMENTS, never closed over — a closed-over
+    # device array becomes a jaxpr constant that the axon tunnel ships
+    # in the remote-compile payload (5.4 GB here; observed to hang)
     @jax.jit
-    def gap_quad(z):
-        u = jnp.dot(A_dev, z - xs, precision=HI)
+    def gap_quad(A, xs, r_star, z):
+        u = jnp.dot(A, z - xs, precision=HI)
         return 0.5 * jnp.vdot(u, u) + jnp.vdot(u, r_star)
 
     xs_np = np.asarray(xs, np.float64)
@@ -400,7 +403,7 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     def gap_rel(z):
         l1 = lam * (np.abs(np.asarray(z, np.float64)).sum()
                     - np.abs(xs_np).sum())
-        return (float(gap_quad(z)) + l1) / abs(f_star)
+        return (float(gap_quad(A_dev, xs, r_star, z)) + l1) / abs(f_star)
 
     g = NormL1(lam=jnp.asarray(lam, jnp.float32))
     key = jax.random.PRNGKey(0)
