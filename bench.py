@@ -414,8 +414,17 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     # E epochs per chunk (~1.2 s f32 at the 10M config); MAX_CHUNKS
     # bounds each stage at E*MAX_CHUNKS epochs
 
-    def run_plan(stages):
-        """stages = ((storage, stop_rel), ...); returns
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_rebase, saga_run
+
+    spe = Nb // Bb
+    Lmax = jnp.max(L)
+    gam_saga = (1.0 / (3.0 * Lmax)).astype(jnp.float32)
+    scfg = SAGACfg(N=Nb, sag=False, batch=Bb, block=True, coeff=True,
+                   fused_stream=jax.default_backend() == "tpu")
+
+    def run_plan(family, stages):
+        """``family`` in {"lfinito", "saga"}; ``stages`` =
+        ((storage, stop_rel), ...); returns
         (t_solve, gap, epochs, crossings)."""
         t_solve, epochs = 0.0, 0
         crossings = {t: None for t in targets}
@@ -427,15 +436,25 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
             )
             if storage != "f32":
                 F = F.with_storage(storage)
-            if st is None:
-                st = lfinito_init(F, g, x0, 0.999 * Nb / L, key, cfg)
-            # LFinito's anchor refresh re-derives its state from z_full
-            # every epoch — a storage switch self-heals (no rebase)
-            _ = float(finito_run(F, g, st, cfg, "lfinito", E).z[0])  # warm
+            if family == "lfinito":
+                if st is None:
+                    st = lfinito_init(F, g, x0, 0.999 * Nb / L, key, cfg)
+                # LFinito's anchor refresh re-derives its state from
+                # z_full every epoch — a storage switch self-heals
+                chunk = lambda s: finito_run(F, g, s, cfg, "lfinito", E)
+            else:
+                if st is None:
+                    st = saga_init(F, g, x0, gam_saga, key, scfg)
+                else:
+                    # delta-maintained av keeps the OLD operator's bias
+                    # forever without the rebase (saga_rebase docstring)
+                    st = saga_rebase(F, st, scfg)
+                chunk = lambda s: saga_run(F, g, s, scfg, E * spe)
+            _ = float(chunk(st).z[0])       # warm the timed shape
             hist = []
             for _c in range(MAX_CHUNKS):
                 t0 = time.perf_counter()
-                st = finito_run(F, g, st, cfg, "lfinito", E)
+                st = chunk(st)
                 _ = float(st.z[0])          # hard sync through the tunnel
                 t_solve += time.perf_counter() - t0
                 epochs += E
@@ -455,17 +474,22 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
             del F
         return t_solve, gap, epochs, crossings
 
-    t_f32, floor_f32, ep_f32, cross_f32 = run_plan((("f32", 1e-6),))
+    t_f32, floor_f32, ep_f32, cross_f32 = run_plan(
+        "lfinito", (("f32", 1e-6),)
+    )
     log(f"deep target [f32 LFinito]: floor rel {floor_f32:.3e} after "
         f"{ep_f32} epochs / {t_f32:.1f}s solver time; crossings "
         f"{cross_f32}")
     t_stg, floor_stg, ep_stg, cross_stg = run_plan(
-        (("int8", 5e-2), ("f32", 1e-6))
+        "lfinito", (("int8", 5e-2), ("f32", 1e-6))
     )
     log(f"deep target [staged int8->f32]: floor rel {floor_stg:.3e} after "
         f"{ep_stg} epochs / {t_stg:.1f}s; crossings {cross_stg}")
+    t_sg, floor_sg, ep_sg, cross_sg = run_plan("saga", (("f32", 1e-6),))
+    log(f"deep target [f32 SAGA streamed]: floor rel {floor_sg:.3e} after "
+        f"{ep_sg} epochs / {t_sg:.1f}s; crossings {cross_sg}")
     return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-            cross_stg)
+            cross_stg, t_sg, floor_sg, cross_sg)
 
 
 def bench_missing_cells():
@@ -612,6 +636,32 @@ def bench_missing_cells():
         ms, _ = timed(lambda s, k: pd_run(F, g, h1, K, s, pdc, k), st0,
                       256, lambda s: s.x[0])
         log(f"condat-vu fused [{tag}]: {ms:.3f} ms/step")
+
+    # streamed-table SAGA (round 3): fused at ANY N — the 10M BASELINE
+    # shape, where the resident-slab kernel cannot serve
+    from ciao_tpu.solvers.saga import SAGACfg as _SC, saga_init as _si, \
+        saga_run as _sr
+
+    N10, n10, B10 = 10 * 1024 * 1024, 128, 8_192
+    A10 = jax.random.normal(kA, (N10, n10), jnp.float32)
+    b10 = jax.random.normal(kb, (N10,), jnp.float32)
+    L10 = jax.jit(lambda a: jnp.max(jnp.sum(a * a, axis=1)))(A10) * N10
+    for tag in ("f32", "int8"):
+        F10 = LeastSquaresRows(A=A10, b=b10,
+                               scale=jnp.asarray(float(N10), jnp.float32))
+        if tag != "f32":
+            F10 = F10.with_storage(tag)
+        cfg10 = _SC(N=N10, sag=False, batch=B10, block=True, coeff=True,
+                    fused_stream=True)
+        st0 = _si(F10, g, jnp.zeros(n10, jnp.float32),
+                  (1.0 / (3.0 * L10)).astype(jnp.float32), key, cfg10)
+        S10 = 20_000 if tag == "f32" else 40_000
+        ms, _ = timed(lambda s, k: _sr(F10, g, s, cfg10, k), st0, S10,
+                      lambda s: s.z[0])
+        log(f"saga streamed fused 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
+            f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+        del F10
+    del A10, b10
 
     # widened fused-ProShI gate (round 3): shuffled at the cyclic
     # config (65k×1024, d=16) and random-block at d=64 (262k×1024)
@@ -994,20 +1044,27 @@ def main():
     # the f32 floor and every crossed rel target machine-captured
     try:
         (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-         cross_stg) = deep_target_10m()
-        # vs_baseline: the reference's single-core batch-1 loop at the
-        # measured ~cpu samples/s would need epochs×N/cpu seconds for
-        # the same epoch count
-        cpu_equiv_s = ep_f32 * 10 * 1024 * 1024 / max(cpu, 1.0)
+         cross_stg, t_sg, floor_sg, cross_sg) = deep_target_10m()
+        # headline = the BEST plan (streamed-SAGA f32: deepest floor
+        # AND fastest — measured 4.1e-5 in 2.0 s vs LFinito's 7.7e-5 in
+        # 36 s); vs_baseline: the reference's single-core batch-1 loop
+        # at the measured ~cpu samples/s would need epochs×N/cpu
+        # seconds for the same epoch count
+        cpu_equiv_s = ep_sg * 10 * 1024 * 1024 / max(cpu, 1.0)
         print(json.dumps({
             "metric": "deep_target_10m_time_to_floor_s",
-            "value": round(t_f32, 2), "unit": "s",
-            "vs_baseline": round(cpu_equiv_s / max(t_f32, 1e-9), 1),
+            "value": round(t_sg, 2), "unit": "s",
+            "vs_baseline": round(cpu_equiv_s / max(t_sg, 1e-9), 1),
+            "solver": "saga_streamed_f32",
             "target_rel": 1e-6,
-            "reached_1e6": cross_f32[1e-6] is not None,
-            "floor_rel_f32": float(f"{floor_f32:.3e}"),
-            "epochs_f32": ep_f32,
-            "crossings_f32_s": {f"{t:g}": v for t, v in cross_f32.items()},
+            "reached_1e6": cross_sg[1e-6] is not None,
+            "floor_rel": float(f"{floor_sg:.3e}"),
+            "epochs": ep_sg,
+            "crossings_s": {f"{t:g}": v for t, v in cross_sg.items()},
+            "lfinito_f32_time_s": round(t_f32, 2),
+            "floor_rel_lfinito": float(f"{floor_f32:.3e}"),
+            "crossings_lfinito_s": {f"{t:g}": v
+                                    for t, v in cross_f32.items()},
             "staged_int8_f32_time_s": round(t_stg, 2),
             "floor_rel_staged": float(f"{floor_stg:.3e}"),
             "crossings_staged_s": {f"{t:g}": v

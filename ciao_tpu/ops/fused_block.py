@@ -426,6 +426,190 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
 
 
 # ---------------------------------------------------------------------------
+# multi-step fused SAGA, STREAMED coefficient table (any N)
+# ---------------------------------------------------------------------------
+#
+# The slab kernel above keeps the whole coefficient vector in VMEM,
+# which caps it at N ≤ 1M. Here the table instead lives in HBM as a
+# (1, N) row and STREAMS through (1, TILE) windows with input/output
+# aliasing — the ProShI pattern — so N is unbounded (the 10M BASELINE
+# config fuses). The (1, N) layout is deliberate: (1, TILE) blocks of a
+# (1, N) array satisfy Mosaic's sublane rule (block dim0 == array
+# dim0), and block-aligned windows of DISTINCT blocks never overlap,
+# so the only write hazard is a same-launch block revisit — handled
+# exactly like the clamped ProShI drivers: the (K,) schedule carries a
+# clamp count f (first duplicate), masked steps k ≥ f stream a
+# conflict-free redirected window unchanged, and the driver advances
+# the stateless schedule by f only.
+
+def coeff_multistep_streamed_available(N: int, n: int, B: int,
+                                       dtype) -> bool:
+    """Gate for the streamed-table SAGA kernel: lane-aligned (1, TILE)
+    windows and enough blocks that birthday clamping stays efficient
+    (committed ≈ min(K, 1.25√d) of each K-window)."""
+    return (
+        fused_block_available(N, n, B, dtype)
+        and _pick_tile(B, N, n, esize=jnp.dtype(dtype).itemsize) >= 128
+        and N % B == 0
+        and N // B >= 64
+    )
+
+
+def _saga_stream_kernel(prec, quant, weighted, starts_ref, *rest):
+    if weighted:
+        wgt_ref, A_ref, b_ref, *refs = rest
+    else:
+        wgt_ref = None
+        A_ref, b_ref, *refs = rest
+    if quant:
+        (rs_ref, c_in_ref, z_in_ref, av_in_ref, sc_ref, c_out_ref,
+         z_out_ref, av_out_ref, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, z_in_ref, av_in_ref, sc_ref, c_out_ref,
+         z_out_ref, av_out_ref, av_vm, z_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    thr = sc_ref[0, 2]
+    invB = sc_ref[0, 3]
+    invN = sc_ref[0, 4]
+    sag = sc_ref[0, 5]
+    mode = sc_ref[0, 6]
+    aux = sc_ref[0, 7]
+    fclamp = starts_ref[K]
+    committed = k < fclamp
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(z_vm[...], A_t, (((1,), (1,)), ((), ())), prec)
+    b_t = b_ref[:]                                  # (1, TILE)
+    if quant:
+        rs_t = rs_ref[:]
+        r = r * rs_t
+    c_old = c_in_ref[:]                             # streamed window
+    c_new = jnp.where(committed,
+                      _coeff_formula(mode, r, b_t, scale, aux), c_old)
+    dc = c_new - c_old                              # 0 when masked
+    c_out_ref[:] = c_new
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(dc, A_t, (((1,), (0,)), ((), ())), prec)
+
+    @pl.when(t == T - 1)
+    def _():
+        innov = innov_vm[...]
+        av, z = av_vm[...], z_vm[...]
+        av_new = av + innov * invN
+        wgt = wgt_ref[k] if weighted else 1.0
+        w = jnp.where(
+            sag > 0, z - gamma * av_new,
+            z - gamma * (innov * (wgt * invB) + av)
+        )
+        av_vm[...] = av_new                         # = av when masked
+        z_vm[...] = jnp.where(
+            committed, jnp.sign(w) * jnp.maximum(jnp.abs(w) - thr, 0.0), z
+        )
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        z_out_ref[...] = z_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3,),
+)
+def saga_coeff_multistep_streamed(A, b1, starts, c1, z2, av2, scalars,
+                                  B: int, precision: str = "highest",
+                                  rs1=None, wgts=None, f=None,
+                                  interpret: bool = False):
+    """K = len(starts) coefficient-mode SAGA/SAG block steps in one
+    launch with the (1, N) coefficient table STREAMED (donated) —
+    serves any N. ``b1``/``c1``/``rs1`` are (1, N) rows; ``scalars``
+    the (1, 8) row [scale, γ, γλ, 1/B, 1/N, sag, mode, aux]; ``f`` the
+    clamp count (None = all K distinct, the caller's contract).
+    Returns (c1, z2, av2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
+    weighted = wgts is not None
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    if f is None:
+        f = jnp.asarray(K, jnp.int32)
+    else:
+        d = N // B
+        blocks = starts // B
+        live = (jnp.arange(K, dtype=jnp.int32) < f)
+        hits = jnp.zeros(d, jnp.int32).at[blocks].add(live.astype(jnp.int32))
+        free = jnp.argmin(hits).astype(jnp.int32)
+        starts = jnp.where(live, starts, free * B)
+    starts = jnp.concatenate(
+        [starts.astype(jnp.int32), f.astype(jnp.int32)[None]]
+    )
+
+    def win_idx(k, t, st, *p):
+        return (0, st[k] // TILE + t)
+
+    rs_specs = [pl.BlockSpec((1, TILE), win_idx)] if quant else []
+    rs_ops = [rs1] if quant else []
+    wgt_ops = [wgts.astype(jnp.float32)] if weighted else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1 + (1 if weighted else 0),
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n),
+                         lambda k, t, st, *p: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((1, TILE), win_idx),         # offsets
+            *rs_specs,                                # dequant scales
+            pl.BlockSpec((1, TILE), win_idx),         # c window (in)
+            _bcast_spec((1, n)),                      # z in
+            _bcast_spec((1, n)),                      # av in
+            pl.BlockSpec((1, 8), lambda k, t, st, *p: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), win_idx),         # c window (out)
+            _bcast_spec((1, n)),                      # z out
+            _bcast_spec((1, n)),                      # av out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),          # av carry
+            pltpu.VMEM((1, n), jnp.float32),          # z carry
+            pltpu.VMEM((1, n), jnp.float32),          # innovation accum
+        ],
+    )
+    c_new, z_new, av_new = pl.pallas_call(
+        functools.partial(
+            _saga_stream_kernel, _PRECISIONS[precision], quant, weighted
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3 + len(rs_ops) + len(wgt_ops): 0},  # c
+        interpret=interpret,
+    )(starts, *wgt_ops, A, b1, *rs_ops, c1, z2, av2, scalars)
+    return c_new, z_new, av_new
+
+
+# ---------------------------------------------------------------------------
 # multi-step fused SVRG inner loop (coefficient anchor)
 # ---------------------------------------------------------------------------
 #

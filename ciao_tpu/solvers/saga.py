@@ -47,6 +47,11 @@ class SAGACfg(NamedTuple):
     coeff: bool = False  # (N,) coefficient table instead of (N, n) rows
     fused_precision: str = "highest"  # MXU dots in fused kernels
     importance: bool = False  # Lipschitz-proportional block sampling
+    # streamed-table fused kernel (any N — the VMEM slab caps the
+    # ``fused`` kernel at N ≤ 1M): the (1, N) coefficient row streams
+    # through aliased windows, launches clamp at the first same-launch
+    # block revisit (the ProShI clamp machinery)
+    fused_stream: bool = False
 
 
 class SAGAState(NamedTuple):
@@ -351,10 +356,76 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     return state
 
 
+def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
+    """Fused multi-step driver for N beyond the VMEM slab cap: the
+    (1, N) coefficient row STREAMS through the kernel with in/out
+    aliasing (ops.saga_coeff_multistep_streamed). Launch windows are
+    drawn from the stateless (key, it) stream and CLAMPED at the first
+    same-launch block revisit — the committed prefix reproduces the
+    stepwise draw stream bit-for-bit (the discarded tail is re-drawn
+    identically next launch). One jitted while_loop; the dynamic
+    (< K) remainder runs stepwise."""
+    from ciao_tpu.ops.fused_block import (
+        oracle_scalar_consts,
+        rows_scale_row,
+        saga_coeff_multistep_streamed,
+    )
+    from ciao_tpu.sampling import first_duplicate
+
+    B, N = cfg.batch, cfg.N
+    d = N // B
+    K = min(64, max(8, (int(d ** 0.5) // 8) * 8))
+    rows, offs = F.coeff_rows_data()
+    b1 = offs[None, :]
+    rs1 = rows_scale_row(F)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
+    scalars = jnp.stack([
+        scale,
+        jnp.asarray(state.gamma, jnp.float32),
+        jnp.asarray(state.gamma * lam, jnp.float32),
+        jnp.asarray(1.0 / B, jnp.float32),
+        jnp.asarray(1.0 / N, jnp.float32),
+        jnp.asarray(1.0 if cfg.sag else 0.0, jnp.float32),
+        mode,
+        aux,
+    ])[None, :]
+    interp = jax.default_backend() != "tpu"
+    target = state.it + jnp.asarray(steps, jnp.int32)
+
+    def launch(carry):
+        c1, z2, av2, it = carry
+        if cfg.importance:
+            starts, wgts = _gen_importance_draws(
+                state.key, it, cfg, state.qcum, state.qinv, K
+            )
+        else:
+            starts = _gen_block_starts(state.key, it, cfg, K)
+            wgts = None
+        fcl = first_duplicate(starts // B)
+        c1, z2, av2 = saga_coeff_multistep_streamed(
+            rows, b1, starts, c1, z2, av2, scalars, B,
+            precision=cfg.fused_precision, rs1=rs1, wgts=wgts, f=fcl,
+            interpret=interp,
+        )
+        return (c1, z2, av2, it + fcl)
+
+    c1, z2, av2, it = jax.lax.while_loop(
+        lambda c: c[3] + K <= target, launch,
+        (state.s[None, :], state.z[None, :], state.av[None, :], state.it),
+    )
+    state = state._replace(s=c1[0], z=z2[0], av=av2[0], it=it)
+    return jax.lax.while_loop(
+        lambda st: st.it < target,
+        lambda st: _saga_step(F, g, cfg, st), state,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def saga_run(F, g, state, cfg: SAGACfg, steps: int):
     if cfg.coeff and cfg.fused and steps >= 8:
         return _saga_run_fused(F, g, state, cfg, steps)
+    if cfg.coeff and cfg.fused_stream and steps >= 8:
+        return _saga_run_fused_streamed(F, g, state, cfg, steps)
 
     def body(s, _):
         with jax.named_scope("saga_step"):
@@ -464,11 +535,15 @@ class SAGA:
             else self.table == "coeff"
         )
         fused = False
+        fused_stream = False
         if self.block_sampling and x0.dtype == jnp.float32:
             # NOTE: import only NormL1 — importing Zero here would
             # shadow the module-level Zero and break the ``g = Zero()``
             # default above (UnboundLocalError when g is None)
             from ciao_tpu.ops import coeff_multistep_available, fused_block_available
+            from ciao_tpu.ops.fused_block import (
+                coeff_multistep_streamed_available,
+            )
             from ciao_tpu.prox import NormL1
 
             if coeff:
@@ -477,10 +552,20 @@ class SAGA:
                 # Importance sampling rides the same kernel: the
                 # inverse-CDF draws + 1/(d·q_j) weights are vectorized
                 # into the scalar-prefetch stream (_gen_importance_draws)
-                fused = (
-                    coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
-                    and hasattr(F, "coeff_rows_data")
+                kernel_ok = (
+                    hasattr(F, "coeff_rows_data")
                     and isinstance(g, (NormL1, Zero))
+                )
+                fused = kernel_ok and coeff_multistep_available(
+                    N, x0.size, self.batch, x0.dtype
+                )
+                # beyond the VMEM slab cap (N > 1M): the streamed-table
+                # kernel, launches clamped at same-launch block revisits
+                fused_stream = (
+                    kernel_ok and not fused
+                    and coeff_multistep_streamed_available(
+                        N, x0.size, self.batch, x0.dtype
+                    )
                 )
             elif self.importance_sampling:
                 # the full-table fused kernel has no weighted direction
@@ -498,6 +583,7 @@ class SAGA:
             block=self.block_sampling, fused=fused, coeff=coeff,
             fused_precision=self.fused_precision,
             importance=self.importance_sampling,
+            fused_stream=fused_stream,
         )
         key = jax.random.PRNGKey(self.seed)
         if self.importance_sampling:

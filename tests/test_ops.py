@@ -202,6 +202,83 @@ def test_saga_fused_multistep_matches_stepwise():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_saga_streamed_multistep_matches_stepwise():
+    """The STREAMED-table fused kernel (any N — the VMEM slab caps the
+    resident kernel at 1M rows) must reproduce the stepwise coeff path
+    exactly: same stateless draw stream, launches clamped at the first
+    same-launch block revisit with the masked tail redirected to a
+    conflict-free window (round 3). d=64 here makes clamps frequent
+    (birthday ~39 % per K=8 launch). Covers f32 + int8 rows and the
+    importance-weighted stream."""
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+
+    Np, npix, Bp = 8192, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    for F in (F32, F32.with_storage("int8")):
+        for steps in (77, 96):  # non-multiple exercises the remainder
+            cfg_step = SAGACfg(N=Np, sag=False, batch=Bp, block=True,
+                               coeff=True)
+            st_step = saga_run(F, g, saga_init(F, g, x0, gamma, key,
+                                               cfg_step), cfg_step, steps)
+            cfg_f = cfg_step._replace(fused_stream=True)
+            st_f = saga_run(F, g, saga_init(F, g, x0, gamma, key, cfg_f),
+                            cfg_f, steps)
+            tag = f"{F.A.dtype} steps={steps}"
+            assert int(st_f.it) == int(st_step.it) == steps + 1
+            np.testing.assert_allclose(np.asarray(st_f.z),
+                                       np.asarray(st_step.z),
+                                       rtol=1e-4, atol=1e-6, err_msg=tag)
+            # av is DELTA-accumulated: the kernel's bf16-multiply int8
+            # dots round differently from the stepwise dequant path and
+            # the per-step difference accumulates (z, the trajectory,
+            # stays at 1e-4)
+            # int8 rows: the kernel multiplies in bf16 (framework-wide
+            # int8 contract) while the stepwise XLA path dequants to
+            # f32 — a bf16-level gap on the c/av states (z, the
+            # trajectory, stays at 1e-4 either way)
+            wide = 1e-3 if F.A.dtype == jnp.float32 else 1e-2
+            av_atol = (1e-4 if F.A.dtype == jnp.float32
+                       else 1e-5 * float(np.abs(st_step.av).max()))
+            np.testing.assert_allclose(np.asarray(st_f.av),
+                                       np.asarray(st_step.av),
+                                       rtol=wide, atol=av_atol, err_msg=tag)
+            # atol scales with the coefficient magnitude (c = N·margin,
+            # |c| ~ 1e4 here): near-zero margins compare in absolute
+            # terms at the bf16 level of the LARGE entries
+            c_atol = (1e-3 if F.A.dtype == jnp.float32
+                      else 1e-4 * float(np.abs(st_step.s).max()))
+            np.testing.assert_allclose(np.asarray(st_f.s),
+                                       np.asarray(st_step.s),
+                                       rtol=wide, atol=c_atol, err_msg=tag)
+
+    # importance-weighted draws through the streamed kernel
+    d = Np // Bp
+    Lb = np.max(np.asarray(prob.L, np.float64).reshape(d, Bp), axis=1)
+    q = Lb / Lb.sum()
+    qcum = np.cumsum(q)
+    qcum /= qcum[-1]
+    cfg_step = SAGACfg(N=Np, sag=False, batch=Bp, block=True, coeff=True,
+                       importance=True)
+    sti = saga_init(F32, g, x0, gamma, key, cfg_step)._replace(
+        qcum=jnp.asarray(qcum, jnp.float32),
+        qinv=jnp.asarray(1.0 / (d * q), jnp.float32),
+    )
+    st_step = saga_run(F32, g, sti, cfg_step, 64)
+    cfg_f = cfg_step._replace(fused_stream=True)
+    st_f = saga_run(F32, g, sti, cfg_f, 64)
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_step.z),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_saga_fused_multistep_logistic_mode():
     """Logistic coefficient mode (MODE_LOGISTIC) through the same kernel."""
     from ciao_tpu.oracles import LogisticRows
