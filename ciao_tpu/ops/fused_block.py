@@ -442,6 +442,31 @@ def saga_coeff_multistep(A, b8, starts, c8, z2, av2, scalars, B: int,
 # conflict-free redirected window unchanged, and the driver advances
 # the stateless schedule by f only.
 
+def _redirect_masked(starts, f, B: int, N: int):
+    """Masked-step redirect shared by the clamped streaming kernels
+    (this one and proshi_multistep): steps j ≥ f point their aliased
+    windows at a block with ZERO committed visits — which exists
+    whenever f < K ≤ d (enforced by the callers) — so their identity
+    write-back cannot race a committed write. Returns the rewritten
+    starts with the clamp count appended (the kernels' trailing
+    prefetch slot)."""
+    d = N // B
+    K = starts.shape[0]
+    assert K <= d, (
+        f"clamped streaming launches need K={K} <= d={d} blocks — a "
+        "masked step could otherwise only redirect onto a committed "
+        "block and race its write-back"
+    )
+    blocks = starts // B
+    live = (jnp.arange(K, dtype=jnp.int32) < f)
+    hits = jnp.zeros(d, jnp.int32).at[blocks].add(live.astype(jnp.int32))
+    free = jnp.argmin(hits).astype(jnp.int32)
+    starts = jnp.where(live, starts, free * B)
+    return jnp.concatenate(
+        [starts.astype(jnp.int32), f.astype(jnp.int32)[None]]
+    )
+
+
 def coeff_multistep_streamed_available(N: int, n: int, B: int,
                                        dtype) -> bool:
     """Gate for the streamed-table SAGA kernel: lane-aligned (1, TILE)
@@ -551,16 +576,11 @@ def saga_coeff_multistep_streamed(A, b1, starts, c1, z2, av2, scalars,
     K = starts.shape[0]
     if f is None:
         f = jnp.asarray(K, jnp.int32)
+        starts = jnp.concatenate(
+            [starts.astype(jnp.int32), f[None]]
+        )
     else:
-        d = N // B
-        blocks = starts // B
-        live = (jnp.arange(K, dtype=jnp.int32) < f)
-        hits = jnp.zeros(d, jnp.int32).at[blocks].add(live.astype(jnp.int32))
-        free = jnp.argmin(hits).astype(jnp.int32)
-        starts = jnp.where(live, starts, free * B)
-    starts = jnp.concatenate(
-        [starts.astype(jnp.int32), f.astype(jnp.int32)[None]]
-    )
+        starts = _redirect_masked(starts, f, B, N)
 
     def win_idx(k, t, st, *p):
         return (0, st[k] // TILE + t)
@@ -2389,18 +2409,11 @@ def proshi_multistep(A, b2, g2, s, starts, av2, z2, scalars, B: int,
     K = starts.shape[0]
     if f is None:
         f = jnp.asarray(K, jnp.int32)
+        starts = jnp.concatenate(
+            [starts.astype(jnp.int32), f[None]]
+        )
     else:
-        # redirect masked steps' tiles to a block with ZERO committed
-        # visits: scatter-count the committed blocks, take an argmin
-        d = N // B
-        blocks = starts // B
-        live = (jnp.arange(K, dtype=jnp.int32) < f)
-        hits = jnp.zeros(d, jnp.int32).at[blocks].add(live.astype(jnp.int32))
-        free = jnp.argmin(hits).astype(jnp.int32)
-        starts = jnp.where(live, starts, free * B)
-    starts = jnp.concatenate(
-        [starts.astype(jnp.int32), f.astype(jnp.int32)[None]]
-    )
+        starts = _redirect_masked(starts, f, B, N)
 
     def row_idx(k, t, st):
         return (st[k] // TILE + t, 0)

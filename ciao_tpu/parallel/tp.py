@@ -1056,12 +1056,19 @@ def _tp_dys_init(F, gh, x0, gamma, lam, cfg: TPFBCfg):
 def _tp_dys_step(F, gh, cfg: TPFBCfg, state: TPDYSState):
     """One 2-D-sharded Davis-Yin step: the full gradient at the prox
     point is the TPFB margin/gradient psum pair; both proxes and the
-    z-algebra are coordinate-local (separable g, h)."""
+    z-algebra are coordinate-local (separable g, h). f = 0
+    (TPDouglasRachford) skips the oracle entirely — ZeroOracle has no
+    margin protocol."""
+    from ciao_tpu.oracles import ZeroOracle
+
     g, h = gh
     gamma = state.gamma
     xg = g.prox_only(state.z, gamma)
-    r = _psum_m(F.margin_all(xg))
-    grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+    if isinstance(F, ZeroOracle):
+        grad = jnp.zeros_like(xg)
+    else:
+        r = _psum_m(F.margin_all(xg))
+        grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
     xh = h.prox_only(2.0 * xg - state.z - gamma * grad, gamma)
     z_new = state.z + state.lam * (xh - xg)
     return state._replace(z=z_new, xg=xg, it=state.it + 1)

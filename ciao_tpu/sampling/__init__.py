@@ -127,32 +127,28 @@ def uniform_index(key, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jax.random.randint(sub, (), 0, n, dtype=jnp.int32), key
 
 
-def gen_block_ids(
-    state: SweepState, k: int, n: int, batch: int, sweeping: int
-) -> Tuple[jnp.ndarray, SweepState]:
-    """The next ``k`` block ids of a cyclic/shuffled schedule in ONE
-    vectorized draw, plus the advanced state — bit-identical to ``k``
-    calls of :func:`next_block_id` (used by the fused multi-step
-    drivers; a sequential scan costs ~1 scalar round per step, which
-    rivals the fused kernels' whole step time)."""
-    d = num_blocks(n, batch)
-    ks = jnp.arange(k, dtype=jnp.int32)
-    s = state.pos + ks                  # absolute draw counter
-    if sweeping == Sweep.RANDOM:
-        keys = jax.vmap(lambda t: jax.random.fold_in(state.key, t))(s)
-        blocks = jax.vmap(
-            lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
-        )(keys)
-        return blocks, state._replace(pos=state.pos + k)
-    new_pos = (state.pos + k - 1) % d + 1
-    if sweeping == Sweep.CYCLIC:
-        return s % d, state._replace(pos=new_pos)
-    if sweeping != Sweep.SHUFFLED:
-        raise ValueError(f"block schedules need sweeping 2 or 3; got {sweeping}")
-    # shuffled: epoch e uses the e'th permutation; each epoch boundary
-    # advances the key by one split (exactly as next_block_id's
-    # reshuffle). Extra chain entries beyond the boundaries actually
-    # crossed are computed but NOT committed to the returned state.
+def _random_window(state: SweepState, k: int, d: int):
+    """The k iid uniform block ids at draw positions pos..pos+k-1 —
+    stateless fold_in(key, position) draws, ≡ k calls of the RANDOM
+    branch of :func:`next_block_id`."""
+    s = state.pos + jnp.arange(k, dtype=jnp.int32)
+    keys = jax.vmap(lambda t: jax.random.fold_in(state.key, t))(s)
+    return jax.vmap(
+        lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
+    )(keys)
+
+
+def _shuffled_window(state: SweepState, k: int, d: int):
+    """The k shuffled block ids at positions pos..pos+k-1 plus the
+    permutation/key chains needed to advance the state by ANY committed
+    count c ≤ k: epoch e uses the e'th permutation; each epoch boundary
+    advances the key by one split (exactly as next_block_id's
+    reshuffle). Returns (blocks, orders, keys_all) where the state
+    advanced by c is SweepState(pos=(pos+c-1)%d+1, order=orders[r],
+    key=keys_all[r]) with r = (pos+c-1)//d boundaries crossed. Chain
+    entries beyond the boundaries actually crossed are computed but
+    never committed."""
+    s = state.pos + jnp.arange(k, dtype=jnp.int32)
     E = k // d + 2
     e = s // d
     q = s % d
@@ -166,9 +162,31 @@ def gen_block_ids(
         lambda sk: jax.random.permutation(sk, d).astype(jnp.int32)
     )(subs)
     orders = jnp.concatenate([state.order[None, :], perms], axis=0)
-    blocks = orders[e, q]
-    n_resh = (state.pos + k - 1) // d   # boundaries crossed in the window
     keys_all = jnp.concatenate([state.key[None], keys_next], axis=0)
+    return orders[e, q], orders, keys_all
+
+
+def gen_block_ids(
+    state: SweepState, k: int, n: int, batch: int, sweeping: int
+) -> Tuple[jnp.ndarray, SweepState]:
+    """The next ``k`` block ids of a schedule in ONE vectorized draw,
+    plus the advanced state — bit-identical to ``k`` calls of
+    :func:`next_block_id` (used by the fused multi-step drivers; a
+    sequential scan costs ~1 scalar round per step, which rivals the
+    fused kernels' whole step time)."""
+    d = num_blocks(n, batch)
+    if sweeping == Sweep.RANDOM:
+        return _random_window(state, k, d), state._replace(
+            pos=state.pos + k
+        )
+    new_pos = (state.pos + k - 1) % d + 1
+    if sweeping == Sweep.CYCLIC:
+        s = state.pos + jnp.arange(k, dtype=jnp.int32)
+        return s % d, state._replace(pos=new_pos)
+    if sweeping != Sweep.SHUFFLED:
+        raise ValueError(f"block schedules need sweeping 2 or 3; got {sweeping}")
+    blocks, orders, keys_all = _shuffled_window(state, k, d)
+    n_resh = (state.pos + k - 1) // d   # boundaries crossed in the window
     return blocks, SweepState(
         pos=new_pos, order=orders[n_resh], key=keys_all[n_resh]
     )
@@ -201,35 +219,16 @@ def gen_block_ids_clamped(
     ~1.25·sqrt(d). Cyclic windows with k <= d never clamp — use
     :func:`gen_block_ids` there."""
     d = num_blocks(n, batch)
-    ks = jnp.arange(k, dtype=jnp.int32)
-    s = state.pos + ks
     if sweeping == Sweep.RANDOM:
-        keys = jax.vmap(lambda t: jax.random.fold_in(state.key, t))(s)
-        blocks = jax.vmap(
-            lambda kk: jax.random.randint(kk, (), 0, d, dtype=jnp.int32)
-        )(keys)
+        blocks = _random_window(state, k, d)
         f = first_duplicate(blocks)
         return blocks, f, state._replace(pos=state.pos + f)
     if sweeping != Sweep.SHUFFLED:
         raise ValueError(
             f"gen_block_ids_clamped serves sweeping 1 or 3; got {sweeping}"
         )
-    E = k // d + 2
-    e = s // d
-    q = s % d
-
-    def chain(key, _):
-        key2, sub = jax.random.split(key)
-        return key2, (key2, sub)
-
-    _, (keys_next, subs) = jax.lax.scan(chain, state.key, None, length=E)
-    perms = jax.vmap(
-        lambda sk: jax.random.permutation(sk, d).astype(jnp.int32)
-    )(subs)
-    orders = jnp.concatenate([state.order[None, :], perms], axis=0)
-    blocks = orders[e, q]
+    blocks, orders, keys_all = _shuffled_window(state, k, d)
     f = first_duplicate(blocks)
-    keys_all = jnp.concatenate([state.key[None], keys_next], axis=0)
     n_resh = (state.pos + f - 1) // d   # boundaries crossed in the COMMIT
     new_pos = (state.pos + f - 1) % d + 1
     return blocks, f, SweepState(

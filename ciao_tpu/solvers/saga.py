@@ -374,7 +374,10 @@ def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
 
     B, N = cfg.batch, cfg.N
     d = N // B
-    K = min(64, max(8, (int(d ** 0.5) // 8) * 8))
+    # K <= d is the masked-redirect contract (a free block must exist
+    # for every clamped launch); the sqrt(d) sizing keeps the birthday
+    # clamp's committed fraction high
+    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -560,9 +563,17 @@ class SAGA:
                     N, x0.size, self.batch, x0.dtype
                 )
                 # beyond the VMEM slab cap (N > 1M): the streamed-table
-                # kernel, launches clamped at same-launch block revisits
+                # kernel, launches clamped at same-launch block
+                # revisits. NOT under importance sampling: a skewed q
+                # concentrates draws on hot blocks, the first duplicate
+                # collapses toward ~1/q_max and each launch would
+                # stream most of its K tiles for a handful of committed
+                # steps — slower than the stepwise path it replaces
+                # (the uniform birthday bound ~1.25sqrt(d) is what makes
+                # the clamp efficient)
                 fused_stream = (
                     kernel_ok and not fused
+                    and not self.importance_sampling
                     and coeff_multistep_streamed_available(
                         N, x0.size, self.batch, x0.dtype
                     )

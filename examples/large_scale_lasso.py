@@ -102,10 +102,12 @@ def main(N=2_097_152, n=1_024, B=4_096, epochs=20, storage="f32",
     print(f"N={N:,} n={n} [{storage}]: {dt / epochs * 1e3:.1f} ms/epoch "
           f"({epochs * 2 * N * n * bpe / dt / 1e9:.0f} GB/s effective)")
     # the epochs actually optimized: objective strictly below the start
-    # (on-device — the full-size A must never round-trip to host)
-    obj = jax.jit(lambda z: jnp.real(F.value_sum_all(z)) / N
+    # (on-device; F is a jit ARGUMENT — closing over it would ship the
+    # multi-GB operator as a remote-compile constant through the tunnel)
+    obj = jax.jit(lambda F, z: jnp.real(F.value_sum_all(z)) / N
                   + 0.1 * jnp.sum(jnp.abs(z)))
-    o0, oz = float(obj(jnp.zeros(n, jnp.float32))), float(obj(st.z))
+    o0 = float(obj(F, jnp.zeros(n, jnp.float32)))
+    oz = float(obj(F, st.z))
     assert jnp.isfinite(st.z).all()
     assert oz < o0, f"LFinito must decrease the objective ({oz} vs {o0})"
 

@@ -90,10 +90,13 @@ def main(N=10 * 1024 * 1024, n=128, B=8_192, epochs=12, storage="f32",
           f"({epochs * 2 * N * n * bpe / dt / 1e9:.0f} GB/s effective; "
           f"single-core CPU loop ~42k samples/s would need "
           f"~{N / 42_000:.0f}s/epoch)")
-    # the epochs actually optimized (on-device objective read)
-    obj = jax.jit(lambda z: jnp.real(F.value_sum_all(z)) / N
+    # the epochs actually optimized (on-device objective read). F is a
+    # jit ARGUMENT — closing over it would ship the multi-GB operator
+    # as a remote-compile constant through the axon tunnel (hangs)
+    obj = jax.jit(lambda F, z: jnp.real(F.value_sum_all(z)) / N
                   + 0.1 * jnp.sum(jnp.abs(z)))
-    o0, oz = float(obj(jnp.zeros(n, jnp.float32))), float(obj(st.z))
+    o0 = float(obj(F, jnp.zeros(n, jnp.float32)))
+    oz = float(obj(F, st.z))
     assert jnp.isfinite(st.z).all()
     assert oz < o0, f"LFinito must decrease the objective ({oz} vs {o0})"
 

@@ -194,6 +194,23 @@ def test_tp_davis_yin_matches_single_chip(lasso):
             lam=jnp.asarray(0.1)), h=h, L=prob.L, N=N)
 
 
+def test_tp_douglas_rachford_f_zero():
+    """TPDouglasRachford (f = 0 over the 2-D mesh) must actually run —
+    ZeroOracle has no margin protocol, so the step body special-cases
+    it — and reach the closed-form soft-threshold optimum."""
+    from ciao_tpu.parallel import TPDouglasRachford, make_mesh_2d
+
+    nn = 16
+    b = jnp.asarray(np.linspace(-2.0, 2.0, nn))
+    lam = 0.7
+    x, _ = TPDouglasRachford(mesh=make_mesh_2d(4, 2), maxit=400)(
+        jnp.zeros(nn, b.dtype), g=SqrDistPoint(b=b, rho=jnp.asarray(1.0)),
+        h=NormL1(lam=jnp.asarray(lam)), N=8,
+    )
+    x_star = np.sign(np.asarray(b)) * np.maximum(np.abs(np.asarray(b)) - lam, 0)
+    np.testing.assert_allclose(np.asarray(x), x_star, rtol=0, atol=1e-8)
+
+
 def test_dp_davis_yin_matches_single_chip(lasso):
     """DPDavisYin on the 8-device mesh: deterministic method, so the
     sharded trajectory must equal single-chip to reduction-order
