@@ -496,7 +496,7 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     log(f"deep target [f32 SAGA streamed]: floor rel {floor_sg:.3e} after "
         f"{ep_sg} epochs / {t_sg:.1f}s; crossings {cross_sg}")
     return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-            cross_stg, t_sg, floor_sg, cross_sg)
+            cross_stg, t_sg, floor_sg, ep_sg, cross_sg)
 
 
 def bench_missing_cells():
@@ -665,6 +665,33 @@ def bench_missing_cells():
         ms, _ = timed(lambda s, k: saga_run(F10, g, s, cfg10, k), st0, S10,
                       lambda s: s.z[0])
         log(f"saga streamed fused 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
+            f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Point-SAGA and SSNM ride the same streamed machinery
+        from ciao_tpu.solvers.point_saga import (
+            PointSAGACfg, point_saga_init, point_saga_run,
+        )
+        from ciao_tpu.solvers.ssnm import SSNMCfg, ssnm_init, ssnm_run
+
+        pcfg10 = PointSAGACfg(N=N10, batch=B10, block=True,
+                              fused_stream=True)
+        st0 = point_saga_init(F10, _Zero(), jnp.zeros(n10, jnp.float32),
+                              (1.0 / (3.0 * L10)).astype(jnp.float32),
+                              key, pcfg10)
+        ms, _ = timed(lambda s, k: point_saga_run(F10, _Zero(), s, pcfg10,
+                                                  k),
+                      st0, S10, lambda s: s.x[0])
+        log(f"point-saga streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
+            f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        smcfg10 = SSNMCfg(N=N10, batch=B10, fused_stream=True)
+        st0 = ssnm_init(F10, g, jnp.zeros(n10, jnp.float32),
+                        jnp.asarray(0.5, jnp.float32),
+                        (1.0 / (1.5 * L10)).astype(jnp.float32), key,
+                        smcfg10)
+        ms, _ = timed(lambda s, k: ssnm_run(F10, g, s, smcfg10, k), st0,
+                      S10, lambda s: s.x[0])
+        log(f"ssnm streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
             f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
         del F10
     del A10, b10
@@ -1050,7 +1077,7 @@ def main():
     # the f32 floor and every crossed rel target machine-captured
     try:
         (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-         cross_stg, t_sg, floor_sg, cross_sg) = deep_target_10m()
+         cross_stg, t_sg, floor_sg, ep_sg, cross_sg) = deep_target_10m()
         # headline = the BEST plan (streamed-SAGA f32: deepest floor
         # AND fastest — measured 4.1e-5 in 2.0 s vs LFinito's 7.7e-5 in
         # 36 s); vs_baseline: the reference's single-core batch-1 loop

@@ -1963,6 +1963,331 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
     return c_new, x_new, av_new
 
 
+def ssnm_multistep_streamed_available(N: int, n: int, B: int,
+                                      dtype) -> bool:
+    """Streamed-table SSNM gate: the SAGA streamed conditions PLUS the
+    (d, n) stored-point table staying VMEM-resident (3 copies: in, out,
+    scratch) — the large-N narrow-n regime (e.g. 10M×128: d·n f32 =
+    655 KB)."""
+    d = N // max(B, 1)
+    return (
+        coeff_multistep_streamed_available(N, n, B, dtype)
+        and _pick_tile(B, N, n, 3 * d * n * 4,
+                       esize=jnp.dtype(dtype).itemsize) >= 128
+    )
+
+
+def _ssnm_stream_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
+    """Streamed-table SSNM (any N): the SAGA stream kernel's window
+    layout with the sampled-momentum math of _ssnm_multi_kernel; the
+    (d, n) stored-point table stays VMEM-resident (gate above). Masked
+    steps (k ≥ fclamp) must leave x, ḡ AND the redirected block's
+    stored point untouched."""
+    if quant:
+        (rs_ref, c_in_ref, zb_in_ref, x_in_ref, gb_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, x_out_ref, gb_out_ref,
+         zb_vm, x_vm, gb_vm, y_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, zb_in_ref, x_in_ref, gb_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, x_out_ref, gb_out_ref,
+         zb_vm, x_vm, gb_vm, y_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    eta = sc_ref[0, 1]
+    thr = sc_ref[0, 2]
+    invB = sc_ref[0, 3]
+    invN = sc_ref[0, 4]
+    mode = sc_ref[0, 5]
+    tau = sc_ref[0, 6]
+    aux = sc_ref[0, 7]
+    TILE = A_ref.shape[0]
+    fclamp = starts_ref[K]
+    committed = k < fclamp
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        zb_vm[...] = zb_in_ref[...]
+        x_vm[...] = x_in_ref[...]
+        gb_vm[...] = gb_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        j = starts_ref[k] // (T * TILE)           # block id
+        y_vm[...] = (tau * x_vm[...]
+                     + (1.0 - tau) * zb_vm[pl.ds(j, 1), :])
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(y_vm[...], A_t, (((1,), (1,)), ((), ())), prec)
+    b_t = b_ref[:]                                  # (1, TILE)
+    if quant:
+        rs_t = rs_ref[:]
+        r = r * rs_t
+    c_old = c_in_ref[:]                             # streamed window
+    c_new = jnp.where(committed,
+                      _coeff_formula(mode, r, b_t, scale, aux), c_old)
+    dc = c_new - c_old                              # 0 when masked
+    c_out_ref[:] = c_new
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(dc, A_t, (((1,), (0,)), ((), ())), prec)
+
+    @pl.when(t == T - 1)
+    def _():
+        j = starts_ref[k] // (T * TILE)
+        grad = innov_vm[...] * invB + gb_vm[...]   # ∇̃ (unbiased)
+        xv = x_vm[...] - eta * grad                # MIRROR step from x
+        x_vm[...] = jnp.where(
+            committed,
+            jnp.sign(xv) * jnp.maximum(jnp.abs(xv) - thr, 0.0),
+            x_vm[...],
+        )
+        gb_vm[...] += innov_vm[...] * invN         # 0 delta when masked
+        # φ_block ← y — NOT for a masked step (its j was redirected to
+        # a real free block whose stored point must survive)
+        zb_vm[pl.ds(j, 1), :] = jnp.where(
+            committed, y_vm[...], zb_vm[pl.ds(j, 1), :]
+        )
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        zb_out_ref[...] = zb_vm[...]
+        x_out_ref[...] = x_vm[...]
+        gb_out_ref[...] = gb_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3, 4),
+)
+def ssnm_multistep_streamed(A, b1, starts, c1, zb, x2, gb2, scalars,
+                            B: int, precision: str = "highest",
+                            rs1=None, f=None, interpret: bool = False):
+    """K = len(starts) SSNM block steps with the (1, N) coefficient
+    table STREAMED (donated, clamped launches) and the (d, n)
+    stored-point table VMEM-resident (donated). ``scalars`` the (1, 8)
+    row [scale, η, ηλ, 1/B, 1/N, mode, τ, aux]; ``f`` the clamp count.
+    Returns (c1, zb, x2, gb2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
+    d = N // B
+    TILE = _pick_tile(B, N, n, 3 * d * n * 4, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    if f is None:
+        f = jnp.asarray(K, jnp.int32)
+        starts = jnp.concatenate([starts.astype(jnp.int32), f[None]])
+    else:
+        starts = _redirect_masked(starts, f, B, N)
+
+    def win_idx(k, t, st):
+        return (0, st[k] // TILE + t)
+
+    rs_specs = [pl.BlockSpec((1, TILE), win_idx)] if quant else []
+    rs_ops = [rs1] if quant else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((1, TILE), win_idx),         # offsets b
+            *rs_specs,                                # dequant scales
+            pl.BlockSpec((1, TILE), win_idx),         # c window (in)
+            _bcast_spec((d, n)),                      # zb (whole)
+            _bcast_spec((1, n)),                      # x in
+            _bcast_spec((1, n)),                      # gbar in
+            pl.BlockSpec((1, 8), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), win_idx),         # c window (out)
+            _bcast_spec((d, n)),                      # zb out
+            _bcast_spec((1, n)),                      # x out
+            _bcast_spec((1, n)),                      # gbar out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, n), jnp.float32),          # zb carry
+            pltpu.VMEM((1, n), jnp.float32),          # x carry
+            pltpu.VMEM((1, n), jnp.float32),          # gbar carry
+            pltpu.VMEM((1, n), jnp.float32),          # y (momentum pt)
+            pltpu.VMEM((1, n), jnp.float32),          # innovation accum
+        ],
+    )
+    c_new, zb_new, x_new, gb_new = pl.pallas_call(
+        functools.partial(
+            _ssnm_stream_kernel, _PRECISIONS[precision], quant
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((d, n), zb.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3 + len(rs_ops): 0,     # c in -> out
+                              4 + len(rs_ops): 1},    # zb in -> out
+        interpret=interpret,
+    )(starts, A, b1, *rs_ops, c1, zb, x2, gb2, scalars)
+    return c_new, zb_new, x_new, gb_new
+
+
+def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
+                              *refs):
+    """Streamed-table Point-SAGA (any N): the SAGA stream kernel's
+    window layout with the Point-SAGA θ-solve — see
+    _point_saga_multi_kernel for the math and _saga_stream_kernel for
+    the clamp/masking contract."""
+    if quant:
+        (rs_ref, na_ref, c_in_ref, x_in_ref, av_in_ref, sc_ref,
+         c_out_ref, x_out_ref, av_out_ref, x_vm, av_vm, u_vm) = refs
+    else:
+        rs_ref = None
+        (na_ref, c_in_ref, x_in_ref, av_in_ref, sc_ref,
+         c_out_ref, x_out_ref, av_out_ref, x_vm, av_vm, u_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    gamma = sc_ref[0, 1]
+    invB = sc_ref[0, 2]
+    invN = sc_ref[0, 3]
+    mode = sc_ref[0, 4]
+    fclamp = starts_ref[K]
+    committed = k < fclamp
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        x_vm[...] = x_in_ref[...]
+        av_vm[...] = av_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        u_vm[...] = jnp.zeros_like(u_vm)
+        # shared shifted iterate v = x − γ·ḡ — masked steps must leave
+        # x untouched (their u stays 0, so the t==T−1 un-shift would
+        # otherwise leave x at v)
+        x_vm[...] = jnp.where(committed,
+                              x_vm[...] - gamma * av_vm[...], x_vm[...])
+
+    A_t = A_ref[:]
+    r = _stream_dot(x_vm[...], A_t, (((1,), (1,)), ((), ())), prec)
+    b_t = b_ref[:]                                  # (1, TILE)
+    na_t = na_ref[:]                                # (1, TILE) ‖a‖²
+    if quant:
+        rs_t = rs_ref[:]
+        r = r * rs_t
+    c_old = c_in_ref[:]
+    mz = r + gamma * c_old * na_t
+    theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
+    gna2 = gamma * na_t
+    y_t = b_t
+
+    def _newton(_, th):
+        m = mz - gna2 * th
+        s = jax.nn.sigmoid(-y_t * m)
+        phi = th + y_t * s
+        dphi = 1.0 + gna2 * s * (1.0 - s)
+        return th - phi / dphi
+
+    theta_log = jax.lax.fori_loop(0, 20, _newton, c_old)
+    theta = jnp.where(mode == MODE_LSQ, theta_lsq, theta_log)
+    theta = jnp.where(committed, theta, c_old)
+    c_out_ref[:] = theta
+    w = c_old - theta                               # 0 when masked
+    if quant:
+        w = w * rs_t
+    u_vm[...] += _stream_dot(w, A_t, (((1,), (0,)), ((), ())), prec)
+
+    @pl.when(t == T - 1)
+    def _():
+        # x⁺ = v + (γ/B)·u ; ḡ⁺ = ḡ − u/N (both no-ops when masked)
+        x_vm[...] = x_vm[...] + (gamma * invB) * u_vm[...]
+        av_vm[...] = av_vm[...] - u_vm[...] * invN
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        x_out_ref[...] = x_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(3,),
+)
+def point_saga_multistep_streamed(A, b1, na1, c1, starts, x2, av2,
+                                  scalars, B: int,
+                                  precision: str = "highest", rs1=None,
+                                  f=None, interpret: bool = False):
+    """K = len(starts) Point-SAGA block steps with the (1, N)
+    coefficient table STREAMED (donated) — serves any N (the
+    saga_coeff_multistep_streamed layout with the θ-solve in-kernel).
+    ``b1``/``na1``/``c1``/``rs1`` are (1, N) rows; ``scalars`` the
+    (1, 5) row [scale, γ, 1/B, 1/N, mode]; ``f`` the clamp count.
+    Returns (c1, x2, av2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
+    TILE = _pick_tile(B, N, n, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    if f is None:
+        f = jnp.asarray(K, jnp.int32)
+        starts = jnp.concatenate([starts.astype(jnp.int32), f[None]])
+    else:
+        starts = _redirect_masked(starts, f, B, N)
+
+    def win_idx(k, t, st):
+        return (0, st[k] // TILE + t)
+
+    rs_specs = [pl.BlockSpec((1, TILE), win_idx)] if quant else []
+    rs_ops = [rs1] if quant else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n), lambda k, t, st: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((1, TILE), win_idx),         # offsets b
+            *rs_specs,                                # dequant scales
+            pl.BlockSpec((1, TILE), win_idx),         # row sqnorms
+            pl.BlockSpec((1, TILE), win_idx),         # c window (in)
+            _bcast_spec((1, n)),                      # x in
+            _bcast_spec((1, n)),                      # av in
+            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), win_idx),         # c window (out)
+            _bcast_spec((1, n)),                      # x out
+            _bcast_spec((1, n)),                      # av out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),          # x / v carry
+            pltpu.VMEM((1, n), jnp.float32),          # av carry
+            pltpu.VMEM((1, n), jnp.float32),          # u accum
+        ],
+    )
+    c_new, x_new, av_new = pl.pallas_call(
+        functools.partial(
+            _point_saga_stream_kernel, _PRECISIONS[precision], quant
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={3 + len(rs_ops) + 1: 0},  # c in -> out
+        interpret=interpret,
+    )(starts, A, b1, *rs_ops, na1, c1, x2, av2, scalars)
+    return c_new, x_new, av_new
+
+
 # ---------------------------------------------------------------------------
 # loopless fused kernels: L-SVRG / L-Katyusha (coin-aware multi-step)
 # ---------------------------------------------------------------------------

@@ -56,6 +56,10 @@ class PointSAGACfg(NamedTuple):
     block: bool = False  # contiguous-block sampling (TPU fast path)
     fused: bool = False  # Pallas K-steps-per-launch kernel
     fused_precision: str = "highest"  # MXU dots in fused kernels
+    # streamed-table fused kernel (any N — the VMEM slab caps ``fused``
+    # at N ≤ 1M): (1, N) coefficient row through clamped aliased
+    # windows, the saga fused_stream machinery
+    fused_stream: bool = False
 
 
 class PointSAGAState(NamedTuple):
@@ -76,16 +80,22 @@ class PointSAGAState(NamedTuple):
         return self.x
 
 
-def _sqnorm_slab(F, N):
-    """(8, N/8) slab of dequant-corrected row square-norms ‖a_i‖²
-    (int8 rows: Σq²·rs², matching _pointprox_core's na2 algebra)."""
-    from ciao_tpu.ops.fused_block import SLAB_ROWS
-
+def _sqnorms(F, N):
+    """Dequant-corrected row square-norms ‖a_i‖² (int8 rows: Σq²·rs²,
+    matching _pointprox_core's na2 algebra), flat (N,)."""
     na = F.pointprox_sqnorm_block(0, N)
     rs = F.coeff_rows_scale() if hasattr(F, "coeff_rows_scale") else None
     if rs is not None:
         na = na * (rs * rs)
-    return na.astype(jnp.float32).reshape(SLAB_ROWS, N // SLAB_ROWS)
+    return na.astype(jnp.float32)
+
+
+def _sqnorm_slab(F, N):
+    """The (8, N/8) slab layout of :func:`_sqnorms` (resident-slab
+    fused kernel)."""
+    from ciao_tpu.ops.fused_block import SLAB_ROWS
+
+    return _sqnorms(F, N).reshape(SLAB_ROWS, N // SLAB_ROWS)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -95,7 +105,12 @@ def point_saga_init(F, g, x0, gamma, key, cfg: PointSAGACfg) -> PointSAGAState:
     solution(init) == x0."""
     c = F.coeff_all(x0)
     av = F.apply_all(c) / cfg.N
-    na8 = _sqnorm_slab(F, cfg.N) if cfg.fused else None
+    if cfg.fused:
+        na8 = _sqnorm_slab(F, cfg.N)
+    elif cfg.fused_stream:
+        na8 = _sqnorms(F, cfg.N)[None, :]   # (1, N) streamed row
+    else:
+        na8 = None
     return PointSAGAState(
         gamma=gamma, c=c, av=av, x=x0, key=key,
         it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
@@ -182,10 +197,61 @@ def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
     return state
 
 
+def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
+                                   steps: int):
+    """Any-N fused driver: the (1, N) coefficient row streams through
+    clamped launches (ops.point_saga_multistep_streamed) — the SAGA
+    fused_stream machinery with the θ-solve in-kernel."""
+    from ciao_tpu.ops.fused_block import (
+        point_saga_multistep_streamed, rows_scale_row,
+    )
+    from ciao_tpu.sampling import first_duplicate
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, N = cfg.batch, cfg.N
+    d = N // B
+    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    rows, offs = F.coeff_rows_data()
+    b1 = offs[None, :]
+    rs1 = rows_scale_row(F)
+    scalars = jnp.stack([
+        jnp.asarray(getattr(F, "scale", 1.0), jnp.float32),
+        jnp.asarray(state.gamma, jnp.float32),
+        jnp.asarray(1.0 / B, jnp.float32),
+        jnp.asarray(1.0 / N, jnp.float32),
+        jnp.asarray(float(F.coeff_mode), jnp.float32),
+    ])[None, :]
+    interp = jax.default_backend() != "tpu"
+    target = state.it + jnp.asarray(steps, jnp.int32)
+
+    def launch(carry):
+        c1, x2, av2, it = carry
+        starts = _gen_block_starts(state.key, it, cfg, K)
+        fcl = first_duplicate(starts // B)
+        c1, x2, av2 = point_saga_multistep_streamed(
+            rows, b1, state.na8, c1, starts, x2, av2, scalars, B,
+            precision=cfg.fused_precision, rs1=rs1, f=fcl,
+            interpret=interp,
+        )
+        return (c1, x2, av2, it + fcl)
+
+    c1, x2, av2, it = jax.lax.while_loop(
+        lambda c: c[3] + K <= target, launch,
+        (state.c[None, :], state.x[None, :], state.av[None, :], state.it),
+    )
+    state = state._replace(c=c1[0], x=x2[0], av=av2[0], it=it)
+    return jax.lax.while_loop(
+        lambda st: st.it < target,
+        lambda st: _point_saga_step(F, g, cfg, st), state,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def point_saga_run(F, g, state, cfg: PointSAGACfg, steps: int):
     if cfg.fused and steps >= 8:
         return _point_saga_run_fused(F, g, state, cfg, steps)
+    if cfg.fused_stream and steps >= 8:
+        return _point_saga_run_fused_streamed(F, g, state, cfg, steps)
 
     def body(s, _):
         with jax.named_scope("point_saga_step"):
@@ -206,7 +272,12 @@ def point_saga_rebase(F, g, state, cfg: PointSAGACfg):
     operator's bias forever otherwise; cf. solvers.saga.saga_rebase).
     The fused path's row square-norm slab is storage-dependent too —
     recomputed under THIS oracle."""
-    na8 = _sqnorm_slab(F, cfg.N) if cfg.fused else state.na8
+    if cfg.fused:
+        na8 = _sqnorm_slab(F, cfg.N)
+    elif cfg.fused_stream:
+        na8 = _sqnorms(F, cfg.N)[None, :]
+    else:
+        na8 = state.na8
     return state._replace(av=F.apply_all(state.c) / cfg.N, na8=na8)
 
 
@@ -267,6 +338,7 @@ class PointSAGA:
                 "PointSAGA block_sampling needs N divisible by batch"
             )
         fused = False
+        fused_stream = False
         if (
             self.block_sampling
             and self.batch > 1
@@ -277,15 +349,28 @@ class PointSAGA:
 
             # the in-kernel θ-solve: least-squares closed form, or the
             # 20-step Newton for logistic rows
-            fused = (
-                coeff_multistep_available(N, x0.size, self.batch, x0.dtype)
-                and hasattr(F, "coeff_rows_data")
+            kernel_ok = (
+                hasattr(F, "coeff_rows_data")
                 and getattr(F, "supports_coeff", False)
                 and getattr(F, "coeff_mode", None) in (MODE_LSQ,
                                                        MODE_LOGISTIC)
             )
+            fused = kernel_ok and coeff_multistep_available(
+                N, x0.size, self.batch, x0.dtype
+            )
+            # beyond the VMEM slab cap: the streamed-table kernel
+            from ciao_tpu.ops.fused_block import (
+                coeff_multistep_streamed_available,
+            )
+
+            fused_stream = (
+                kernel_ok and not fused
+                and coeff_multistep_streamed_available(
+                    N, x0.size, self.batch, x0.dtype
+                )
+            )
         cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling,
-                           fused=fused,
+                           fused=fused, fused_stream=fused_stream,
                            fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         init = lambda: point_saga_init(F, g, x0, gamma, key, cfg)

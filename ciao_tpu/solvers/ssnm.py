@@ -60,6 +60,10 @@ class SSNMCfg(NamedTuple):
     batch: int = 1
     fused: bool = False  # Pallas K-steps-per-launch kernel
     fused_precision: str = "highest"  # MXU dots in fused kernels
+    # streamed-table fused kernel (any N): (1, N) coefficient row
+    # through clamped aliased windows, the (d, n) stored-point table
+    # VMEM-resident (the saga fused_stream machinery)
+    fused_stream: bool = False
 
 
 class SSNMState(NamedTuple):
@@ -167,10 +171,61 @@ def _ssnm_run_fused(F, g, state, cfg: SSNMCfg, steps: int):
     return state
 
 
+def _ssnm_run_fused_streamed(F, g, state, cfg: SSNMCfg, steps: int):
+    """Any-N fused driver: the (1, N) coefficient row streams through
+    clamped launches (ops.ssnm_multistep_streamed) with the (d, n)
+    stored-point table VMEM-resident — the saga fused_stream machinery
+    with the sampled-momentum math in-kernel."""
+    from ciao_tpu.ops.fused_block import (
+        oracle_scalar_consts, rows_scale_row, ssnm_multistep_streamed,
+    )
+    from ciao_tpu.sampling import first_duplicate
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B, N = cfg.batch, cfg.N
+    d = N // B
+    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    rows, offs = F.coeff_rows_data()
+    b1 = offs[None, :]
+    rs1 = rows_scale_row(F)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    scalars = jnp.stack([
+        scale, f32(state.eta), f32(state.eta * lam), f32(1.0 / B),
+        f32(1.0 / N), mode, f32(state.tau), aux,
+    ])[None, :]
+    interp = jax.default_backend() != "tpu"
+    target = state.it + jnp.asarray(steps, jnp.int32)
+
+    def launch(carry):
+        c1, zb, x2, gb2, it = carry
+        starts = _gen_block_starts(state.key, it, cfg, K)
+        fcl = first_duplicate(starts // B)
+        c1, zb, x2, gb2 = ssnm_multistep_streamed(
+            rows, b1, starts, c1, zb, x2, gb2, scalars, B,
+            precision=cfg.fused_precision, rs1=rs1, f=fcl,
+            interpret=interp,
+        )
+        return (c1, zb, x2, gb2, it + fcl)
+
+    c1, zb, x2, gb2, it = jax.lax.while_loop(
+        lambda c: c[4] + K <= target, launch,
+        (state.c[None, :], state.zb, state.x[None, :],
+         state.gbar[None, :], state.it),
+    )
+    state = state._replace(c=c1[0], zb=zb, x=x2[0], gbar=gb2[0], it=it)
+    return jax.lax.while_loop(
+        lambda st: st.it < target,
+        lambda st: _ssnm_step(F, g, cfg, st), state,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "steps"))
 def ssnm_run(F, g, state, cfg: SSNMCfg, steps: int):
     if cfg.fused and steps >= 8:
         return _ssnm_run_fused(F, g, state, cfg, steps)
+    if cfg.fused_stream and steps >= 8:
+        return _ssnm_run_fused_streamed(F, g, state, cfg, steps)
 
     def body(s, _):
         with jax.named_scope("ssnm_step"):
@@ -251,19 +306,32 @@ class SSNM:
         eta = (jnp.asarray(self.eta, rdt) if self.eta is not None
                else 1.0 / (3.0 * tau * Lmax))  # the mirror coupling
         fused = False
+        fused_stream = False
         if self.batch > 1 and x0.dtype == jnp.float32:
             from ciao_tpu.ops import finito_multistep_available
+            from ciao_tpu.ops.fused_block import (
+                ssnm_multistep_streamed_available,
+            )
             from ciao_tpu.prox import NormL1
 
             # the kernel carries the coefficient slab AND the (d, n)
             # stored-point table in VMEM — the Finito-coeff budget
-            fused = (
-                finito_multistep_available(N, x0.size, self.batch,
-                                           x0.dtype)
-                and hasattr(F, "coeff_rows_data")
+            kernel_ok = (
+                hasattr(F, "coeff_rows_data")
                 and isinstance(g, (NormL1, Zero))
             )
+            fused = kernel_ok and finito_multistep_available(
+                N, x0.size, self.batch, x0.dtype
+            )
+            # beyond the slab cap: streamed c, zb stays VMEM-resident
+            fused_stream = (
+                kernel_ok and not fused
+                and ssnm_multistep_streamed_available(
+                    N, x0.size, self.batch, x0.dtype
+                )
+            )
         cfg = SSNMCfg(N=N, batch=self.batch, fused=fused,
+                      fused_stream=fused_stream,
                       fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)
         init = lambda: ssnm_init(F, g, x0, tau, eta, key, cfg)

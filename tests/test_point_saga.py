@@ -276,3 +276,58 @@ def test_point_saga_fused_logistic_newton_matches_stepwise():
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(st_f.c), np.asarray(st_s.c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_point_saga_streamed_multistep_matches_stepwise():
+    """The STREAMED-table fused Point-SAGA (any N — beyond the VMEM
+    slab cap) must reproduce the stepwise path exactly: same stateless
+    draw stream, launches clamped at same-launch block revisits
+    (round 3; the saga fused_stream machinery with the θ-solve
+    in-kernel). Covers LSQ f32/int8 and the logistic Newton mode."""
+    import jax
+
+    from ciao_tpu.oracles import LogisticRows
+    from ciao_tpu.prox import Zero
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+    from ciao_tpu.utils.problems import make_lasso
+
+    Np, npix, Bp = 8192, 128, 128   # d = 64: frequent birthday clamps
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    rng = np.random.default_rng(0)
+    F_log = LogisticRows(
+        X=jnp.asarray(prob.A, jnp.float32),
+        y=jnp.asarray(np.sign(rng.standard_normal(Np)), jnp.float32),
+    )
+    gamma = jnp.asarray(1.0 / (3.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    for F, glam in ((F32, gamma), (F32.with_storage("int8"), gamma),
+                    (F_log, jnp.asarray(0.05, jnp.float32))):
+        for steps in (77, 96):
+            cfg_sw = PointSAGACfg(N=Np, batch=Bp, block=True)
+            st_sw = point_saga_run(
+                F, Zero(), point_saga_init(F, Zero(), x0, glam, key,
+                                           cfg_sw), cfg_sw, steps)
+            cfg_f = cfg_sw._replace(fused_stream=True)
+            st_f = point_saga_run(
+                F, Zero(), point_saga_init(F, Zero(), x0, glam, key,
+                                           cfg_f), cfg_f, steps)
+            rows_dt = (F.A if hasattr(F, "A") else F.X).dtype
+            tag = f"{type(F).__name__}/{rows_dt} steps={steps}"
+            assert int(st_f.it) == int(st_sw.it) == steps + 1
+            wide = 1e-4 if rows_dt == jnp.float32 else 1e-2
+            np.testing.assert_allclose(np.asarray(st_f.x),
+                                       np.asarray(st_sw.x),
+                                       rtol=wide, atol=1e-6, err_msg=tag)
+            c_atol = max(1e-3, 1e-4 * float(np.abs(st_sw.c).max()))
+            np.testing.assert_allclose(np.asarray(st_f.c),
+                                       np.asarray(st_sw.c),
+                                       rtol=max(wide, 1e-3), atol=c_atol,
+                                       err_msg=tag)

@@ -223,3 +223,50 @@ def test_tp_ssnm_converges_and_shards():
         TPSSNM(mesh=mesh2, batch=4)(
             jnp.zeros(8), F=F, g=NormL2(lam=jnp.asarray(1.0)), L=prob.L
         )
+
+
+def test_ssnm_streamed_multistep_matches_stepwise():
+    """The STREAMED-table fused SSNM (any N — the saga fused_stream
+    machinery with the momentum math in-kernel and the (d, n)
+    stored-point table VMEM-resident) must reproduce the stepwise path
+    exactly, clamps included; masked steps must leave the redirected
+    block's stored point untouched (d=64: frequent birthday clamps)."""
+    import jax
+
+    from ciao_tpu.solvers.ssnm import SSNMCfg, ssnm_init, ssnm_run
+
+    Np, npix, Bp = 8192, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    tau = jnp.asarray(0.5, jnp.float32)
+    eta = jnp.asarray(1.0 / (1.5 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    for F in (F32, F32.with_storage("int8")):
+        for steps in (77, 96):
+            cfg_sw = SSNMCfg(N=Np, batch=Bp)
+            st_sw = ssnm_run(F, g, ssnm_init(F, g, x0, tau, eta, key,
+                                             cfg_sw), cfg_sw, steps)
+            cfg_f = cfg_sw._replace(fused_stream=True)
+            st_f = ssnm_run(F, g, ssnm_init(F, g, x0, tau, eta, key,
+                                            cfg_f), cfg_f, steps)
+            rows_dt = F.A.dtype
+            tag = f"{rows_dt} steps={steps}"
+            assert int(st_f.it) == int(st_sw.it) == steps + 1
+            wide = 1e-4 if rows_dt == jnp.float32 else 1e-2
+            np.testing.assert_allclose(np.asarray(st_f.x),
+                                       np.asarray(st_sw.x),
+                                       rtol=wide, atol=1e-6, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(st_f.zb),
+                                       np.asarray(st_sw.zb),
+                                       rtol=wide, atol=1e-6, err_msg=tag)
+            c_atol = max(1e-3, 1e-4 * float(np.abs(st_sw.c).max()))
+            np.testing.assert_allclose(np.asarray(st_f.c),
+                                       np.asarray(st_sw.c),
+                                       rtol=max(wide, 1e-3), atol=c_atol,
+                                       err_msg=tag)
