@@ -2004,7 +2004,7 @@ def _ssnm_stream_kernel(prec, quant, starts_ref, A_ref, b_ref, *refs):
     mode = sc_ref[0, 5]
     tau = sc_ref[0, 6]
     aux = sc_ref[0, 7]
-    TILE = A_ref.shape[0]
+    TILE = A_ref.shape[0]     # block id below = starts[k] // (T·TILE)
     fclamp = starts_ref[K]
     committed = k < fclamp
 

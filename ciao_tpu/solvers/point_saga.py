@@ -70,9 +70,10 @@ class PointSAGAState(NamedTuple):
     key: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
-    # fused mode only: dequant-corrected row square-norms ‖a_i‖² in the
-    # (8, N/8) slab layout — the closed θ-solve's curvature terms,
-    # precomputed once (one pass); None otherwise (leafless pytree node).
+    # fused modes only: dequant-corrected row square-norms ‖a_i‖² — the
+    # closed θ-solve's curvature terms, precomputed once (one pass).
+    # Layout follows the kernel: (8, N/8) slab under cfg.fused, (1, N)
+    # row under cfg.fused_stream; None otherwise (leafless pytree node).
     na8: object = None
 
     @property
@@ -208,9 +209,10 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
     from ciao_tpu.sampling import first_duplicate
     from ciao_tpu.solvers.saga import _gen_block_starts
 
+    from ciao_tpu.solvers.saga import run_clamped_stream, stream_launch_K
+
     B, N = cfg.batch, cfg.N
-    d = N // B
-    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    K = stream_launch_K(N // B)
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -222,7 +224,6 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
         jnp.asarray(float(F.coeff_mode), jnp.float32),
     ])[None, :]
     interp = jax.default_backend() != "tpu"
-    target = state.it + jnp.asarray(steps, jnp.int32)
 
     def launch(carry):
         c1, x2, av2, it = carry
@@ -235,14 +236,12 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
         )
         return (c1, x2, av2, it + fcl)
 
-    c1, x2, av2, it = jax.lax.while_loop(
-        lambda c: c[3] + K <= target, launch,
-        (state.c[None, :], state.x[None, :], state.av[None, :], state.it),
-    )
-    state = state._replace(c=c1[0], x=x2[0], av=av2[0], it=it)
-    return jax.lax.while_loop(
-        lambda st: st.it < target,
-        lambda st: _point_saga_step(F, g, cfg, st), state,
+    return run_clamped_stream(
+        state, steps, K,
+        (state.c[None, :], state.x[None, :], state.av[None, :]), launch,
+        lambda st, c: st._replace(c=c[0][0], x=c[1][0], av=c[2][0],
+                                  it=c[3]),
+        lambda st: _point_saga_step(F, g, cfg, st),
     )
 
 

@@ -356,6 +356,31 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     return state
 
 
+def stream_launch_K(d: int) -> int:
+    """Launch size for clamped streamed launches (shared by the SAGA /
+    Point-SAGA / SSNM fused_stream drivers): K ≤ d is the
+    masked-redirect free-block contract, and the √d sizing keeps the
+    birthday clamp's committed fraction high."""
+    return min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+
+
+def run_clamped_stream(state, steps: int, K: int, carry_arrays, launch,
+                       rebuild, stepwise):
+    """The clamped-launch loop scaffold shared by the fused_stream
+    drivers: run ``launch`` (which commits a DYNAMIC f ≤ K steps and
+    appends the advanced ``it`` as the carry's last element) while a
+    full window fits, rebuild the solver state from the carry, then
+    finish the dynamic (< K) remainder with the stepwise ``stepwise``
+    on the same stateless (key, it) stream."""
+    target = state.it + jnp.asarray(steps, jnp.int32)
+    carry = jax.lax.while_loop(
+        lambda c: c[-1] + K <= target, launch,
+        tuple(carry_arrays) + (state.it,),
+    )
+    state = rebuild(state, carry)
+    return jax.lax.while_loop(lambda st: st.it < target, stepwise, state)
+
+
 def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
     """Fused multi-step driver for N beyond the VMEM slab cap: the
     (1, N) coefficient row STREAMS through the kernel with in/out
@@ -373,11 +398,7 @@ def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
     from ciao_tpu.sampling import first_duplicate
 
     B, N = cfg.batch, cfg.N
-    d = N // B
-    # K <= d is the masked-redirect contract (a free block must exist
-    # for every clamped launch); the sqrt(d) sizing keeps the birthday
-    # clamp's committed fraction high
-    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    K = stream_launch_K(N // B)
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -393,7 +414,6 @@ def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
         aux,
     ])[None, :]
     interp = jax.default_backend() != "tpu"
-    target = state.it + jnp.asarray(steps, jnp.int32)
 
     def launch(carry):
         c1, z2, av2, it = carry
@@ -412,14 +432,12 @@ def _saga_run_fused_streamed(F, g, state, cfg: SAGACfg, steps: int):
         )
         return (c1, z2, av2, it + fcl)
 
-    c1, z2, av2, it = jax.lax.while_loop(
-        lambda c: c[3] + K <= target, launch,
-        (state.s[None, :], state.z[None, :], state.av[None, :], state.it),
-    )
-    state = state._replace(s=c1[0], z=z2[0], av=av2[0], it=it)
-    return jax.lax.while_loop(
-        lambda st: st.it < target,
-        lambda st: _saga_step(F, g, cfg, st), state,
+    return run_clamped_stream(
+        state, steps, K,
+        (state.s[None, :], state.z[None, :], state.av[None, :]), launch,
+        lambda st, c: st._replace(s=c[0][0], z=c[1][0], av=c[2][0],
+                                  it=c[3]),
+        lambda st: _saga_step(F, g, cfg, st),
     )
 
 

@@ -180,11 +180,12 @@ def _ssnm_run_fused_streamed(F, g, state, cfg: SSNMCfg, steps: int):
         oracle_scalar_consts, rows_scale_row, ssnm_multistep_streamed,
     )
     from ciao_tpu.sampling import first_duplicate
-    from ciao_tpu.solvers.saga import _gen_block_starts
+    from ciao_tpu.solvers.saga import (
+        _gen_block_starts, run_clamped_stream, stream_launch_K,
+    )
 
     B, N = cfg.batch, cfg.N
-    d = N // B
-    K = min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    K = stream_launch_K(N // B)
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -195,7 +196,6 @@ def _ssnm_run_fused_streamed(F, g, state, cfg: SSNMCfg, steps: int):
         f32(1.0 / N), mode, f32(state.tau), aux,
     ])[None, :]
     interp = jax.default_backend() != "tpu"
-    target = state.it + jnp.asarray(steps, jnp.int32)
 
     def launch(carry):
         c1, zb, x2, gb2, it = carry
@@ -208,15 +208,13 @@ def _ssnm_run_fused_streamed(F, g, state, cfg: SSNMCfg, steps: int):
         )
         return (c1, zb, x2, gb2, it + fcl)
 
-    c1, zb, x2, gb2, it = jax.lax.while_loop(
-        lambda c: c[4] + K <= target, launch,
+    return run_clamped_stream(
+        state, steps, K,
         (state.c[None, :], state.zb, state.x[None, :],
-         state.gbar[None, :], state.it),
-    )
-    state = state._replace(c=c1[0], zb=zb, x=x2[0], gbar=gb2[0], it=it)
-    return jax.lax.while_loop(
-        lambda st: st.it < target,
-        lambda st: _ssnm_step(F, g, cfg, st), state,
+         state.gbar[None, :]), launch,
+        lambda st, c: st._replace(c=c[0][0], zb=c[1], x=c[2][0],
+                                  gbar=c[3][0], it=c[4]),
+        lambda st: _ssnm_step(F, g, cfg, st),
     )
 
 
