@@ -23,6 +23,7 @@ to fused Pallas kernels on TPU.
 from ciao_tpu import oracles, prox
 from ciao_tpu.oracles import (
     HuberRows,
+    SquaredHingeRows,
     LeastSquaresRows,
     SparseLeastSquaresELL,
     HybridSparseLeastSquares,
@@ -117,6 +118,7 @@ __all__ = [
     "Status",
     "LeastSquaresRows",
     "HuberRows",
+    "SquaredHingeRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",
     "LogisticRows",

@@ -12,6 +12,7 @@ s-tile — one pass at speed-of-light HBM traffic.
 
 from ciao_tpu.ops.fused_block import (
     MODE_HUBER,
+    MODE_SQHINGE,
     MODE_LOGISTIC,
     MODE_LSQ,
     coeff_multistep_available,

@@ -212,6 +212,7 @@ def saga_block_update(A, b2, s, z2, start, scale2, B: int,
 MODE_LSQ = 0       # c = scale·(a_i·z − b_i)        (least-squares rows)
 MODE_LOGISTIC = 1  # c = −y_i·σ(−y_i·a_i·z)          (logistic rows)
 MODE_HUBER = 2     # c = scale·clip(a_i·z − b_i, ±δ) (Huber rows; aux = δ)
+MODE_SQHINGE = 3   # c = −scale·y_i·max(0, 1 − y_i·a_i·z)  (smooth SVM)
 
 
 def _coeff_formula(mode, r, b_t, scale, aux=0.0):
@@ -219,8 +220,12 @@ def _coeff_formula(mode, r, b_t, scale, aux=0.0):
     c_log = -b_t * jax.nn.sigmoid(-b_t * r)
     # Huber: clip(scale·(r−b), ±scale·δ) ≡ scale·clip(r−b, ±δ)
     c_hub = jnp.clip(c_lsq, -scale * aux, scale * aux)
+    # squared hinge (smooth SVM; b_t carries the labels y)
+    c_sqh = -scale * b_t * jnp.maximum(1.0 - b_t * r, 0.0)
     return jnp.where(mode == MODE_LSQ, c_lsq,
-                     jnp.where(mode == MODE_LOGISTIC, c_log, c_hub))
+                     jnp.where(mode == MODE_LOGISTIC, c_log,
+                               jnp.where(mode == MODE_HUBER, c_hub,
+                                         c_sqh)))
 
 
 SLAB_ROWS = 8  # coefficient slab layout: (8, N/8), c_i at (i·8//N, i mod N/8)
@@ -815,8 +820,12 @@ def _value_formula(mode, r, b_t, scale, aux=0.0):
     a = jnp.abs(res)
     v_hub = scale * jnp.where(a <= aux, 0.5 * res * res,
                               aux * (a - 0.5 * aux))
+    h = jnp.maximum(1.0 - b_t * r, 0.0)
+    v_sqh = 0.5 * scale * h * h
     return jnp.where(mode == MODE_LSQ, v_lsq,
-                     jnp.where(mode == MODE_LOGISTIC, v_log, v_hub))
+                     jnp.where(mode == MODE_LOGISTIC, v_log,
+                               jnp.where(mode == MODE_HUBER, v_hub,
+                                         v_sqh)))
 
 
 def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):

@@ -4,6 +4,7 @@ ProximalOperators.jl — see SURVEY.md §2.2)."""
 from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.huber import HuberRows
+from ciao_tpu.oracles.sqhinge import SquaredHingeRows
 from ciao_tpu.oracles.logistic import LogisticRows
 from ciao_tpu.oracles.sparse import (
     SparseLeastSquaresELL,
@@ -20,6 +21,7 @@ __all__ = [
     "static_field",
     "LeastSquaresRows",
     "HuberRows",
+    "SquaredHingeRows",
     "LogisticRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",
