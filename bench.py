@@ -543,9 +543,13 @@ def bench_missing_cells():
         F_log = LogisticRows(X=A, y=y_cls)
         F_hub = HuberRows(A=A, b=b, delta=jnp.asarray(0.7, jnp.float32),
                           scale=jnp.asarray(float(N), jnp.float32))
+        from ciao_tpu.oracles import SquaredHingeRows
+
+        F_sqh = SquaredHingeRows(A=A, y=y_cls,
+                                 scale=jnp.asarray(1.0, jnp.float32))
         if tag != "f32":
-            F, F_log, F_hub = (o.with_storage(tag)
-                               for o in (F, F_log, F_hub))
+            F, F_log, F_hub, F_sqh = (o.with_storage(tag)
+                                      for o in (F, F_log, F_hub, F_sqh))
 
         # ZeroFPR (2 FBE evals/step at steady τ=1; near a narrow
         # storage's floor the thrash gauge reports the real evals/step)
@@ -580,6 +584,14 @@ def bench_missing_cells():
         ms, _ = timed(lambda s, k: saga_run(F_hub, g, s, scfg, k), st0, S,
                       lambda s: s.z[0])
         log(f"huber saga fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Squared hinge (smooth SVM) — MODE_SQHINGE, round 3
+        st0 = saga_init(F_sqh, g, x0,
+                        (1.0 / (3.0 * Lm)).astype(jnp.float32), key, scfg)
+        ms, _ = timed(lambda s, k: saga_run(F_sqh, g, s, scfg, k), st0, S,
+                      lambda s: s.z[0])
+        log(f"sqhinge saga fused [{tag}]: {ms:.4f} ms/step "
             f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
 
         # Importance-sampled SAGA (inverse-CDF draws + 1/(d·q_j)
