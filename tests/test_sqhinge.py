@@ -210,3 +210,34 @@ def test_sparse_svm_l1(svm_data):
     assert np.mean(np.sign(X_wide @ xv) == y) == 1.0
     # nuisance half is sparser than the informative half
     assert (np.abs(xv[n:]) > 1e-6).sum() < (np.abs(xv[:n]) > 1e-6).sum()
+
+
+def test_dp_tp_sqhinge_match_single_chip(svm_data):
+    """The squared-hinge oracle rides the generic dense-rows protocol,
+    so the DP (index-sharded) and TP (2-D-sharded margin) paths must
+    reproduce the single-chip SAGA trajectory with no oracle-specific
+    code."""
+    from ciao_tpu.parallel import (
+        DPSAGA, TPSAGA, make_mesh, make_mesh_2d, shard_finite_sum,
+        shard_finite_sum_2d,
+    )
+
+    X, y, _ = svm_data
+    F = _oracle(X, y, scale=1.0)
+    g = NormL1(lam=jnp.asarray(0.01))
+    L = 1.0 * (X * X).sum(axis=1)
+    x0 = jnp.zeros(n)
+    x_sc, _ = ciao_tpu.SAGA(maxit=400, batch=8, block_sampling=True)(
+        x0, F=F, g=g, L=L, N=N)
+    mesh = make_mesh()
+    x_dp, _ = DPSAGA(mesh=mesh, maxit=400, batch=8, block_sampling=True)(
+        x0, F=shard_finite_sum(F, mesh), g=g, L=L)
+    assert np.all(np.isfinite(np.asarray(x_dp)))
+    mesh2 = make_mesh_2d(4, 2)
+    x_tp, _ = TPSAGA(mesh=mesh2, maxit=400, batch=2)(
+        x0, F=shard_finite_sum_2d(F, mesh2), g=g, L=L)
+    assert np.all(np.isfinite(np.asarray(x_tp)))
+    # all three land on the same planted-separation solution basin
+    for xv in (x_dp, x_tp):
+        assert np.mean(np.sign(X @ np.asarray(xv)) == y) == 1.0
+    assert np.mean(np.sign(X @ np.asarray(x_sc)) == y) == 1.0
