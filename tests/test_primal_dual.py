@@ -381,3 +381,31 @@ def test_dp_chambolle_pock_closed_form():
     )
     x_star = np.sign(np.asarray(b)) * np.maximum(np.abs(np.asarray(b)) - lam, 0)
     np.testing.assert_allclose(np.asarray(x), x_star, rtol=0, atol=1e-8)
+
+
+def test_cv_checkpoint_resume_continues_exactly(tmp_path):
+    """The primal-dual state (primal x + dual y) is an ordinary pytree:
+    stopping, checkpointing and resuming must reproduce the
+    straight-through trajectory exactly (deterministic method)."""
+    from ciao_tpu import checkpoint
+    from ciao_tpu.solvers.base import loop, take
+    from ciao_tpu.utils.problems import make_lasso
+
+    prob = make_lasso(N=16, n=8, p=3, seed=0)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+                         scale=jnp.asarray(16.0))
+    h = NormL1(lam=jnp.asarray(0.05))
+    K = FirstDifference()
+    kwargs = dict(F=F, g=NormL1(lam=jnp.asarray(prob.lam)), h=h, K=K,
+                  L=prob.L, N=16)
+    solver = ciao_tpu.CondatVu(maxit=100)
+    st_full = loop(take(iter(solver.iterator(jnp.zeros(8), **kwargs)), 40))
+    st_mid = loop(take(iter(solver.iterator(jnp.zeros(8), **kwargs)), 20))
+    checkpoint.save(tmp_path / "mid.npz", st_mid)
+    restored = checkpoint.load(tmp_path / "mid.npz")
+    it2 = solver.iterator(jnp.zeros(8), **kwargs)
+    resumed = loop(take(checkpoint.resume_iterator(it2, restored), 21))
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(st_full.x),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(resumed.y), np.asarray(st_full.y),
+                               rtol=1e-12, atol=1e-14)
