@@ -72,13 +72,21 @@ class Trace:
         return default
 
 
-def observer(F, g, trace: "Trace", objective_every: bool = True):
+def observer(F, g, trace: "Trace", objective_every: bool = True,
+             h=None, K=None):
     """An ``observe(it, state)`` callback for the solver facades'
     ``observe=`` hook: logs the objective (full-pass, collective-safe)
-    and the gradient-scaled fixed-point residual ||z_k − z_{k-1}||/γ̂
+    and the stepsize-scaled fixed-point residual ||z_k − z_{k-1}||/γ̂
     into ``trace`` every ``freq`` iterations — the on-device convergence
     monitoring the reference's main path lacks (stop ≡ false,
-    ``Finito.jl:74``)."""
+    ``Finito.jl:74``).
+
+    ``h``/``K`` extend the logged objective for the three-term solver
+    families (Davis-Yin: + h(x); Condat-Vũ/Chambolle-Pock: + h(Kx) with
+    K from ``ciao_tpu.ops.linmap``). The residual tracks whatever
+    per-state sequence exists: ``state.z`` where the family carries one
+    (ProShI's coupling variable included), else the solution view (the
+    primal-dual/splitting states)."""
     prev = {}
 
     def observe(it, state):
@@ -92,16 +100,26 @@ def observer(F, g, trace: "Trace", objective_every: bool = True):
                 # meaningless. Compute the sharing objective instead.
                 rec["obj"] = float(sharing_objective(F, g, z))
             else:
-                rec["obj"] = float(objective(F, g, z))
+                obj = objective(F, g, z)
+                if h is not None:
+                    obj = obj + h.value(z if K is None else K.matvec(z))
+                rec["obj"] = float(obj)
+        zres = getattr(state, "z", None)
+        if zres is None:
+            zres = z
         if "z" in prev:
             gam = getattr(state, "hat_gamma", None)
             if gam is None:
-                gam = state.gamma
+                gam = getattr(state, "gamma", None)
+            if gam is None:
+                gam = getattr(state, "tau", None)   # primal-dual state
+            if gam is None:
+                gam = 1.0
             gam = jnp.max(jnp.asarray(gam))
             rec["residual"] = float(
-                fixed_point_residual(prev["z"], state.z, gam)
+                fixed_point_residual(prev["z"], zres, gam)
             )
-        prev["z"] = state.z
+        prev["z"] = zres
         trace.log(it, **rec)
 
     return observe

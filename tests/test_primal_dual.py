@@ -409,3 +409,46 @@ def test_cv_checkpoint_resume_continues_exactly(tmp_path):
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(resumed.y), np.asarray(st_full.y),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_cv_and_dys_observer_three_term_objective():
+    """monitor.observer must serve the splitting families: the h=/K=
+    extension logs the FULL three-term objective (f + g + h(Kx)) and
+    the residual path survives states without a ``z`` field (PDState
+    carries x/y; the round-3 fix — it crashed before)."""
+    from ciao_tpu import monitor
+    from ciao_tpu.utils.problems import make_lasso
+
+    prob = make_lasso(N=16, n=8, p=3, seed=0)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+                         scale=jnp.asarray(16.0))
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    h = NormL1(lam=jnp.asarray(0.05))
+    K = FirstDifference()
+
+    tr = monitor.Trace()
+    x, _ = ciao_tpu.CondatVu(maxit=200, freq=50)(
+        jnp.zeros(8), F=F, g=g, h=h, K=K, L=prob.L, N=16,
+        observe=monitor.observer(F, g, tr, h=h, K=K),
+    )
+    objs = [r["obj"] for r in tr.records if "obj" in r]
+    assert len(objs) >= 3 and all(np.isfinite(objs))
+    # the log matches an external three-term computation at the result
+    xv = np.asarray(x, np.float64)
+    # f = (1/N) Σ (N/2) r_i² = ½‖Ax−b‖²
+    expect = (0.5 * np.sum((np.asarray(prob.A, np.float64) @ xv
+                            - np.asarray(prob.b, np.float64)) ** 2)
+              + prob.lam * np.abs(xv).sum()
+              + 0.05 * np.abs(np.diff(xv)).sum())
+    np.testing.assert_allclose(objs[-1], expect, rtol=1e-6)
+    assert objs[-1] < objs[0]
+    assert any("residual" in r for r in tr.records)
+
+    # Davis-Yin: h applied to x directly (K omitted)
+    tr2 = monitor.Trace()
+    ciao_tpu.DavisYin(maxit=200, freq=50)(
+        jnp.zeros(8), F=F, g=g, h=IndBox(lo=-1.0, hi=1.0), L=prob.L, N=16,
+        observe=monitor.observer(F, g, tr2, h=IndBox(lo=-1.0, hi=1.0)),
+    )
+    objs2 = [r["obj"] for r in tr2.records if "obj" in r]
+    assert len(objs2) >= 3 and np.isfinite(objs2[-1])
