@@ -696,6 +696,23 @@ def bench_missing_cells():
         log(f"point-saga streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
             f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
 
+        from ciao_tpu.solvers.base import resolve_gamma_array as _rga
+        from ciao_tpu.solvers.finito import (
+            FinitoCfg as _FC, finito_coeff_init as _fci,
+            finito_run as _frn,
+        )
+
+        fcfg10 = _FC(N=N10, batch=B10, sweeping=3, alpha=0.999,
+                     fused_stream=True)
+        L10_rows = jax.jit(lambda a: jnp.sum(a * a, axis=1))(A10) * N10
+        st0 = _fci(F10, g, jnp.zeros(n10, jnp.float32),
+                   0.999 * N10 / L10_rows, key, fcfg10)
+        ms, _ = timed(lambda s, k: _frn(F10, g, s, fcfg10, "basic_coeff",
+                                        k),
+                      st0, S10, lambda s: s.z[0])
+        log(f"finito streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
+            f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
         smcfg10 = SSNMCfg(N=N10, batch=B10, fused_stream=True)
         st0 = ssnm_init(F10, g, jnp.zeros(n10, jnp.float32),
                         jnp.asarray(0.5, jnp.float32),

@@ -2145,6 +2145,174 @@ def ssnm_multistep_streamed(A, b1, starts, c1, zb, x2, gb2, scalars,
     return c_new, zb_new, x_new, gb_new
 
 
+def finito_multistep_streamed_available(N: int, n: int, B: int,
+                                        dtype) -> bool:
+    """Streamed-table Finito-coeff gate: same residency shape as SSNM
+    (streamed c + VMEM-resident (d, n) anchor table); the per-block
+    Σ1/γ weights ride a second scalar-prefetch operand, so the SMEM
+    d ≤ 1024 cap of the resident-slab kernel does not apply."""
+    return ssnm_multistep_streamed_available(N, n, B, dtype)
+
+
+def _finito_stream_kernel(prec, quant, starts_ref, invg_ref, A_ref,
+                          b_ref, *refs):
+    """Streamed-table Finito-basic coefficient steps (any N): the SAGA
+    stream kernel's window layout with the Finito algebra of
+    _finito_coeff_multi_kernel — the (d, n) per-block anchor table
+    stays VMEM-resident, the per-block inverse-stepsize sums arrive
+    pre-gathered per launch (``invg_ref``, scalar prefetch). Masked
+    steps (k ≥ fclamp) leave av, z AND the redirected block's anchor
+    untouched."""
+    if quant:
+        (rs_ref, c_in_ref, zb_in_ref, z_in_ref, av_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
+         zb_vm, av_vm, z_vm, innov_vm) = refs
+    else:
+        rs_ref = None
+        (c_in_ref, zb_in_ref, z_in_ref, av_in_ref, sc_ref,
+         c_out_ref, zb_out_ref, z_out_ref, av_out_ref,
+         zb_vm, av_vm, z_vm, innov_vm) = refs
+    k = pl.program_id(0)
+    t = pl.program_id(1)
+    K = pl.num_programs(0)
+    T = pl.num_programs(1)
+    scale = sc_ref[0, 0]
+    inv_n = sc_ref[0, 1]    # 1/N
+    hat = sc_ref[0, 2]      # hat_γ
+    thr = sc_ref[0, 3]      # hat_γ·λ (0 for g = Zero)
+    mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]
+    TILE = A_ref.shape[0]   # block id below = starts[k] // (T·TILE)
+    fclamp = starts_ref[K]
+    committed = k < fclamp
+
+    @pl.when((k == 0) & (t == 0))
+    def _():
+        zb_vm[...] = zb_in_ref[...]
+        av_vm[...] = av_in_ref[...]
+        z_vm[...] = z_in_ref[...]
+
+    @pl.when(t == 0)
+    def _():
+        innov_vm[...] = jnp.zeros_like(innov_vm)
+
+    A_t = A_ref[:]
+    r = _stream_dot(z_vm[...], A_t, (((1,), (1,)), ((), ())), prec)
+    b_t = b_ref[:]                                  # (1, TILE)
+    if quant:
+        rs_t = rs_ref[:]
+        r = r * rs_t
+    c_old = c_in_ref[:]                             # streamed window
+    c_new = jnp.where(committed,
+                      _coeff_formula(mode, r, b_t, scale, aux), c_old)
+    dc = c_new - c_old                              # 0 when masked
+    c_out_ref[:] = c_new
+    if quant:
+        dc = dc * rs_t
+    innov_vm[...] += _stream_dot(dc, A_t, (((1,), (0,)), ((), ())), prec)
+
+    @pl.when(t == T - 1)
+    def _():
+        j = starts_ref[k] // (T * TILE)             # block id
+        invg_j = invg_ref[k]                        # pre-gathered Σ1/γ
+        zb_j = zb_vm[pl.ds(j, 1), :]
+        z = z_vm[...]
+        innov = hat * invg_j * (z - zb_j) - (hat * inv_n) * innov_vm[...]
+        av = av_vm[...] + jnp.where(committed, innov, 0.0)
+        av_vm[...] = av
+        zb_vm[pl.ds(j, 1), :] = jnp.where(committed, z, zb_j)
+        z_vm[...] = jnp.where(
+            committed,
+            jnp.sign(av) * jnp.maximum(jnp.abs(av) - thr, 0.0), z,
+        )
+
+    @pl.when((k == K - 1) & (t == T - 1))
+    def _():
+        zb_out_ref[...] = zb_vm[...]
+        z_out_ref[...] = z_vm[...]
+        av_out_ref[...] = av_vm[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "precision", "interpret"),
+    donate_argnums=(4, 5),
+)
+def finito_coeff_multistep_streamed(A, b1, starts, invg_k, c1, zb, z2,
+                                    av2, scalars, B: int,
+                                    precision: str = "highest",
+                                    rs1=None, f=None,
+                                    interpret: bool = False):
+    """K = len(starts) coefficient-mode Finito-basic block steps with
+    the (1, N) coefficient table STREAMED (donated, clamped launches)
+    and the (d, n) anchor table VMEM-resident (donated). ``invg_k`` is
+    the (K,) pre-gathered per-block Σ1/γ aligned with ``starts``;
+    ``scalars`` the (1, 6) row [scale, 1/N, hat_γ, hat_γ·λ, mode, aux];
+    ``f`` the clamp count. Returns (c1, zb, z2, av2)."""
+    N, n = A.shape
+    quant = A.dtype == jnp.int8
+    assert quant == (rs1 is not None), "rs1 required iff rows are int8"
+    d = N // B
+    TILE = _pick_tile(B, N, n, 3 * d * n * 4, esize=A.dtype.itemsize)
+    T = B // TILE
+    K = starts.shape[0]
+    if f is None:
+        f = jnp.asarray(K, jnp.int32)
+        starts = jnp.concatenate([starts.astype(jnp.int32), f[None]])
+    else:
+        starts = _redirect_masked(starts, f, B, N)
+
+    def win_idx(k, t, st, *p):
+        return (0, st[k] // TILE + t)
+
+    rs_specs = [pl.BlockSpec((1, TILE), win_idx)] if quant else []
+    rs_ops = [rs1] if quant else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, T),
+        in_specs=[
+            pl.BlockSpec((TILE, n),
+                         lambda k, t, st, *p: (st[k] // TILE + t, 0)),
+            pl.BlockSpec((1, TILE), win_idx),         # offsets b
+            *rs_specs,                                # dequant scales
+            pl.BlockSpec((1, TILE), win_idx),         # c window (in)
+            _bcast_spec((d, n)),                      # zb (whole)
+            _bcast_spec((1, n)),                      # z in
+            _bcast_spec((1, n)),                      # av in
+            pl.BlockSpec((1, 6), lambda k, t, st, *p: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), win_idx),         # c window (out)
+            _bcast_spec((d, n)),                      # zb out
+            _bcast_spec((1, n)),                      # z out
+            _bcast_spec((1, n)),                      # av out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, n), jnp.float32),          # zb carry
+            pltpu.VMEM((1, n), jnp.float32),          # av carry
+            pltpu.VMEM((1, n), jnp.float32),          # z carry
+            pltpu.VMEM((1, n), jnp.float32),          # innovation accum
+        ],
+    )
+    c_new, zb_new, z_new, av_new = pl.pallas_call(
+        functools.partial(
+            _finito_stream_kernel, _PRECISIONS[precision], quant
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((d, n), zb.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        input_output_aliases={4 + len(rs_ops): 0,     # c in -> out
+                              5 + len(rs_ops): 1},    # zb in -> out
+        interpret=interpret,
+    )(starts, invg_k.astype(jnp.float32), A, b1, *rs_ops, c1, zb, z2,
+      av2, scalars)
+    return c_new, zb_new, z_new, av_new
+
+
 def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
                               *refs):
     """Streamed-table Point-SAGA (any N): the SAGA stream kernel's

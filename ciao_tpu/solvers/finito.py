@@ -64,6 +64,10 @@ class FinitoCfg(NamedTuple):
     cyclic_pos0: int = 1  # basic starts its cyclic sweep at block 2 (see sampling)
     fused: bool = False   # Pallas one-pass table refresh (TPU, f32)
     fused_precision: str = "highest"  # MXU dots in fused kernels
+    # streamed-table fused kernel for the coefficient variant beyond
+    # the VMEM slab cap (any N): (1, N) c row through clamped aliased
+    # windows, (d, n) anchors VMEM-resident, per-block Σ1/γ pre-gathered
+    fused_stream: bool = False
 
 
 class FinitoBasicState(NamedTuple):
@@ -666,10 +670,73 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     return state
 
 
+def _finito_run_fused_streamed(F, g, state, cfg: FinitoCfg, steps: int):
+    """Any-N fused driver for the coefficient variant: the (1, N) c row
+    streams through clamped launches (ops.finito_coeff_multistep_
+    streamed — the saga fused_stream machinery with the Finito algebra
+    and the (d, n) anchor table VMEM-resident). Cyclic windows of
+    K ≤ d blocks are distinct (no clamp); shuffled windows clamp at the
+    epoch-boundary collision via gen_block_ids_clamped. The committed
+    stream ≡ stepwise next_block_id bit-for-bit."""
+    from ciao_tpu.ops.fused_block import (
+        finito_coeff_multistep_streamed,
+        oracle_scalar_consts,
+        rows_scale_row,
+    )
+    from ciao_tpu.sampling import gen_block_ids_clamped
+    from ciao_tpu.solvers.saga import run_clamped_stream
+
+    N, B = cfg.N, cfg.batch
+    d = N // B
+    K = min(64, d)
+    rows, offs = F.coeff_rows_data()
+    b1 = offs[None, :]
+    rs1 = rows_scale_row(F)
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
+    hat = state.hat_gamma
+    scalars = jnp.stack([
+        scale,
+        jnp.asarray(1.0 / N, jnp.float32),
+        jnp.asarray(hat, jnp.float32),
+        jnp.asarray(hat * lam, jnp.float32),
+        mode,
+        aux,
+    ])[None, :]
+    invg = state.invg.astype(jnp.float32)
+    interp = jax.default_backend() != "tpu"
+
+    def launch(carry):
+        c1, zb, z2, av2, sweep, it = carry
+        if cfg.sweeping == Sweep.CYCLIC:
+            blocks, sweep = gen_block_ids(sweep, K, N, B, cfg.sweeping)
+            fcl = jnp.asarray(K, jnp.int32)  # K ≤ d cyclic: no clamp
+        else:
+            blocks, fcl, sweep = gen_block_ids_clamped(
+                sweep, K, N, B, cfg.sweeping
+            )
+        c1, zb, z2, av2 = finito_coeff_multistep_streamed(
+            rows, b1, blocks * B, invg[blocks], c1, zb, z2, av2,
+            scalars, B, precision=cfg.fused_precision, rs1=rs1, f=fcl,
+            interpret=interp,
+        )
+        return (c1, zb, z2, av2, sweep, it + fcl)
+
+    return run_clamped_stream(
+        state, steps, K,
+        (state.c[None, :], state.zb, state.z[None, :],
+         state.av[None, :], state.sweep), launch,
+        lambda st, c: st._replace(c=c[0][0], zb=c[1], z=c[2][0],
+                                  av=c[3][0], sweep=c[4], it=c[5]),
+        lambda st: _finito_coeff_step(F, g, cfg, st),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "variant", "steps"))
 def finito_run(F, g, state, cfg: FinitoCfg, variant: str, steps: int):
     if variant == "basic_coeff" and cfg.fused and steps >= 8:
         return _finito_run_fused(F, g, state, cfg, steps)
+    if variant == "basic_coeff" and cfg.fused_stream and steps >= 8:
+        return _finito_run_fused_streamed(F, g, state, cfg, steps)
     step = _guarded(_STEPS[variant])
 
     def body(s, _):
@@ -816,15 +883,27 @@ class Finito:
                     from ciao_tpu.ops import finito_multistep_available
                     from ciao_tpu.prox import NormL1
 
+                    from ciao_tpu.ops.fused_block import (
+                        finito_multistep_streamed_available,
+                    )
+
+                    kernel_ok = (
+                        x0.dtype == jnp.float32
+                        and hasattr(F, "coeff_rows_data")
+                        and isinstance(g, (NormL1, Zero))
+                    )
+                    fused = kernel_ok and finito_multistep_available(
+                        N, x0.size, cfg.batch, x0.dtype
+                    )
                     cfg = cfg._replace(
-                        fused=(
-                            x0.dtype == jnp.float32
-                            and hasattr(F, "coeff_rows_data")
-                            and isinstance(g, (NormL1, Zero))
-                            and finito_multistep_available(
+                        fused=fused,
+                        # beyond the slab cap: the streamed-table kernel
+                        fused_stream=(
+                            kernel_ok and not fused
+                            and finito_multistep_streamed_available(
                                 N, x0.size, cfg.batch, x0.dtype
                             )
-                        )
+                        ),
                     )
                     cfg_c = cfg
                     init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg_c)

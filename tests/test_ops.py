@@ -1082,3 +1082,58 @@ def test_fused_kernels_shape_fuzz(Np, npix, Bp):
     np.testing.assert_allclose(np.asarray(st_f.x_tilde),
                                np.asarray(st_s.x_tilde),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_finito_streamed_multistep_matches_stepwise():
+    """The STREAMED-table fused Finito-coeff kernel (any N — beyond the
+    VMEM slab cap; round 3): c streams through clamped aliased windows,
+    the (d, n) anchor table stays VMEM-resident, and the per-block Σ1/γ
+    weights ride a second scalar-prefetch operand. Must reproduce the
+    stepwise path exactly — cyclic (no clamp) and shuffled
+    (epoch-boundary clamps) sweeps, f32 + int8."""
+    from ciao_tpu.solvers.finito import (
+        FinitoCfg, finito_coeff_init, finito_run,
+    )
+
+    Np, npix, Bp = 8192, 128, 128   # d = 64
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = 0.999 * Np / jnp.asarray(prob.L, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0v = jnp.zeros(npix, jnp.float32)
+    for F in (F32, F32.with_storage("int8")):
+        for sweeping in (2, 3):
+            for steps in (77, 96):
+                cfg_sw = FinitoCfg(N=Np, batch=Bp, sweeping=sweeping,
+                                   alpha=0.999)
+                st_sw = finito_run(
+                    F, g, finito_coeff_init(F, g, x0v, gamma, key, cfg_sw),
+                    cfg_sw, "basic_coeff", steps)
+                cfg_f = cfg_sw._replace(fused_stream=True)
+                st_f = finito_run(
+                    F, g, finito_coeff_init(F, g, x0v, gamma, key, cfg_f),
+                    cfg_f, "basic_coeff", steps)
+                rows_dt = F.A.dtype
+                tag = f"{rows_dt} sweep={sweeping} steps={steps}"
+                assert int(st_f.it) == int(st_sw.it) == steps + 1
+                assert int(st_f.sweep.pos) == int(st_sw.sweep.pos), tag
+                wide = 1e-4 if rows_dt == jnp.float32 else 1e-2
+                np.testing.assert_allclose(np.asarray(st_f.z),
+                                           np.asarray(st_sw.z),
+                                           rtol=wide, atol=1e-6,
+                                           err_msg=tag)
+                np.testing.assert_allclose(np.asarray(st_f.zb),
+                                           np.asarray(st_sw.zb),
+                                           rtol=wide, atol=1e-6,
+                                           err_msg=tag)
+                av_atol = (1e-4 if rows_dt == jnp.float32
+                           else 1e-5 * float(np.abs(st_sw.av).max()))
+                np.testing.assert_allclose(np.asarray(st_f.av),
+                                           np.asarray(st_sw.av),
+                                           rtol=max(wide, 1e-3),
+                                           atol=av_atol, err_msg=tag)
