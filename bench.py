@@ -495,6 +495,10 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     t_sg, floor_sg, ep_sg, cross_sg = run_plan("saga", (("f32", 1e-6),))
     log(f"deep target [f32 SAGA streamed]: floor rel {floor_sg:.3e} after "
         f"{ep_sg} epochs / {t_sg:.1f}s; crossings {cross_sg}")
+    # (A streamed-Finito plan was measured and dropped: its per-row
+    # γ = 0.999N/L_i trajectory crawls on this instance — rel ~3e2
+    # after 500 epochs — while SAGA clears the floor in 64. The
+    # kernel's win is raw throughput, 1.06 G samples/s, not epochs.)
     return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
             cross_stg, t_sg, floor_sg, ep_sg, cross_sg)
 
