@@ -700,7 +700,6 @@ def bench_missing_cells():
         log(f"point-saga streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
             f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
 
-        from ciao_tpu.solvers.base import resolve_gamma_array as _rga
         from ciao_tpu.solvers.finito import (
             FinitoCfg as _FC, finito_coeff_init as _fci,
             finito_run as _frn,

@@ -298,6 +298,26 @@ class SquaredHingeRows(SmoothOracle):
             return jnp.sum(Ad * Ad, axis=1)
         return jnp.sum(A_B * A_B, axis=1)
 
+    def pointprox_theta_block(self, m_raw, na2_raw, c_B, gamma, start,
+                              size: int):
+        """θ from the RAW (un-descaled) margins/sqnorms — the
+        margin-split Point-SAGA piece TPPointSAGA consumes (cf.
+        LeastSquaresRows.pointprox_theta_block): the same closed-form
+        activity split as _pointprox_core."""
+        _, y_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            m_raw = m_raw * rs_B
+            na2_raw = na2_raw * (rs_B * rs_B)
+        mz = m_raw + gamma * c_B * na2_raw
+        deficit = 1.0 - y_B * mz
+        return jnp.where(
+            deficit > 0,
+            -self.scale * y_B * deficit
+            / (1.0 + self.scale * gamma * na2_raw),
+            0.0,
+        )
+
     # ---- contiguous-block fast paths (dynamic-slice DMA, no gather) --
     def grad_block(self, x, start, size: int):
         A_B, y_B = self._slice(start, size)

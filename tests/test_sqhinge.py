@@ -232,12 +232,38 @@ def test_dp_tp_sqhinge_match_single_chip(svm_data):
     mesh = make_mesh()
     x_dp, _ = DPSAGA(mesh=mesh, maxit=400, batch=8, block_sampling=True)(
         x0, F=shard_finite_sum(F, mesh), g=g, L=L)
-    assert np.all(np.isfinite(np.asarray(x_dp)))
     mesh2 = make_mesh_2d(4, 2)
-    x_tp, _ = TPSAGA(mesh=mesh2, maxit=400, batch=2)(
-        x0, F=shard_finite_sum_2d(F, mesh2), g=g, L=L)
-    assert np.all(np.isfinite(np.asarray(x_tp)))
-    # all three land on the same planted-separation solution basin
-    for xv in (x_dp, x_tp):
+    Fd2 = shard_finite_sum_2d(F, mesh2)
+    x_tp, _ = TPSAGA(mesh=mesh2, maxit=400, batch=2)(x0, F=Fd2, g=g, L=L)
+    # the sharded RNG streams intentionally differ from single-chip
+    # (per-device draws), so pin trajectories where they are defined to
+    # agree: TPSAGA at M-agnostic draws == DPSAGA-equivalent is covered
+    # in test_parallel; here pin that all three optimize to the SAME
+    # regularized optimum (strongly-convex SqrNormL2 objective)
+    from ciao_tpu.prox import SqrNormL2 as _S2
+
+    g2 = _S2(lam=jnp.asarray(0.1))
+    x_sc2, _ = ciao_tpu.SAGA(maxit=3000, batch=8, block_sampling=True)(
+        x0, F=F, g=g2, L=L, N=N)
+    mesh = make_mesh()
+    x_dp2, _ = DPSAGA(mesh=mesh, maxit=3000, batch=8,
+                      block_sampling=True)(
+        x0, F=shard_finite_sum(F, mesh), g=g2, L=L)
+    x_tp2, _ = TPSAGA(mesh=mesh2, maxit=3000, batch=2)(
+        x0, F=Fd2, g=g2, L=L)
+    np.testing.assert_allclose(np.asarray(x_dp2), np.asarray(x_sc2),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(x_tp2), np.asarray(x_sc2),
+                               rtol=0, atol=5e-4)
+    # the L1 runs classify perfectly
+    for xv in (x_sc, x_dp, x_tp):
         assert np.mean(np.sign(X @ np.asarray(xv)) == y) == 1.0
-    assert np.mean(np.sign(X @ np.asarray(x_sc)) == y) == 1.0
+
+    # TPPointSAGA's margin-split θ (pointprox_theta_block) serves the
+    # closed-form squared-hinge prox (crashed before round-3 fix)
+    from ciao_tpu.parallel import TPPointSAGA
+
+    x_tps, _ = TPPointSAGA(mesh=mesh2, maxit=400, batch=2)(
+        x0, F=Fd2, L=L)
+    assert np.all(np.isfinite(np.asarray(x_tps)))
+    assert np.mean(np.sign(X @ np.asarray(x_tps)) == y) == 1.0
