@@ -1808,8 +1808,33 @@ def sarah_inner_chunked(A, b8, ww2, v2, scalars, B: int, m: int,
     return ww2, v2, Lq * K
 
 
-def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
-                             *refs):
+def _pointprox_theta(mode_static, mz, b_t, na_t, c_old, scale, gamma,
+                     aux):
+    """The per-row prox θ-solve, specialized statically on the
+    oracle's coeff_mode: LSQ/Huber are closed forms, logistic is the
+    20-step Newton of oracles.logistic._logistic_pointprox_theta
+    (warm start θ₀ = the table coefficient)."""
+    if mode_static == MODE_LOGISTIC:
+        gna2 = gamma * na_t
+        y_t = b_t
+
+        def _newton(_, th):
+            m = mz - gna2 * th
+            s = jax.nn.sigmoid(-y_t * m)
+            phi = th + y_t * s
+            dphi = 1.0 + gna2 * s * (1.0 - s)
+            return th - phi / dphi
+
+        return jax.lax.fori_loop(0, 20, _newton, c_old)
+    theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
+    if mode_static == MODE_HUBER:
+        # the unclipped fixed point IS theta_lsq; one clip finishes it
+        return jnp.clip(theta_lsq, -scale * aux, scale * aux)
+    return theta_lsq
+
+
+def _point_saga_multi_kernel(ncols, prec, quant, mode_static,
+                             starts_ref, A_ref, b_ref, *refs):
     """K Point-SAGA block steps per launch. The per-row prox θ-solve is
     the closed least-squares form (``LeastSquaresRows._pointprox_core``)
     or, for logistic rows, the 20-step elementwise Newton of
@@ -1835,6 +1860,7 @@ def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
     invB = sc_ref[0, 2]
     invN = sc_ref[0, 3]
     mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]       # oracle formula parameter (Huber δ)
     TILE = A_ref.shape[0]
 
     @pl.when((k == 0) & (t == 0))
@@ -1863,24 +1889,11 @@ def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
         r = r * rs_t
     c_old = c_vm[pl.ds(row, 1), pl.ds(off, TILE)]
     mz = r + gamma * c_old * na_t
-    theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
-
-    # logistic rows: θ = −y·σ(−y·(mz − γ‖a‖²θ)) by Newton from the
-    # warm start θ₀ = c_old (oracles.logistic._logistic_pointprox_theta;
-    # φ' ≥ 1, globally convergent) — unconditional VPU work, selected by
-    # ``mode`` (the kernel is row-stream bound either way)
-    gna2 = gamma * na_t
-    y_t = b_t
-
-    def _newton(_, th):
-        m = mz - gna2 * th
-        s = jax.nn.sigmoid(-y_t * m)
-        phi = th + y_t * s
-        dphi = 1.0 + gna2 * s * (1.0 - s)
-        return th - phi / dphi
-
-    theta_log = jax.lax.fori_loop(0, 20, _newton, c_old)
-    theta = jnp.where(mode == MODE_LSQ, theta_lsq, theta_log)
+    # the θ-solve is specialized STATICALLY on the oracle's coeff_mode
+    # (a dynamic select would run the 20-step logistic Newton's VPU
+    # work for every mode — measured +25 % on the LSQ path)
+    theta = _pointprox_theta(mode_static, mz, b_t, na_t, c_old, scale,
+                             gamma, aux)
     c_vm[pl.ds(row, 1), pl.ds(off, TILE)] = theta
     w = c_old - theta
     if quant:
@@ -1903,18 +1916,18 @@ def _point_saga_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "precision", "interpret"),
+    jax.jit, static_argnames=("B", "mode", "precision", "interpret"),
     donate_argnums=(3,),
 )
 def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
-                         precision: str = "highest", rs8=None,
-                         interpret: bool = False):
+                         mode: int = 0, precision: str = "highest",
+                         rs8=None, interpret: bool = False):
     """K = len(starts) Point-SAGA block steps in one launch. ``na8`` is
     the (8, N/8) slab of dequant-corrected row square-norms ‖a_i‖²
-    (precomputed once at init — one pass); ``scalars`` the (1, 5) row
-    [scale, γ, 1/B, 1/N, mode] (mode selects the in-kernel θ-solve:
-    MODE_LSQ closed form or MODE_LOGISTIC Newton). Returns
-    (c8, x2, av2)."""
+    (precomputed once at init — one pass); ``scalars`` the (1, 6) row
+    [scale, γ, 1/B, 1/N, mode, aux] (mode selects the in-kernel
+    θ-solve: MODE_LSQ/MODE_HUBER closed forms or MODE_LOGISTIC Newton;
+    aux = Huber δ). Returns (c8, x2, av2)."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
     assert quant == (rs8 is not None), "rs8 required iff rows are int8"
@@ -1930,7 +1943,8 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
     rs_specs = [pl.BlockSpec((SLAB_ROWS, TILE), slab_idx)] if quant else []
     rs_ops = [rs8] if quant else []
     kernel = functools.partial(
-        _point_saga_multi_kernel, ncols, _PRECISIONS[precision], quant
+        _point_saga_multi_kernel, ncols, _PRECISIONS[precision], quant,
+        mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1943,7 +1957,7 @@ def point_saga_multistep(A, b8, na8, c8, starts, x2, av2, scalars, B: int,
             _bcast_spec((SLAB_ROWS, ncols)),            # c slab (whole)
             _bcast_spec((1, n)),                        # x in
             _bcast_spec((1, n)),                        # av in
-            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -2313,8 +2327,8 @@ def finito_coeff_multistep_streamed(A, b1, starts, invg_k, c1, zb, z2,
     return c_new, zb_new, z_new, av_new
 
 
-def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
-                              *refs):
+def _point_saga_stream_kernel(prec, quant, mode_static, starts_ref,
+                              A_ref, b_ref, *refs):
     """Streamed-table Point-SAGA (any N): the SAGA stream kernel's
     window layout with the Point-SAGA θ-solve — see
     _point_saga_multi_kernel for the math and _saga_stream_kernel for
@@ -2335,6 +2349,7 @@ def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
     invB = sc_ref[0, 2]
     invN = sc_ref[0, 3]
     mode = sc_ref[0, 4]
+    aux = sc_ref[0, 5]       # oracle formula parameter (Huber δ)
     fclamp = starts_ref[K]
     committed = k < fclamp
 
@@ -2361,19 +2376,8 @@ def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
         r = r * rs_t
     c_old = c_in_ref[:]
     mz = r + gamma * c_old * na_t
-    theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
-    gna2 = gamma * na_t
-    y_t = b_t
-
-    def _newton(_, th):
-        m = mz - gna2 * th
-        s = jax.nn.sigmoid(-y_t * m)
-        phi = th + y_t * s
-        dphi = 1.0 + gna2 * s * (1.0 - s)
-        return th - phi / dphi
-
-    theta_log = jax.lax.fori_loop(0, 20, _newton, c_old)
-    theta = jnp.where(mode == MODE_LSQ, theta_lsq, theta_log)
+    theta = _pointprox_theta(mode_static, mz, b_t, na_t, c_old, scale,
+                             gamma, aux)
     theta = jnp.where(committed, theta, c_old)
     c_out_ref[:] = theta
     w = c_old - theta                               # 0 when masked
@@ -2394,18 +2398,18 @@ def _point_saga_stream_kernel(prec, quant, starts_ref, A_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "precision", "interpret"),
+    jax.jit, static_argnames=("B", "mode", "precision", "interpret"),
     donate_argnums=(3,),
 )
 def point_saga_multistep_streamed(A, b1, na1, c1, starts, x2, av2,
-                                  scalars, B: int,
+                                  scalars, B: int, mode: int = 0,
                                   precision: str = "highest", rs1=None,
                                   f=None, interpret: bool = False):
     """K = len(starts) Point-SAGA block steps with the (1, N)
     coefficient table STREAMED (donated) — serves any N (the
     saga_coeff_multistep_streamed layout with the θ-solve in-kernel).
     ``b1``/``na1``/``c1``/``rs1`` are (1, N) rows; ``scalars`` the
-    (1, 5) row [scale, γ, 1/B, 1/N, mode]; ``f`` the clamp count.
+    (1, 6) row [scale, γ, 1/B, 1/N, mode, aux]; ``f`` the clamp count.
     Returns (c1, x2, av2)."""
     N, n = A.shape
     quant = A.dtype == jnp.int8
@@ -2435,7 +2439,7 @@ def point_saga_multistep_streamed(A, b1, na1, c1, starts, x2, av2,
             pl.BlockSpec((1, TILE), win_idx),         # c window (in)
             _bcast_spec((1, n)),                      # x in
             _bcast_spec((1, n)),                      # av in
-            pl.BlockSpec((1, 5), lambda k, t, st: (0, 0),
+            pl.BlockSpec((1, 6), lambda k, t, st: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -2451,7 +2455,8 @@ def point_saga_multistep_streamed(A, b1, na1, c1, starts, x2, av2,
     )
     c_new, x_new, av_new = pl.pallas_call(
         functools.partial(
-            _point_saga_stream_kernel, _PRECISIONS[precision], quant
+            _point_saga_stream_kernel, _PRECISIONS[precision], quant,
+            mode,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -274,3 +274,67 @@ class HuberRows(SmoothOracle):
             A_B = A_B.astype(xs.dtype) * self._slice_rs(start, size)[:, None]
         c = self._coeff_from_res(jnp.sum(A_B * xs, axis=-1) - b_B)
         return c[:, None] * A_B
+
+    # ---- proximal-point structure (Point-SAGA) ------------------------
+    # prox of one Huber row solves θ = scale·clip(r_θ, ±δ) with
+    # r_θ = (m_z − b) − γ‖a‖²θ. In the quadratic region the fixed point
+    # is θ = scale·r₀/(1 + scale·γ‖a‖²) with r₀ = m_z − b; the clipped
+    # regions pin θ at ±scale·δ, and the region boundaries line up
+    # EXACTLY with clipping that interior solution — one closed form:
+    #     θ = clip(scale·r₀/(1 + scale·γ‖a‖²), ±scale·δ).
+
+    supports_pointprox = True
+
+    def _pointprox_core(self, A_B, b_B, rs_B, v, c_B, gamma):
+        if rs_B is not None:
+            Ad = A_B.astype(v.dtype)
+            mv = (Ad @ v) * rs_B
+            na2 = jnp.sum(Ad * Ad, axis=1) * (rs_B * rs_B)
+        else:
+            mv = A_B @ v
+            na2 = jnp.sum(A_B * A_B, axis=1)
+        mz = mv + gamma * c_B * na2
+        r0 = mz - b_B
+        theta = jnp.clip(
+            self.scale * r0 / (1.0 + self.scale * gamma * na2),
+            -self.scale * self.delta, self.scale * self.delta,
+        )
+        w = c_B - theta
+        if rs_B is not None:
+            u = (w * rs_B) @ A_B.astype(w.dtype)
+        else:
+            u = w @ A_B
+        return theta, u
+
+    def pointprox_block(self, v, c_B, gamma, start, size: int):
+        A_B, b_B = self._slice(start, size)
+        return self._pointprox_core(A_B, b_B, self._slice_rs(start, size),
+                                    v, c_B, gamma)
+
+    def pointprox_batch(self, v, c_B, gamma, idx):
+        rs_B = None if self.row_scale is None else self.row_scale[idx]
+        return self._pointprox_core(self.A[idx], self.b[idx], rs_B,
+                                    v, c_B, gamma)
+
+    def pointprox_sqnorm_block(self, start, size: int):
+        A_B, _ = self._slice(start, size)
+        if self.row_scale is not None:
+            Ad = A_B.astype(jnp.float32)
+            return jnp.sum(Ad * Ad, axis=1)
+        return jnp.sum(A_B * A_B, axis=1)
+
+    def pointprox_theta_block(self, m_raw, na2_raw, c_B, gamma, start,
+                              size: int):
+        """θ from the RAW (un-descaled) margins/sqnorms — the
+        margin-split piece TPPointSAGA consumes."""
+        _, b_B = self._slice(start, size)
+        rs_B = self._slice_rs(start, size)
+        if rs_B is not None:
+            m_raw = m_raw * rs_B
+            na2_raw = na2_raw * (rs_B * rs_B)
+        mz = m_raw + gamma * c_B * na2_raw
+        r0 = mz - b_B
+        return jnp.clip(
+            self.scale * r0 / (1.0 + self.scale * gamma * na2_raw),
+            -self.scale * self.delta, self.scale * self.delta,
+        )

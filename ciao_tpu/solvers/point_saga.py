@@ -169,6 +169,7 @@ def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
         jnp.asarray(1.0 / B, jnp.float32),
         jnp.asarray(1.0 / cfg.N, jnp.float32),
         jnp.asarray(float(F.coeff_mode), jnp.float32),
+        jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),  # Huber δ
     ])[None, :]
     slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
     b8 = offs.reshape(slab)
@@ -179,7 +180,8 @@ def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
         starts = _gen_block_starts(state.key, it0, cfg, K)
         c8, x2, av2 = point_saga_multistep(
             rows, b8, state.na8, c8, starts, x2, av2, scalars, B,
-            precision=cfg.fused_precision, rs8=rs8,
+            mode=int(F.coeff_mode), precision=cfg.fused_precision,
+            rs8=rs8,
         )
         return (c8, x2, av2), None
 
@@ -222,6 +224,7 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
         jnp.asarray(1.0 / B, jnp.float32),
         jnp.asarray(1.0 / N, jnp.float32),
         jnp.asarray(float(F.coeff_mode), jnp.float32),
+        jnp.asarray(getattr(F, "delta", 0.0), jnp.float32),  # Huber δ
     ])[None, :]
     interp = jax.default_backend() != "tpu"
 
@@ -231,8 +234,8 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
         fcl = first_duplicate(starts // B)
         c1, x2, av2 = point_saga_multistep_streamed(
             rows, b1, state.na8, c1, starts, x2, av2, scalars, B,
-            precision=cfg.fused_precision, rs1=rs1, f=fcl,
-            interpret=interp,
+            mode=int(F.coeff_mode), precision=cfg.fused_precision,
+            rs1=rs1, f=fcl, interpret=interp,
         )
         return (c1, x2, av2, it + fcl)
 
@@ -344,15 +347,18 @@ class PointSAGA:
             and x0.dtype == jnp.float32
         ):
             from ciao_tpu.ops import coeff_multistep_available
-            from ciao_tpu.ops.fused_block import MODE_LOGISTIC, MODE_LSQ
+            from ciao_tpu.ops.fused_block import (
+                MODE_HUBER, MODE_LOGISTIC, MODE_LSQ,
+            )
 
-            # the in-kernel θ-solve: least-squares closed form, or the
-            # 20-step Newton for logistic rows
+            # the in-kernel θ-solve: closed forms for least-squares and
+            # Huber (one clip — round 3), 20-step Newton for logistic
             kernel_ok = (
                 hasattr(F, "coeff_rows_data")
                 and getattr(F, "supports_coeff", False)
                 and getattr(F, "coeff_mode", None) in (MODE_LSQ,
-                                                       MODE_LOGISTIC)
+                                                       MODE_LOGISTIC,
+                                                       MODE_HUBER)
             )
             fused = kernel_ok and coeff_multistep_available(
                 N, x0.size, self.batch, x0.dtype

@@ -331,3 +331,83 @@ def test_point_saga_streamed_multistep_matches_stepwise():
                                        np.asarray(st_sw.c),
                                        rtol=max(wide, 1e-3), atol=c_atol,
                                        err_msg=tag)
+
+
+def test_point_saga_huber_pointprox_and_fused():
+    """Huber-row Point-SAGA (round 3): the closed-form per-row prox
+    θ = clip(scale·r₀/(1+scale·γ‖a‖²), ±scale·δ) must minimize the
+    rank-1 prox objective (brute force), and MODE_HUBER through BOTH
+    fused kernels (resident slab + streamed) must equal the stepwise
+    path — robust-regression Point-SAGA at the LSQ fused rates."""
+    import jax
+
+    from ciao_tpu.oracles import HuberRows
+    from ciao_tpu.prox import Zero
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    Np, npix, Bp = 1024, 128, 128
+    X = rng.standard_normal((Np, npix)).astype(np.float32)
+    bv = rng.standard_normal(Np).astype(np.float32)
+    delta, scale = 0.7, 2.0
+    F = HuberRows(A=jnp.asarray(X), b=jnp.asarray(bv),
+                  delta=jnp.asarray(np.float32(delta)),
+                  scale=jnp.asarray(np.float32(scale)))
+
+    # brute-force the rank-1 prox objective along θ
+    v = jnp.asarray(rng.standard_normal(npix).astype(np.float32) * 0.1)
+    gamma = 0.3
+    c_B = jnp.asarray(rng.standard_normal(4).astype(np.float32) * 0.5)
+    idx = jnp.asarray([1, 5, 9, 40])
+    theta, _ = F.pointprox_batch(v, c_B, gamma, idx)
+    for k in range(4):
+        j = int(idx[k])
+        a = X[j].astype(np.float64)
+        na2 = float(a @ a)
+        mz = float(a @ np.asarray(v, np.float64)) \
+            + gamma * float(c_B[k]) * na2
+        grid = np.linspace(-10, 10, 400001)
+        r = (mz - gamma * na2 * grid) - float(bv[j])
+        ar = np.abs(r)
+        f = scale * np.where(ar <= delta, 0.5 * r * r,
+                             delta * (ar - 0.5 * delta))
+        obj = f + 0.5 * gamma * na2 * grid ** 2
+        t_star = grid[np.argmin(obj)]
+        assert abs(float(theta[k]) - t_star) < 2e-3, (k, float(theta[k]),
+                                                      t_star)
+
+    # fused (slab + streamed) == stepwise
+    L = scale * (X * X).sum(axis=1)
+    gam = jnp.asarray(1.0 / (3.0 * L.max()), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    for Fv in (F, F.with_storage("int8")):
+        cfg_sw = PointSAGACfg(N=Np, batch=Bp, block=True)
+        st_sw = point_saga_run(
+            Fv, Zero(), point_saga_init(Fv, Zero(), x0, gam, key, cfg_sw),
+            cfg_sw, 64)
+        cfg_f = cfg_sw._replace(fused=True)
+        with pltpu.force_tpu_interpret_mode():
+            st_f = point_saga_run(
+                Fv, Zero(), point_saga_init(Fv, Zero(), x0, gam, key,
+                                            cfg_f), cfg_f, 64)
+        wide = 1e-4 if Fv.A.dtype == jnp.float32 else 1e-2
+        np.testing.assert_allclose(np.asarray(st_f.x), np.asarray(st_sw.x),
+                                   rtol=wide, atol=1e-6)
+        cfg_s = cfg_sw._replace(fused_stream=True)
+        st_s = point_saga_run(
+            Fv, Zero(), point_saga_init(Fv, Zero(), x0, gam, key, cfg_s),
+            cfg_s, 64)
+        np.testing.assert_allclose(np.asarray(st_s.x), np.asarray(st_sw.x),
+                                   rtol=wide, atol=1e-6)
+
+    # TPPointSAGA consumes the margin-split θ (pointprox_theta_block)
+    from ciao_tpu.parallel import TPPointSAGA, make_mesh_2d, shard_finite_sum_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    x_tp, _ = TPPointSAGA(mesh=mesh2, maxit=50, batch=2)(
+        x0, F=shard_finite_sum_2d(F, mesh2), L=L)
+    assert np.all(np.isfinite(np.asarray(x_tp)))
