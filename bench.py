@@ -551,9 +551,16 @@ def bench_missing_cells():
 
         F_sqh = SquaredHingeRows(A=A, y=y_cls,
                                  scale=jnp.asarray(1.0, jnp.float32))
+        from ciao_tpu.oracles import PoissonRows
+
+        # synthetic counts; rates are irrelevant to the byte/VPU cost
+        y_cnt = jnp.abs(jnp.round(3.0 * jax.random.normal(kb, (N,))))
+        F_poi = PoissonRows(A=A, y=y_cnt.astype(jnp.float32),
+                            scale=jnp.asarray(1.0, jnp.float32))
         if tag != "f32":
-            F, F_log, F_hub, F_sqh = (o.with_storage(tag)
-                                      for o in (F, F_log, F_hub, F_sqh))
+            F, F_log, F_hub, F_sqh, F_poi = (
+                o.with_storage(tag)
+                for o in (F, F_log, F_hub, F_sqh, F_poi))
 
         # ZeroFPR (2 FBE evals/step at steady τ=1; near a narrow
         # storage's floor the thrash gauge reports the real evals/step)
@@ -596,6 +603,25 @@ def bench_missing_cells():
         ms, _ = timed(lambda s, k: saga_run(F_sqh, g, s, scfg, k), st0, S,
                       lambda s: s.z[0])
         log(f"sqhinge saga fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Poisson GLM — MODE_POISSON (exp on the VPU), round 3
+        st0 = saga_init(F_poi, g, x0,
+                        (1.0 / (3.0 * Lm)).astype(jnp.float32), key, scfg)
+        ms, _ = timed(lambda s, k: saga_run(F_poi, g, s, scfg, k), st0, S,
+                      lambda s: s.z[0])
+        log(f"poisson saga fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        # Point-SAGA on Poisson rows (in-kernel 20-step Newton θ-solve)
+        st0 = point_saga_init(F_poi, _Zero(), x0,
+                              (1.0 / (30.0 * Lm)).astype(jnp.float32),
+                              key, pcfg)
+        Sp = 768 * STEPS_PER_EPOCH
+        ms, _ = timed(lambda s, k: point_saga_run(F_poi, _Zero(), s,
+                                                  pcfg, k),
+                      st0, Sp, lambda s: s.x[0])
+        log(f"point-saga poisson fused [{tag}]: {ms:.4f} ms/step "
             f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
 
         # Importance-sampled SAGA (inverse-CDF draws + 1/(d·q_j)

@@ -24,6 +24,7 @@ from ciao_tpu import oracles, prox
 from ciao_tpu.oracles import (
     HuberRows,
     SquaredHingeRows,
+    PoissonRows,
     LeastSquaresRows,
     SparseLeastSquaresELL,
     HybridSparseLeastSquares,
@@ -119,6 +120,7 @@ __all__ = [
     "LeastSquaresRows",
     "HuberRows",
     "SquaredHingeRows",
+    "PoissonRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",
     "LogisticRows",

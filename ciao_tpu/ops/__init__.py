@@ -15,6 +15,7 @@ from ciao_tpu.ops.fused_block import (
     MODE_SQHINGE,
     MODE_LOGISTIC,
     MODE_LSQ,
+    MODE_POISSON,
     coeff_multistep_available,
     finito_block_update,
     fused_block_available,
@@ -34,6 +35,8 @@ __all__ = [
     "MODE_HUBER",
     "MODE_LOGISTIC",
     "MODE_LSQ",
+    "MODE_POISSON",
+    "MODE_SQHINGE",
     "finito_block_update",
     "fused_block_available",
     "saga_block_update",

@@ -213,6 +213,13 @@ MODE_LSQ = 0       # c = scale·(a_i·z − b_i)        (least-squares rows)
 MODE_LOGISTIC = 1  # c = −y_i·σ(−y_i·a_i·z)          (logistic rows)
 MODE_HUBER = 2     # c = scale·clip(a_i·z − b_i, ±δ) (Huber rows; aux = δ)
 MODE_SQHINGE = 3   # c = −scale·y_i·max(0, 1 − y_i·a_i·z)  (smooth SVM)
+MODE_POISSON = 4   # c = scale·(exp(min(m, M)) − y_i)  (Poisson GLM, log link)
+
+# Poisson link safeguard: beyond margin M the exponential is extended
+# LINEARLY (value) / frozen (coefficient) — the pair stays a consistent
+# C¹ loss, and exp never overflows f32 in-kernel. PoissonRows uses the
+# same constant so oracle and kernels compute the identical function.
+POISSON_CLAMP = 30.0
 
 
 def _coeff_formula(mode, r, b_t, scale, aux=0.0):
@@ -222,10 +229,13 @@ def _coeff_formula(mode, r, b_t, scale, aux=0.0):
     c_hub = jnp.clip(c_lsq, -scale * aux, scale * aux)
     # squared hinge (smooth SVM; b_t carries the labels y)
     c_sqh = -scale * b_t * jnp.maximum(1.0 - b_t * r, 0.0)
+    # Poisson GLM (b_t carries the counts y): clamped-link mean rate
+    c_poi = scale * (jnp.exp(jnp.minimum(r, POISSON_CLAMP)) - b_t)
     return jnp.where(mode == MODE_LSQ, c_lsq,
                      jnp.where(mode == MODE_LOGISTIC, c_log,
                                jnp.where(mode == MODE_HUBER, c_hub,
-                                         c_sqh)))
+                                         jnp.where(mode == MODE_SQHINGE,
+                                                   c_sqh, c_poi))))
 
 
 SLAB_ROWS = 8  # coefficient slab layout: (8, N/8), c_i at (i·8//N, i mod N/8)
@@ -822,10 +832,17 @@ def _value_formula(mode, r, b_t, scale, aux=0.0):
                               aux * (a - 0.5 * aux))
     h = jnp.maximum(1.0 - b_t * r, 0.0)
     v_sqh = 0.5 * scale * h * h
+    # Poisson NLL (up to the x-independent log(y!)): exp(m) − y·m, with
+    # the C¹ linear extension past the clamp matching _coeff_formula
+    M = POISSON_CLAMP
+    eM = jnp.exp(M)
+    v_poi = scale * (jnp.where(r <= M, jnp.exp(jnp.minimum(r, M)),
+                               eM * (1.0 + (r - M))) - b_t * r)
     return jnp.where(mode == MODE_LSQ, v_lsq,
                      jnp.where(mode == MODE_LOGISTIC, v_log,
                                jnp.where(mode == MODE_HUBER, v_hub,
-                                         v_sqh)))
+                                         jnp.where(mode == MODE_SQHINGE,
+                                                   v_sqh, v_poi))))
 
 
 def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):
@@ -1826,6 +1843,21 @@ def _pointprox_theta(mode_static, mz, b_t, na_t, c_old, scale, gamma,
             return th - phi / dphi
 
         return jax.lax.fori_loop(0, 20, _newton, c_old)
+    if mode_static == MODE_POISSON:
+        # θ = scale·(exp(min(mz − γ‖a‖²θ, M)) − y): φ(θ) = θ − c(θ) is
+        # increasing AND concave (φ' ≥ 1) — Newton is globally
+        # convergent; the clamp keeps exp finite in f32
+        gna2 = gamma * na_t
+        y_t = b_t
+
+        def _newton_poi(_, th):
+            u = mz - gna2 * th
+            e = jnp.exp(jnp.minimum(u, POISSON_CLAMP))
+            phi = th - scale * (e - y_t)
+            dphi = 1.0 + scale * gna2 * jnp.where(u <= POISSON_CLAMP, e, 0.0)
+            return th - phi / dphi
+
+        return jax.lax.fori_loop(0, 20, _newton_poi, c_old)
     theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
     if mode_static == MODE_HUBER:
         # the unclipped fixed point IS theta_lsq; one clip finishes it

@@ -5,6 +5,7 @@ from ciao_tpu.oracles.base import SmoothOracle, register_oracle, static_field
 from ciao_tpu.oracles.least_squares import LeastSquaresRows
 from ciao_tpu.oracles.huber import HuberRows
 from ciao_tpu.oracles.sqhinge import SquaredHingeRows
+from ciao_tpu.oracles.poisson import PoissonRows
 from ciao_tpu.oracles.logistic import LogisticRows
 from ciao_tpu.oracles.sparse import (
     SparseLeastSquaresELL,
@@ -22,6 +23,7 @@ __all__ = [
     "LeastSquaresRows",
     "HuberRows",
     "SquaredHingeRows",
+    "PoissonRows",
     "LogisticRows",
     "SparseLeastSquaresELL",
     "HybridSparseLeastSquares",

@@ -348,17 +348,19 @@ class PointSAGA:
         ):
             from ciao_tpu.ops import coeff_multistep_available
             from ciao_tpu.ops.fused_block import (
-                MODE_HUBER, MODE_LOGISTIC, MODE_LSQ,
+                MODE_HUBER, MODE_LOGISTIC, MODE_LSQ, MODE_POISSON,
             )
 
             # the in-kernel θ-solve: closed forms for least-squares and
             # Huber (one clip — round 3), 20-step Newton for logistic
+            # and Poisson rows
             kernel_ok = (
                 hasattr(F, "coeff_rows_data")
                 and getattr(F, "supports_coeff", False)
                 and getattr(F, "coeff_mode", None) in (MODE_LSQ,
                                                        MODE_LOGISTIC,
-                                                       MODE_HUBER)
+                                                       MODE_HUBER,
+                                                       MODE_POISSON)
             )
             fused = kernel_ok and coeff_multistep_available(
                 N, x0.size, self.batch, x0.dtype

@@ -33,6 +33,10 @@ def test_example_nonconvex_sparse_mcp():
     _load("nonconvex_sparse_mcp").main()
 
 
+def test_example_poisson_glm():
+    _load("poisson_glm").main()
+
+
 def test_example_sparse_logistic_small():
     _load("sparse_logistic").main(small=True)
 
