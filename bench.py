@@ -394,8 +394,33 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     # in the remote-compile payload (5.4 GB here; observed to hang)
     @jax.jit
     def gap_quad(A, xs, r_star, z):
-        u = jnp.dot(A, z - xs, precision=HI)
-        return 0.5 * jnp.vdot(u, u) + jnp.vdot(u, r_star)
+        # compensated chunked reduction (solvers.polish._two_sum): the
+        # plain f32 vdot over 10.5M terms rounds at ~7 % of a 1e-6·f*
+        # gap — the two-sum carries put the measurement noise ~3 orders
+        # below the deepest quoted crossing
+        from ciao_tpu.solvers.polish import _two_sum
+
+        C = 32_768
+        while A.shape[0] % C:
+            C //= 2
+        d = A.shape[0] // C
+        dz = z - xs
+
+        def body(carry, i):
+            qhi, qlo, phi, plo = carry
+            A_B = jax.lax.dynamic_slice_in_dim(A, i * C, C, 0)
+            r_B = jax.lax.dynamic_slice_in_dim(r_star, i * C, C, 0)
+            u = jnp.dot(A_B, dz, precision=HI)
+            qhi, qlo = _two_sum(qhi, qlo,
+                                0.5 * jnp.vdot(u, u, precision=HI))
+            phi, plo = _two_sum(phi, plo,
+                                jnp.vdot(u, r_B, precision=HI))
+            return (qhi, qlo, phi, plo), None
+
+        z0 = jnp.zeros((), jnp.float32)
+        (qhi, qlo, phi, plo), _ = jax.lax.scan(
+            body, (z0, z0, z0, z0), jnp.arange(d))
+        return (qhi + qlo) + (phi + plo)
 
     xs_np = np.asarray(xs, np.float64)
     f_star = (0.5 * float(jnp.vdot(r_star, r_star))
@@ -479,28 +504,70 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
                         and hist[-3] - hist[-1] < 0.005 * abs(hist[-3])):
                     break
             del F
-        return t_solve, gap, epochs, crossings
+        return t_solve, gap, epochs, crossings, st.z
 
-    t_f32, floor_f32, ep_f32, cross_f32 = run_plan(
+    t_f32, floor_f32, ep_f32, cross_f32, _ = run_plan(
         "lfinito", (("f32", 1e-6),)
     )
     log(f"deep target [f32 LFinito]: floor rel {floor_f32:.3e} after "
         f"{ep_f32} epochs / {t_f32:.1f}s solver time; crossings "
         f"{cross_f32}")
-    t_stg, floor_stg, ep_stg, cross_stg = run_plan(
+    t_stg, floor_stg, ep_stg, cross_stg, _ = run_plan(
         "lfinito", (("int8", 5e-2), ("f32", 1e-6))
     )
     log(f"deep target [staged int8->f32]: floor rel {floor_stg:.3e} after "
         f"{ep_stg} epochs / {t_stg:.1f}s; crossings {cross_stg}")
-    t_sg, floor_sg, ep_sg, cross_sg = run_plan("saga", (("f32", 1e-6),))
+    t_sg, floor_sg, ep_sg, cross_sg, z_sg = run_plan("saga", (("f32", 1e-6),))
     log(f"deep target [f32 SAGA streamed]: floor rel {floor_sg:.3e} after "
         f"{ep_sg} epochs / {t_sg:.1f}s; crossings {cross_sg}")
     # (A streamed-Finito plan was measured and dropped: its per-row
     # γ = 0.999N/L_i trajectory crawls on this instance — rel ~3e2
     # after 500 epochs — while SAGA clears the floor in 64. The
     # kernel's win is raw throughput, 1.06 G samples/s, not epochs.)
+
+    # ---- compensated-gradient FISTA polish (solvers.polish) --------
+    # Every f32 stochastic plan floors at rel ~4e-5: the full-gradient
+    # reduction's √N·eps rounding, not the iterate's resolution. The
+    # polish streams the same f32 rows with two-sum chunk accumulation
+    # (gradient noise ~√chunk·eps instead) and — the planted operator's
+    # Hessian being near-isotropic at N ≫ n (κ ≈ 1.03) — closes
+    # 4e-5 → 1e-6 in a handful of 2-pass epochs. Clock includes the
+    # λmax power estimate; compiles are excluded as everywhere here.
+    from ciao_tpu.solvers.polish import fista_polish, lsq_power_lmax
+
+    F32 = LeastSquaresRows(
+        A=A_dev, b=b_dev, scale=jnp.asarray(float(Nb), jnp.float32))
+    Kp, CH = 4, 32_768
+    _ = float(lsq_power_lmax(F32, jax.random.PRNGKey(3), iters=4))  # warm
+    t0 = time.perf_counter()
+    lmax = float(lsq_power_lmax(F32, jax.random.PRNGKey(3), iters=4))
+    t_pol = time.perf_counter() - t0
+    eta = jnp.asarray(0.9 / lmax, jnp.float32)
+    z = z_sg
+    _ = float(fista_polish(F32, g, z, eta, Kp, CH).x[0])            # warm
+    gap_pol, pol_steps = floor_sg, 0
+    hist = [gap_pol]
+    for _c in range(16):
+        t0 = time.perf_counter()
+        z = fista_polish(F32, g, z, eta, Kp, CH).x
+        _ = float(z[0])
+        t_pol += time.perf_counter() - t0
+        pol_steps += Kp
+        gap_pol = gap_rel(z)
+        for t in targets:
+            if gap_pol <= t and cross_sg[t] is None:
+                cross_sg[t] = round(t_sg + t_pol, 2)
+        hist.append(gap_pol)
+        if gap_pol <= 1e-7 or (len(hist) >= 3 and
+                               hist[-3] - hist[-1]
+                               < 0.005 * abs(hist[-3])):
+            break
+    log(f"deep target [+polish]: rel {gap_pol:.3e} after {pol_steps} "
+        f"FISTA steps / {t_pol:.2f}s on top of SAGA's floor; crossings "
+        f"now {cross_sg}")
     return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-            cross_stg, t_sg, floor_sg, ep_sg, cross_sg)
+            cross_stg, t_sg, floor_sg, ep_sg, cross_sg, t_pol, gap_pol,
+            pol_steps)
 
 
 def bench_missing_cells():
@@ -1135,22 +1202,31 @@ def main():
     # the f32 floor and every crossed rel target machine-captured
     try:
         (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
-         cross_stg, t_sg, floor_sg, ep_sg, cross_sg) = deep_target_10m()
-        # headline = the BEST plan (streamed-SAGA f32: deepest floor
-        # AND fastest — measured 4.1e-5 in 2.0 s vs LFinito's 7.7e-5 in
-        # 36 s); vs_baseline: the reference's single-core batch-1 loop
-        # at the measured ~cpu samples/s would need epochs×N/cpu
-        # seconds for the same epoch count
-        cpu_equiv_s = ep_sg * 10 * 1024 * 1024 / max(cpu, 1.0)
+         cross_stg, t_sg, floor_sg, ep_sg, cross_sg, t_pol, gap_pol,
+         pol_steps) = deep_target_10m()
+        # headline = the BEST plan: streamed-SAGA f32 to its floor
+        # (4.1e-5 in ~0.8 s), then the compensated-gradient FISTA
+        # polish through rel 1e-6; vs_baseline: the reference's
+        # single-core batch-1 loop at the measured ~cpu samples/s would
+        # need epochs×N/cpu seconds for the same row reads
+        t_total = t_sg + t_pol
+        ep_total = ep_sg + 2 * pol_steps  # each FISTA step = 2 passes
+        cpu_equiv_s = ep_total * 10 * 1024 * 1024 / max(cpu, 1.0)
+        t_quote = (cross_sg[1e-6] if cross_sg[1e-6] is not None
+                   else t_total)
         print(json.dumps({
-            "metric": "deep_target_10m_time_to_floor_s",
-            "value": round(t_sg, 2), "unit": "s",
-            "vs_baseline": round(cpu_equiv_s / max(t_sg, 1e-9), 1),
-            "solver": "saga_streamed_f32",
+            "metric": "deep_target_10m_time_to_rel1e6_s",
+            "value": round(t_quote, 2), "unit": "s",
+            "vs_baseline": round(cpu_equiv_s / max(t_quote, 1e-9), 1),
+            "solver": "saga_streamed_f32+polish",
             "target_rel": 1e-6,
             "reached_1e6": cross_sg[1e-6] is not None,
-            "floor_rel": float(f"{floor_sg:.3e}"),
-            "epochs": ep_sg,
+            "floor_rel": float(f"{gap_pol:.3e}"),
+            "saga_floor_rel": float(f"{floor_sg:.3e}"),
+            "saga_time_s": round(t_sg, 2),
+            "polish_time_s": round(t_pol, 2),
+            "polish_steps": pol_steps,
+            "epochs": ep_total,
             "crossings_s": {f"{t:g}": v for t, v in cross_sg.items()},
             "lfinito_f32_time_s": round(t_f32, 2),
             "floor_rel_lfinito": float(f"{floor_f32:.3e}"),

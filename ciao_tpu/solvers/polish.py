@@ -1,0 +1,143 @@
+"""High-accuracy FISTA polish: compensated chunked gradients.
+
+The deep-target measurement (bench.py ``deep_target_10m``, BASELINE.md)
+established that every f32 solver floors at rel ~4e-5 on the 10M×100
+planted lasso — NOT because the iterate needs more than f32 (at
+gap = 1e-6·f* the distance to the optimum is ~1e-3·‖x‖, three orders
+above f32's resolution of x) but because the full-gradient REDUCTION
+over 10.5M rows accumulates f32 rounding ~√N·eps relative — the solver
+stalls when the true gradient sinks below that noise. TPU f64 is no
+fix: XLA emulates it (double-double) at ~50× the cost and the emulated
+matmul materializes multi-copy temporaries that OOM HBM at this scale
+(measured: a 2M×128 f64 matvec program wanted 23 GB).
+
+The TPU-native fix costs almost nothing: stream the rows in f32 (full
+MXU/HBM speed, ``precision=HIGHEST`` so the multiplies are true f32), but
+accumulate the per-chunk partial gradients with a COMPENSATED (two-sum
+/ Kahan) carry. Within a chunk of C rows the f32 dot rounds at ~√C·eps;
+across the N/C chunks the compensation is exact to O(eps²). C = 32k
+cuts the accumulation noise ~18× vs the monolithic pass — enough to
+push the composite-gradient floor 2-3 orders below rel 1e-6 — while
+the chunk loop's fixed cost stays invisible next to the stream.
+
+``fista_polish`` wraps that gradient in a monotone FISTA loop: at the
+10M scale the planted operator's Hessian has κ = (1+√(n/N))⁴ ≈ 1.03,
+so once a stochastic solver has delivered the f32 floor (streamed SAGA
+does it in ~0.2 s), a handful of polish epochs — each one 2-pass read
+of the rows — closes rel 4e-5 → 1e-6. Used by bench.py's deep-target
+plan; reusable for any dense-rows coefficient oracle (the margin →
+``coeff_from_margin`` protocol supplies the loss; f32/bf16 rows only —
+an int8 operator defines a different problem and belongs to the staged
+schedule, not the polish).
+
+No reference counterpart (CIAOAlgorithms.jl is f64-on-CPU throughout —
+this is the TPU answer to the accuracy its dtype gives for free).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class PolishResult(NamedTuple):
+    x: jnp.ndarray        # polished iterate
+    fp_res: jnp.ndarray   # ‖x_k − prox(x_k − η∇f)‖/η at the last step
+
+
+def _two_sum(hi, lo, p):
+    """Knuth two-sum: (hi, lo) ← (hi, lo) + p with the rounding error
+    of the add captured exactly into the compensation term."""
+    s = hi + p
+    t = s - hi
+    e = (p - t) + (hi - (s - t))
+    return s, lo + e
+
+
+def grad_mean_chunked(F, x, chunk: int):
+    """(1/N)·Σᵢ ∇fᵢ(x) with per-chunk f32 HIGHEST-precision dots and a
+    compensated cross-chunk carry. Rows are read via the oracle's
+    stored array (``coeff_rows_data``), the loss enters through the
+    margin protocol (``coeff_from_margin``), so any dense-rows
+    coefficient oracle works. f32/bf16 storage only."""
+    if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
+        raise ValueError("polish needs f32/bf16 rows (int8 dequant "
+                         "defines a different operator — rebase to "
+                         "wide storage first)")
+    A, _ = F.coeff_rows_data()
+    N, n = A.shape
+    if N % chunk:
+        raise ValueError(f"chunk {chunk} must divide N={N}")
+    d = N // chunk
+
+    def body(carry, i):
+        hi, lo = carry
+        start = i * chunk
+        A_B = jax.lax.dynamic_slice_in_dim(A, start, chunk, 0)
+        A_B = A_B.astype(x.dtype)
+        m = jnp.dot(A_B, x, precision=_HI)          # raw margins
+        c = F.coeff_from_margin(m, start, chunk)    # oracle's formula
+        p = jnp.dot(c, A_B, precision=_HI)          # partial Σ cᵢaᵢ
+        return _two_sum(hi, lo, p), None
+
+    z = jnp.zeros(n, x.dtype)
+    (hi, lo), _ = jax.lax.scan(body, (z, z), jnp.arange(d))
+    return (hi + lo) / N
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "chunk"))
+def fista_polish(F, g, x0, eta, steps: int, chunk: int = 32_768):
+    """``steps`` monotone-FISTA steps x ← prox_g(y − η∇f(y), η) with the
+    compensated chunked gradient; one dispatch (η from a spectral bound
+    — see ``lsq_power_lmax``). Monotone restart: if the candidate's
+    fixed-point residual grows, the momentum resets (standard FISTA
+    restart; keeps the last stretch of a nearly-quadratic basin
+    monotone)."""
+    eta = jnp.asarray(eta, x0.dtype)
+
+    def step(carry, _):
+        x, y, t, _ = carry
+        gr = grad_mean_chunked(F, y, chunk)
+        x_new = g.prox_only(y - eta * gr, eta)
+        res = jnp.linalg.norm(x_new - y) / eta
+        # gradient-mapping restart: ⟨y − x_new, x_new − x⟩ > 0 means the
+        # momentum points uphill — restart from x_new
+        restart = jnp.vdot(y - x_new, x_new - x) > 0
+        t_new = jnp.where(restart, 1.0,
+                          0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)))
+        beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+        y_new = x_new + beta * (x_new - x)
+        return (x_new, y_new, t_new, res), None
+
+    t0 = jnp.ones((), x0.dtype)
+    (x, _, _, res), _ = jax.lax.scan(
+        step, (x0, x0, t0, jnp.zeros((), x0.dtype)), None, length=steps)
+    return PolishResult(x=x, fp_res=res)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def lsq_power_lmax(F, key, iters: int = 8):
+    """λmax of the mean-Hessian (scale/N)·AᵀA of a least-squares rows
+    oracle by power iteration (each iteration = one 2-pass read). The
+    planted deep-target operator's spectrum is clustered (κ ≈ 1.03 at
+    N ≫ n), so even 2-3 iterations give a step-safe estimate; the
+    caller should still take η = 0.9/λ̂."""
+    A, _ = F.coeff_rows_data()
+    N, n = A.shape
+    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+
+    def body(v, _):
+        w = jnp.dot(A, v, precision=_HI)
+        hv = jnp.dot(w, A, precision=_HI) * (scale / N)
+        lam = jnp.linalg.norm(hv)
+        return hv / lam, lam
+
+    v0 = jax.random.normal(key, (n,), jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    _, lams = jax.lax.scan(body, v0, None, length=iters)
+    return lams[-1]
