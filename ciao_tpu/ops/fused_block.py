@@ -737,15 +737,30 @@ def _svrg_coeff_multi_kernel(ncols, prec, quant, starts_ref, A_ref, b_ref,
         zs_out_ref[...] = zs_vm[...]
 
 
+def _comp_add(hi_vm, lo_vm, p):
+    """Two-sum accumulate ``p`` into the (hi, lo) VMEM pair: the add's
+    rounding error is captured exactly into the compensation buffer
+    (Knuth two-sum — free VPU work next to the row stream). The
+    cross-tile accumulation noise drops from ~√T·eps to O(eps²), which
+    is what lets the one-pass anchors/FBE reads serve the deep-target
+    polish accuracy (docs/DESIGN.md §8)."""
+    hi = hi_vm[...]
+    s = hi + p
+    t = s - hi
+    lo_vm[...] += (p - t) + (hi - (s - t))
+    hi_vm[...] = s
+
+
 def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     """One streaming pass: per row-tile compute the coefficient
     c_i = c(z)_i and accumulate the partial Σ c_i·a_i — the full
-    gradient sum — without a second read of A."""
+    gradient sum — without a second read of A. The cross-tile sum is
+    two-sum compensated."""
     if quant:
-        (rs_ref, z_ref, sc_ref, c_ref, av_ref, acc_vm) = refs
+        (rs_ref, z_ref, sc_ref, c_ref, av_ref, acc_vm, lo_vm) = refs
     else:
         rs_ref = None
-        (z_ref, sc_ref, c_ref, av_ref, acc_vm) = refs
+        (z_ref, sc_ref, c_ref, av_ref, acc_vm, lo_vm) = refs
     i = pl.program_id(0)
     T = pl.num_programs(0)
     scale = sc_ref[0, 0]
@@ -755,6 +770,7 @@ def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     @pl.when(i == 0)
     def _():
         acc_vm[...] = jnp.zeros_like(acc_vm)
+        lo_vm[...] = jnp.zeros_like(lo_vm)
 
     A_t = A_ref[:]
     r = _stream_dot(
@@ -765,13 +781,13 @@ def _coeff_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     c = _coeff_formula(mode, r, b_ref[...], scale, aux)
     c_ref[...] = c
     cw = c * rs_ref[...] if quant else c
-    acc_vm[...] += _stream_dot(
+    _comp_add(acc_vm, lo_vm, _stream_dot(
         cw, A_t, (((1,), (0,)), ((), ())), prec,
-    )  # (1, n)
+    ))  # (1, n)
 
     @pl.when(i == T - 1)
     def _():
-        av_ref[...] = acc_vm[...]
+        av_ref[...] = acc_vm[...] + lo_vm[...]
 
 
 @functools.partial(
@@ -812,7 +828,8 @@ def coeff_apply_all(A, b1, z2, scalars, tile: int,
             jax.ShapeDtypeStruct((1, N), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32),
+                        pltpu.VMEM((1, n), jnp.float32)],
         interpret=interpret,
     )(A, b1, *rs_ops, z2, scalars)
     return c1, gsum
@@ -852,10 +869,11 @@ def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     read of PANOC/ZeroFPR in a single read of A."""
     if quant:
         (rs_ref, z_ref, sc_ref, val_ref, c_ref, av_ref,
-         acc_vm, vacc_vm) = refs
+         acc_vm, lo_vm, vacc_vm, vlo_vm) = refs
     else:
         rs_ref = None
-        (z_ref, sc_ref, val_ref, c_ref, av_ref, acc_vm, vacc_vm) = refs
+        (z_ref, sc_ref, val_ref, c_ref, av_ref,
+         acc_vm, lo_vm, vacc_vm, vlo_vm) = refs
     i = pl.program_id(0)
     T = pl.num_programs(0)
     scale = sc_ref[0, 0]
@@ -865,7 +883,9 @@ def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     @pl.when(i == 0)
     def _():
         acc_vm[...] = jnp.zeros_like(acc_vm)
+        lo_vm[...] = jnp.zeros_like(lo_vm)
         vacc_vm[...] = jnp.zeros_like(vacc_vm)
+        vlo_vm[...] = jnp.zeros_like(vlo_vm)
 
     A_t = A_ref[:]
     r = _stream_dot(
@@ -876,16 +896,19 @@ def _coeff_value_apply_kernel(prec, quant, A_ref, b_ref, *refs):
     c = _coeff_formula(mode, r, b_ref[...], scale, aux)
     c_ref[...] = c
     v = _value_formula(mode, r, b_ref[...], scale, aux)
-    vacc_vm[...] += jnp.sum(v, axis=-1, keepdims=True)  # (1, 1)
+    # both cross-tile sums two-sum compensated: the FBE's f-value
+    # resolution is what the PANOC line search compares σ-decrements
+    # against, and the gradient sum is the anchor accuracy
+    _comp_add(vacc_vm, vlo_vm, jnp.sum(v, axis=-1, keepdims=True))
     cw = c * rs_ref[...] if quant else c
-    acc_vm[...] += _stream_dot(
+    _comp_add(acc_vm, lo_vm, _stream_dot(
         cw, A_t, (((1,), (0,)), ((), ())), prec,
-    )  # (1, n)
+    ))  # (1, n)
 
     @pl.when(i == T - 1)
     def _():
-        av_ref[...] = acc_vm[...]
-        val_ref[...] = vacc_vm[...]
+        av_ref[...] = acc_vm[...] + lo_vm[...]
+        val_ref[...] = vacc_vm[...] + vlo_vm[...]
 
 
 def coeff_value_apply_all(A, b1, z2, scalars, tile: int,
@@ -927,6 +950,8 @@ def coeff_value_apply_all(A, b1, z2, scalars, tile: int,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, n), jnp.float32),
+                        pltpu.VMEM((1, n), jnp.float32),
+                        pltpu.VMEM((1, 1), jnp.float32),
                         pltpu.VMEM((1, 1), jnp.float32)],
         interpret=interpret,
     )(A, b1, *rs_ops, z2, scalars)

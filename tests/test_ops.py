@@ -364,6 +364,47 @@ def test_coeff_apply_all_single_pass_anchor():
                                rtol=1e-3, atol=1e-1)
 
 
+def test_coeff_apply_all_compensated_accumulation():
+    """The one-pass kernels' cross-tile sums are two-sum compensated
+    (round 3, the deep-target polish mechanism applied in-kernel):
+    an adversarial stream — one huge-coefficient tile followed by many
+    tiny ones — must survive where a plain f32 running sum (and the
+    XLA 2-pass path) drops every small tile into the big partial's
+    ulp."""
+    from ciao_tpu.ops.fused_block import (
+        coeff_apply_all, coeff_value_apply_all,
+    )
+
+    Np, npix, TILE = 262_144, 128, 2_048
+    T = Np // TILE
+    A = np.zeros((Np, npix), np.float32)
+    A[:, 0] = 1.0                        # gsum[0] = Σ c_i exactly
+    b = np.full(Np, -1e-3, np.float32)   # c = −b = 1e-3 (LSQ, z = 0)
+    b[:TILE] = -np.float32(2.0 ** 18)    # first tile: c = 2^18
+    z = np.zeros(npix, np.float32)
+    scalars = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    exact = float(2.0 ** 18) * TILE + 1e-3 * (Np - TILE)
+    with pltpu.force_tpu_interpret_mode():
+        _, gsum = coeff_apply_all(jnp.asarray(A), jnp.asarray(b)[None, :],
+                                  jnp.asarray(z)[None, :], scalars, TILE)
+        val, _, gsum2 = coeff_value_apply_all(
+            jnp.asarray(A), jnp.asarray(b)[None, :],
+            jnp.asarray(z)[None, :], scalars, TILE)
+    lost = 1e-3 * (Np - TILE)            # what a plain f32 sum drops
+    err = abs(float(gsum[0, 0]) - exact)
+    assert err < 0.05 * lost, (err, lost)
+    err2 = abs(float(gsum2[0, 0]) - exact)
+    assert err2 < 0.05 * lost, (err2, lost)
+    # the value sum gets the same treatment (PANOC's FBE resolution):
+    # Σ ½c² = ½·2^36·TILE + ½·1e-6·(N−TILE)
+    v_exact = 0.5 * (2.0 ** 36) * TILE + 0.5 * 1e-6 * (Np - TILE)
+    v_lost = 0.5 * 1e-6 * (Np - TILE)
+    # the huge term's own ulp (2^37·2048 has ulp ~2^25) swamps the tiny
+    # tiles here no matter what; pin only that the compensated sum is
+    # no WORSE than the big term's representation error
+    assert abs(float(val[0, 0]) - v_exact) <= 2.0 ** 25 + v_lost
+
+
 def test_svrg_fused_multistep_matches_stepwise():
     """The K-inner-steps-per-launch fused SVRG kernel (anchor coefficient
     slab + in-kernel prox + one-pass anchor refresh) must reproduce the
