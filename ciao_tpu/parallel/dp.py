@@ -128,6 +128,7 @@ class DPCfg(NamedTuple):
     tol_b: float = 1e-9   # adaptive backtracking underflow bound
     max_ls: int = 10      # PANOC/ZeroFPR line-search trial bound
     adaptive: bool = False  # PANOC/ZeroFPR γ-backtracking mode
+    polish_chunk: int = 0  # FB/FISTA: compensated chunked local gradient
 
     @property
     def n_loc(self):
@@ -1544,9 +1545,18 @@ def _fb_init_local(F, g, x0, gamma, key, cfg: DPCfg):
 def _fb_step_local(F, g, cfg: DPCfg, state: DPFBState):
     """One sharded forward-backward step: the full gradient is one
     local streaming pass + ONE x-sized psum; prox and extrapolation
-    replicate (cf. solvers.fb._fb_step)."""
+    replicate (cf. solvers.fb._fb_step). ``polish_chunk`` routes the
+    local pass through the compensated chunked sum (solvers.polish) —
+    the deep-target accuracy below the f32 reduction floor, sharded:
+    per-shard two-sum carries, the D-way psum adds only ~√D·eps."""
     gamma = state.gamma
-    grad = _psum(F.grad_sum_all(state.y)) / cfg.N
+    if cfg.polish_chunk:
+        from ciao_tpu.solvers.polish import grad_sum_chunked
+
+        grad = _psum(grad_sum_chunked(F, state.y,
+                                      cfg.polish_chunk)) / cfg.N
+    else:
+        grad = _psum(F.grad_sum_all(state.y)) / cfg.N
     x_new = g.prox_only(state.y - gamma * grad, gamma)
     if cfg.variant == "fista":
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
@@ -3084,10 +3094,13 @@ class DPForwardBackward:
     verbose: bool = False
     freq: int = 100
     fast: bool = False
+    polish_chunk: int = 0   # >0: compensated chunked local gradient
+    # (solvers.polish) — accuracy below the f32 reduction floor
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0
+        assert self.polish_chunk >= 0
 
     def _setup(self, x0, F, g, L, N):
         mesh = self.mesh if self.mesh is not None else make_mesh()
@@ -3103,6 +3116,18 @@ class DPForwardBackward:
                 f"DPForwardBackward: N={N} must divide evenly over the "
                 f"{D}-device data axis"
             )
+        if self.polish_chunk:
+            if (N // D) % self.polish_chunk:
+                raise ValueError(
+                    f"DPForwardBackward: polish_chunk="
+                    f"{self.polish_chunk} must divide the per-device "
+                    f"shard N/D={N // D}"
+                )
+            if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
+                raise ValueError(
+                    "DPForwardBackward: polish_chunk needs f32/bf16 "
+                    "rows (rebase off int8 storage first)"
+                )
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
         else:
@@ -3113,7 +3138,8 @@ class DPForwardBackward:
                 )
             gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
         cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999,
-                    variant="fista" if self.fast else "ista")
+                    variant="fista" if self.fast else "ista",
+                    polish_chunk=self.polish_chunk)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "fb", mesh, F, g, cfg
         )

@@ -59,12 +59,15 @@ def _two_sum(hi, lo, p):
     return s, lo + e
 
 
-def grad_mean_chunked(F, x, chunk: int):
-    """(1/N)·Σᵢ ∇fᵢ(x) with per-chunk f32 HIGHEST-precision dots and a
-    compensated cross-chunk carry. Rows are read via the oracle's
-    stored array (``coeff_rows_data``), the loss enters through the
-    margin protocol (``coeff_from_margin``), so any dense-rows
-    coefficient oracle works. f32/bf16 storage only."""
+def grad_sum_chunked(F, x, chunk: int):
+    """Σᵢ ∇fᵢ(x) over the oracle's rows with per-chunk f32
+    HIGHEST-precision dots and a compensated cross-chunk carry. Rows
+    are read via the oracle's stored array (``coeff_rows_data``), the
+    loss enters through the margin protocol (``coeff_from_margin``),
+    so any dense-rows coefficient oracle works. f32/bf16 storage only.
+    Un-normalized so the DP path can psum the per-shard sums before
+    dividing by the GLOBAL N (parallel.DPForwardBackward
+    ``polish_chunk``)."""
     if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
         raise ValueError("polish needs f32/bf16 rows (int8 dequant "
                          "defines a different operator — rebase to "
@@ -87,7 +90,12 @@ def grad_mean_chunked(F, x, chunk: int):
 
     z = jnp.zeros(n, x.dtype)
     (hi, lo), _ = jax.lax.scan(body, (z, z), jnp.arange(d))
-    return (hi + lo) / N
+    return hi + lo
+
+
+def grad_mean_chunked(F, x, chunk: int):
+    """(1/N)·Σᵢ ∇fᵢ(x) — the compensated chunked sum, normalized."""
+    return grad_sum_chunked(F, x, chunk) / F.num_terms
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "chunk"))

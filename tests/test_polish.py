@@ -104,6 +104,37 @@ def test_power_lmax_is_step_safe(lasso):
     assert lam_hat > 0.5 * lam_true
 
 
+def test_dp_polish_matches_single_chip(lasso):
+    """DPFISTA(polish_chunk=...): per-shard compensated chunked sums +
+    one psum must reproduce the plain DP trajectory within f32 noise
+    (on CPU both are near-exact) and reach the planted optimum."""
+    import ciao_tpu
+    from ciao_tpu.parallel import DPFISTA, make_mesh, shard_finite_sum
+
+    prob, F, g = lasso
+    x0 = jnp.zeros(n, jnp.float32)
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh)
+    x_plain, _ = DPFISTA(mesh=mesh, maxit=400)(x0, F=Fd, g=g, L=prob.L)
+    x_comp, _ = DPFISTA(mesh=mesh, maxit=400, polish_chunk=64)(
+        x0, F=Fd, g=g, L=prob.L)
+    np.testing.assert_allclose(np.asarray(x_comp), np.asarray(x_plain),
+                               rtol=1e-4, atol=1e-5)
+    x_sc, _ = ciao_tpu.FISTA(maxit=400)(x0, F=F, g=g, L=prob.L, N=N)
+    np.testing.assert_allclose(np.asarray(x_comp), np.asarray(x_sc),
+                               rtol=1e-4, atol=1e-5)
+    gap = prob.cost(np.asarray(x_comp)) - prob.f_star
+    assert gap < 1e-3 * (prob.cost(np.zeros(n)) - prob.f_star)
+    # guards: chunk must divide the shard; int8 rows rejected
+    with pytest.raises(ValueError, match="divide the per-device"):
+        DPFISTA(mesh=mesh, maxit=2, polish_chunk=77)(
+            x0, F=Fd, g=g, L=prob.L)
+    with pytest.raises(ValueError, match="int8"):
+        DPFISTA(mesh=mesh, maxit=2, polish_chunk=64)(
+            x0, F=shard_finite_sum(F.with_storage("int8"), mesh),
+            g=g, L=prob.L)
+
+
 def test_polish_guards(lasso):
     _, F, g = lasso
     x = jnp.zeros(n, jnp.float32)
