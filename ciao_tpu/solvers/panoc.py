@@ -397,10 +397,23 @@ def _panoc_step(F, g, cfg: PANOCCfg, state: PANOCState,
     return new
 
 
+@jax.jit
+def _thrash_norms(x, z):
+    """(‖x−z‖, ‖x‖) computed ON DEVICE so the host reads back two
+    scalars — never the full (possibly model-sharded) iterates."""
+    d = (x - z).ravel()
+    return (jnp.sqrt(jnp.real(jnp.vdot(d, d))),
+            jnp.sqrt(jnp.real(jnp.vdot(x.ravel(), x.ravel()))))
+
+
 def warn_if_thrashing(state, who: str = "PANOC") -> bool:
-    """Host-side check of the line-search trial EWMA; warns with the
+    """Post-run check of the line-search trial EWMA; warns with the
     documented remedy when the search has been thrashing. Shared by the
-    single-chip, DP and TP facades (two scalar readbacks, post-run).
+    single-chip, DP and TP facades. The norms are computed on device
+    (``_thrash_norms``) and only THREE scalars cross to the host (the
+    EWMA gauge and the two norms) — through a slow transport (the axon
+    tunnel) or with a model-sharded TP iterate, transferring the full
+    n-vectors per solve would dominate.
 
     Thrash = sustained multi-eval steps AND a fixed-point residual
     stalled far above machine precision. The second condition separates
@@ -410,11 +423,8 @@ def warn_if_thrashing(state, who: str = "PANOC") -> bool:
     where the residual sits at ulp scale and backtracking costs
     nothing the user can recover)."""
     gauge = float(state.ls_ewma)
-    import numpy as np
-
-    x = np.asarray(state.x)
-    rrel = float(np.linalg.norm(x - np.asarray(state.z))
-                 / (1.0 + np.linalg.norm(x)))
+    nd, nx = _thrash_norms(state.x, state.z)
+    rrel = float(nd) / (1.0 + float(nx))
     thrashing = gauge >= THRASH_EVALS and rrel >= 1e-5
     if thrashing:
         import warnings

@@ -219,7 +219,9 @@ def _proshi_run_fused_clamped(F, g, state, cfg: ProshiCfg, steps: int):
     if cfg.sweeping == Sweep.SHUFFLED:
         K = min(64, d)
     else:
-        K = min(64, d, max(8, int(1.25 * d ** 0.5) // 8 * 8))
+        from ciao_tpu.solvers.saga import stream_launch_K
+
+        K = stream_launch_K(d, factor=1.25)
     scalars, b2, g2, rs2, interp = _proshi_fused_consts(F, g, state, cfg)
     target = state.it + jnp.asarray(steps, jnp.int32)
 

@@ -356,12 +356,14 @@ def _saga_run_fused(F, g, state, cfg: SAGACfg, steps: int):
     return state
 
 
-def stream_launch_K(d: int) -> int:
+def stream_launch_K(d: int, factor: float = 1.0) -> int:
     """Launch size for clamped streamed launches (shared by the SAGA /
-    Point-SAGA / SSNM fused_stream drivers): K ≤ d is the
-    masked-redirect free-block contract, and the √d sizing keeps the
-    birthday clamp's committed fraction high."""
-    return min(64, d, max(8, (int(d ** 0.5) // 8) * 8))
+    Point-SAGA / SSNM fused_stream drivers AND ProShI's random-block
+    driver, which passes ``factor=1.25``): K ≤ d is the masked-redirect
+    free-block contract, and the ~√d sizing keeps the birthday clamp's
+    committed fraction high. One helper so the sizing is tuned in one
+    place."""
+    return min(64, d, max(8, (int(factor * d ** 0.5) // 8) * 8))
 
 
 def run_clamped_stream(state, steps: int, K: int, carry_arrays, launch,
