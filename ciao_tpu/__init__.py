@@ -84,6 +84,12 @@ from ciao_tpu.solvers import (
     SVRG,
     iterator,
     solution,
+    DeepSolveInfo,
+    deep_solve,
+    StagedInfo,
+    staged_saga,
+    fista_polish,
+    power_lmax,
 )
 from ciao_tpu.solvers.base import Status
 
@@ -117,6 +123,12 @@ __all__ = [
     "iterator",
     "solution",
     "Status",
+    "DeepSolveInfo",
+    "deep_solve",
+    "StagedInfo",
+    "staged_saga",
+    "fista_polish",
+    "power_lmax",
     "LeastSquaresRows",
     "HuberRows",
     "SquaredHingeRows",

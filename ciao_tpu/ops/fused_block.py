@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ciao_tpu import runtime
+
 
 def _pick_tile(B: int, N: int, n: int = 1024, reserve: int = 0,
                esize: int = 4) -> int:
@@ -74,7 +76,7 @@ def fused_block_available(N: int, n: int, B: int, dtype) -> bool:
     then also be a multiple of the chosen tile — guaranteed because
     block starts are multiples of B."""
     return (
-        jax.default_backend() == "tpu"
+        runtime.on_tpu()
         and jnp.dtype(dtype) == jnp.float32
         and n % 128 == 0
         and _pick_tile(B, N, n) >= 8
@@ -2849,7 +2851,7 @@ def lkatyusha_coeff_multistep(A, b8, canch8, starts, stop, wa2, y2, z2,
 
 def proshi_multistep_available(N: int, n: int, B: int, dtype) -> bool:
     return (
-        jax.default_backend() == "tpu"
+        runtime.on_tpu()
         and jnp.dtype(dtype) == jnp.float32
         and n % 128 == 0
         and _proshi_tile(B, N, n) >= 8

@@ -224,6 +224,13 @@ class HuberRows(SmoothOracle):
         A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
         return A @ x
 
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """Upper bound on the margin curvature: H_δ'' ∈ {0, 1}, so
+        d²f_i/dm² ≤ scale — GLOBAL (``margin_slack`` ignored; the clip
+        only flattens the quadratic)."""
+        del margin_slack
+        return jnp.asarray(self.scale, r.dtype)
+
     def coeff_from_margin(self, r, start, size: int):
         _, b_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)

@@ -284,6 +284,17 @@ class LeastSquaresRows(SmoothOracle):
         A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
         return A @ x
 
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """Upper bound on the margin curvature d²f_i/dm² near the point
+        whose raw margins are ``r`` — constant ``scale`` for least
+        squares (GLOBAL and exact; ``margin_slack`` is ignored). Scalar
+        or (N,): consumed by :func:`ciao_tpu.solvers.power_lmax`, whose
+        power iteration bounds λmax of (1/N)·Aᵀdiag(w)A — the safe
+        stepsize source for the deep-accuracy FISTA polish."""
+        del margin_slack
+        return jnp.real(jnp.asarray(self.scale)).astype(
+            jnp.real(r).dtype)
+
     def coeff_from_margin(self, r, start, size: int):
         _, b_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)

@@ -220,6 +220,15 @@ class LogisticRows(SmoothOracle):
         X = self.X.astype(x.dtype) if self.row_scale is not None else self.X
         return X @ x
 
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """Upper bound on the margin curvature d²f_i/dm² = σ(t)(1−σ(t))
+        ≤ 1/4 — GLOBAL for the logistic loss (``margin_slack`` ignored),
+        so the :func:`ciao_tpu.solvers.power_lmax` stepsize is safe on
+        the whole space (at most 4× conservative near a well-separated
+        optimum, ≤2× extra FISTA polish steps)."""
+        del margin_slack
+        return jnp.asarray(0.25, r.dtype)
+
     def coeff_from_margin(self, r, start, size: int):
         _, y_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)

@@ -254,6 +254,20 @@ class PoissonRows(SmoothOracle):
         A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
         return A @ x
 
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """(N,) margin curvature d²f_i/dm² = scale·e^{min(m, CLAMP)}
+        evaluated at the anchor margins ``r``, inflated by
+        ``margin_slack``: the bound is valid while each margin moves by
+        at most ``margin_slack`` — a TRUST-REGION weight (exp is
+        unbounded, there is no useful global bound; see
+        ``local_smoothness``). The deep-accuracy polish runs AFTER a
+        globally-convergent stochastic stage, where the anchor is near
+        the optimum and a small slack (~0.5) covers the polish's whole
+        trajectory; ``fista_polish``'s monotone restart guards the
+        remainder."""
+        m = r + jnp.asarray(margin_slack, r.dtype)
+        return self.scale * jnp.exp(jnp.minimum(m, POISSON_CLAMP))
+
     def coeff_from_margin(self, r, start, size: int):
         _, y_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)

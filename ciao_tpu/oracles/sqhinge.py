@@ -230,6 +230,13 @@ class SquaredHingeRows(SmoothOracle):
         A = self.A.astype(x.dtype) if self.row_scale is not None else self.A
         return A @ x
 
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """Upper bound on the margin curvature: the active branch is
+        (scale/2)(1−ym)² with d²/dm² = scale, the inactive branch 0 —
+        GLOBAL bound ``scale`` (``margin_slack`` ignored)."""
+        del margin_slack
+        return jnp.asarray(self.scale, r.dtype)
+
     def coeff_from_margin(self, r, start, size: int):
         _, y_B = self._slice(start, size)
         rs_B = self._slice_rs(start, size)

@@ -16,6 +16,15 @@ from ciao_tpu.solvers.proshi import Proshi
 from ciao_tpu.solvers.saga import SAG, SAGA
 from ciao_tpu.solvers.ssnm import SSNM
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
+from ciao_tpu.solvers.deep import DeepSolveInfo, deep_solve
+from ciao_tpu.solvers.polish import (
+    PolishResult,
+    fista_polish,
+    grad_mean_chunked,
+    grad_sum_chunked,
+    lsq_power_lmax,
+    power_lmax,
+)
 from ciao_tpu.solvers.sarah import SARAH
 from ciao_tpu.solvers.svrg import SVRG
 
@@ -46,6 +55,14 @@ __all__ = [
     "SSNM",
     "StagedInfo",
     "staged_saga",
+    "DeepSolveInfo",
+    "deep_solve",
+    "PolishResult",
+    "fista_polish",
+    "grad_mean_chunked",
+    "grad_sum_chunked",
+    "lsq_power_lmax",
+    "power_lmax",
     "SAG",
     "SVRG",
     "iterator",

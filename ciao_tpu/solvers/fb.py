@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ciao_tpu.prox import Zero
+from ciao_tpu import runtime
 from ciao_tpu.solvers.base import (
     SolverIterable,
     real_dtype_of,
@@ -102,7 +103,7 @@ def fused_full_grad_available(F, x0, N) -> bool:
     from ciao_tpu.ops.fused_block import _pick_tile
 
     return (
-        jax.default_backend() == "tpu"
+        runtime.on_tpu()
         and x0.size % 128 == 0
         and _pick_tile(N, N, x0.size) >= 128
         and hasattr(F, "coeff_rows_data")
@@ -177,10 +178,9 @@ class ForwardBackward:
         fused = False
         if x0.dtype == jnp.float32:
             from ciao_tpu.ops.fused_block import _pick_tile
-            import jax as _jax
 
             fused = (
-                _jax.default_backend() == "tpu"
+                runtime.on_tpu()
                 and x0.size % 128 == 0
                 and _pick_tile(N, N, x0.size) >= 128
                 and hasattr(F, "coeff_rows_data")

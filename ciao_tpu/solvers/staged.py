@@ -52,6 +52,7 @@ def staged_saga(
     max_epochs: int = 8192,
     gamma: Optional[float] = None,
     seed: int = 0,
+    observe=None,
 ) -> Tuple[jnp.ndarray, StagedInfo]:
     """Solve ``min (1/N) Σ f_i + g`` by SAGA with a staged row-storage
     schedule.
@@ -65,6 +66,10 @@ def staged_saga(
     the storage-switch requirement measured in PERF.md) and the run
     continues. The final stage also stops on plateau. Total budget:
     ``max_epochs`` epochs across all stages.
+
+    ``observe`` (optional) is called as ``observe(z)`` with the current
+    iterate after every chunk — progress/crossing instrumentation (its
+    cost is the caller's; ``deep_solve`` threads it through).
 
     Returns ``(solution, StagedInfo)``.
     """
@@ -103,9 +108,20 @@ def staged_saga(
     chunk = chunk_epochs * steps_per_epoch
     max_chunks = max(1, max_epochs // chunk_epochs)
 
+    # full precision; ONE streaming value pass (never the (N, n)
+    # gradient materialization `monitor.objective` would do — at the
+    # 10M streamed scale that is a 5 GB allocation per check). F and g
+    # are jit ARGUMENTS, never closed over: a closed-over device array
+    # becomes a remote-compile constant through the axon TPU tunnel
+    # (multi-GB payload; observed to hang — CLAUDE.md).
     @jax.jit
+    def _obj_fn(F_, g_, z):
+        if hasattr(F_, "value_sum_all"):
+            return F_.value_sum_all(z) / F_.num_terms + g_.value(z)
+        return objective(F_, g_, z)
+
     def _obj(z):
-        return objective(F, g, z)  # full precision, full pass
+        return _obj_fn(F, g, z)
 
     info = StagedInfo(storages=list(storages), epochs=[], objectives=[],
                       switched_early=[])
@@ -124,6 +140,8 @@ def staged_saga(
             cur = float(_obj(state.z))
             stage_chunks += 1
             chunks_used += 1
+            if observe is not None:
+                observe(state.z)
             if prev - cur < plateau_rtol * max(abs(prev), 1e-30):
                 plateaued = True
                 prev = cur
