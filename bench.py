@@ -1192,6 +1192,32 @@ def bench_secondary():
             f"({steps * BATCH / dt / 1e6:.1f} M samples/s; K={K} steps "
             f"per collective)")
 
+    # SVRG++ local-inner FUSED (round 4): the doubling m runs a dynamic
+    # number of K=64-step launches — per-inner-step cost must sit at the
+    # fused-kernel class rate (~0.03 ms/step f32), ~2.2x the unfused
+    # local path
+    m0 = 64
+    Fd = shard_finite_sum(F32, mesh1)   # the tag loop left Fd on int8
+    for fused_pp in (False, True):
+        cfgpp = DPCfg(N=N, D=1, b_loc=BATCH, sweeping=Sweep.RANDOM,
+                      alpha=0.999, plus=True, block=True, coeff=fused_pp,
+                      local=True, fused=fused_pp, m_inner=0)
+        init_c, _, run_c, _ = build_dp_functions("svrg", mesh1, Fd, g,
+                                                 cfgpp,
+                                                 extra_init_scalars=1)
+        stpp = init_c(Fd, g, x0, (1.0 / (10.0 * jnp.max(L))).astype(
+            jnp.float32), jnp.asarray(m0, jnp.int32), key)
+        st2 = run_c(Fd, g, stpp, 8)
+        _ = float(st2.z_full[0])
+        t0 = time.perf_counter()
+        st2 = run_c(Fd, g, stpp, 8)
+        _ = float(st2.z_full[0])
+        dt = time.perf_counter() - t0
+        inner = m0 * (2 ** 8 - 1)
+        log(f"svrg++ local-inner D=1 [fused={fused_pp}]: "
+            f"{dt / inner * 1e3:.4f} ms/inner-step "
+            f"({inner * BATCH / dt / 1e6:.0f} M samples/s; m 64->8192)")
+
 
 def main():
     # the TPU tunnel occasionally drops the first connection — retry once

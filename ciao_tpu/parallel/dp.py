@@ -1099,10 +1099,10 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
     if cfg.fused:
         from ciao_tpu.ops.fused_block import (
             SLAB_ROWS, _pick_tile, coeff_apply_all, oracle_scalar_consts,
-            rows_scale_row, rows_scale_slab, svrg_inner_chunked,
+            rows_scale_row, rows_scale_slab, svrg_coeff_multistep,
+            svrg_inner_chunked,
         )
 
-        m = cfg.m_inner
         rows, offs = F.coeff_rows_data()
         scale, mode, lam, aux = oracle_scalar_consts(F, g)
         # CPU CI: the generic Pallas interpreter — TPU interpret mode
@@ -1119,21 +1119,59 @@ def _svrg_local_outer(F, g, cfg: DPCfg, state: DPSVRGState):
             ]
         )[None, :]
         slab = (SLAB_ROWS, cfg.n_loc // SLAB_ROWS)
-        w2, zs2, done = svrg_inner_chunked(
-            rows, offs.reshape(slab), canch.reshape(slab),
-            state.w[None, :], state.z[None, :], av[None, :], scalars, B,
-            m,
-            lambda k0, K: _local_round_starts(
-                kout, k0 + 1, cfg.n_loc, B, K, cfg.sweeping
-            ),
-            rs8=rows_scale_slab(F), interpret=interp,
-        )
-        w, zsum = w2[0], zs2[0]
-        if done < m:
-            w, zsum = inner_unfused(done, m - done, w, zsum)
-        m_den = jnp.asarray(
-            m, jnp.zeros((), jnp.result_type(zsum)).real.dtype
-        )
+        if cfg.plus:
+            # SVRG++ (round 4, VERDICT r3 #7): the DOUBLING inner
+            # length m_t = m0·2^t needs a DYNAMIC number of launches —
+            # a while_loop over full K-step fused launches (the launch
+            # count is the only dynamic part; each launch is the same
+            # static kernel), then a dynamic (< K) stepwise remainder
+            # on the same (kout, k) start stream. Bit-equal to the
+            # unfused local path (the fused≡stepwise contract) and to
+            # lockstep at D=1.
+            K = 64
+            b8 = offs.reshape(slab)
+            c8 = canch.reshape(slab)
+            rs8 = rows_scale_slab(F)
+            Lq = state.m // K
+
+            def launch_body(carry):
+                q, w2, zs2 = carry
+                starts = _local_round_starts(
+                    kout, q * K + 1, cfg.n_loc, B, K, cfg.sweeping
+                )
+                w2, zs2 = svrg_coeff_multistep(
+                    rows, b8, c8, starts, w2, zs2, av[None, :],
+                    scalars, B, rs8=rs8, interpret=interp,
+                )
+                return (q + 1, w2, zs2)
+
+            q, w2, zs2 = jax.lax.while_loop(
+                lambda c: c[0] < Lq, launch_body,
+                (jnp.zeros((), jnp.int32), state.w[None, :],
+                 state.z[None, :]),
+            )
+            w, zsum = inner_unfused(Lq * K, state.m - Lq * K,
+                                    w2[0], zs2[0])
+            m_den = state.m.astype(
+                jnp.zeros((), jnp.result_type(zsum)).real.dtype
+            )
+        else:
+            m = cfg.m_inner
+            w2, zs2, done = svrg_inner_chunked(
+                rows, offs.reshape(slab), canch.reshape(slab),
+                state.w[None, :], state.z[None, :], av[None, :], scalars,
+                B, m,
+                lambda k0, K: _local_round_starts(
+                    kout, k0 + 1, cfg.n_loc, B, K, cfg.sweeping
+                ),
+                rs8=rows_scale_slab(F), interpret=interp,
+            )
+            w, zsum = w2[0], zs2[0]
+            if done < m:
+                w, zsum = inner_unfused(done, m - done, w, zsum)
+            m_den = jnp.asarray(
+                m, jnp.zeros((), jnp.result_type(zsum)).real.dtype
+            )
     else:
         w, zsum = inner_unfused(0, state.m, state.w, state.z)
         m_den = state.m.astype(
@@ -2530,9 +2568,10 @@ class DPSVRG:
     per outer step instead of one per inner step (see
     ``_svrg_local_outer``). With ``block_sampling=True``, a rank-1
     (coefficient) oracle, f32 and an in-kernel prox (NormL1/Zero), the
-    local inner loop runs as fused multi-step kernel launches on TPU
-    (requires ``plus=False``: SVRG++'s growing m needs a dynamic inner
-    length, which stays on the unfused local path)."""
+    local inner loop runs as fused multi-step kernel launches on TPU —
+    including SVRG++ (round 4): its doubling m runs a DYNAMIC number
+    of K-step launches plus a dynamic stepwise remainder, bit-equal to
+    the unfused local path."""
 
     mesh: object = None
     gamma: Optional[float] = None
@@ -2568,12 +2607,16 @@ class DPSVRG:
             raise ValueError(
                 "DPSVRG block_sampling needs N/D divisible by batch/D"
             )
-        if self.local_inner and not self.plus:
+        if self.local_inner:
             from ciao_tpu.ops import svrg_multistep_available
             from ciao_tpu.prox import NormL1
 
             # same gate as the single-chip fused SVRG driver, applied
-            # to the LOCAL shard shape (NormL1/Zero prox in-kernel)
+            # to the LOCAL shard shape (NormL1/Zero prox in-kernel).
+            # SVRG++ (plus=True) fuses too as of round 4: its doubling
+            # m runs a DYNAMIC number of K-step launches
+            # (_svrg_local_outer's while_loop) instead of the static
+            # m_inner chunking.
             fused = (
                 self.block_sampling
                 and x0.dtype == jnp.float32
@@ -2588,7 +2631,7 @@ class DPSVRG:
                     alpha=0.999, plus=self.plus,
                     block=self.block_sampling, coeff=fused,
                     local=self.local_inner, fused=fused,
-                    m_inner=m if fused else 0)
+                    m_inner=0 if self.plus else (m if fused else 0))
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "svrg", mesh, F, g, cfg, extra_init_scalars=1
         )

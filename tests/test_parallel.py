@@ -851,6 +851,70 @@ def test_dp_svrg_local_inner_fused_matches_stepwise(mesh):
     )
 
 
+def test_dp_svrg_plus_local_inner_fused_matches_stepwise(mesh):
+    """SVRG++'s DOUBLING inner loop on the fused local path (round 4):
+    a dynamic number of K=64-step launches + a dynamic stepwise
+    remainder must reproduce the unfused local path across outer steps
+    whose m crosses the launch boundary (m = 48 → 96 → 192: zero, one
+    and three full launches with 48/32/0-step remainders)."""
+    from ciao_tpu.parallel.dp import DPCfg, build_dp_functions
+    from ciao_tpu.sampling import Sweep
+
+    Np, npix = 8192, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F32 = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    F32 = shard_finite_sum(F32, mesh)
+    g32 = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    z0 = jnp.zeros(npix, jnp.float32)
+
+    outs = []
+    for fused in (False, True):
+        cfg = DPCfg(N=Np, D=8, b_loc=128, sweeping=Sweep.RANDOM,
+                    alpha=0.999, plus=True, block=True, coeff=fused,
+                    local=True, fused=fused, m_inner=0)
+        init_c, step_c, run_c, _ = build_dp_functions(
+            "svrg", mesh, F32, g32, cfg, extra_init_scalars=1
+        )
+        st = init_c(F32, g32, z0, gamma, jnp.asarray(48, jnp.int32), key)
+        st = run_c(F32, g32, st, 3)
+        outs.append(st)
+    assert int(outs[1].m) == int(outs[0].m) == 48 * 8  # doubled 3x
+    np.testing.assert_allclose(
+        np.asarray(outs[1].z_full), np.asarray(outs[0].z_full),
+        rtol=2e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1].w), np.asarray(outs[0].w), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_dp_svrg_plus_local_inner_matches_lockstep_at_one_device():
+    """At D=1 the SVRG++ local-inner path (fused or not — gates closed
+    on CPU keep it honest at the algorithm level) must equal the
+    lockstep path bit-for-bit, doubling m in sync."""
+    prob = make_lasso(N=64, n=8, p=3, seed=7)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A), b=jnp.asarray(prob.b),
+        scale=jnp.asarray(64.0),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam))
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    F1 = shard_finite_sum(F, mesh1)
+    z0 = jnp.zeros(8, prob.A.dtype)
+    xs = []
+    for li in (False, True):
+        x, _ = DPSVRG(mesh=mesh1, maxit=5, batch=4, m=8, plus=True,
+                      local_inner=li)(z0, F=F1, g=g, L=prob.L)
+        xs.append(np.asarray(x))
+    np.testing.assert_array_equal(xs[0], xs[1])
+
+
 def test_tp_lfinito_converges_and_shards():
     """TPLFinito on a (4 data x 2 model) mesh: O(n) memory (no table),
     iterate/average/anchor sharded by coordinate, stepsizes by sample;
