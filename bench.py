@@ -779,6 +779,28 @@ def bench_missing_cells():
                       S, lambda s: s.x[0])
         log(f"condat-vu fused [{tag}]: {ms:.3f} ms/step")
 
+        if tag == "f32":
+            # ANALYSIS SPARSITY at scale (VERDICT r3 #5): dense m×n K —
+            # h(Kx) with a full analysis dictionary. Cost model: the
+            # K matvec + rmatvec stream 2·m·n·4 B per step against the
+            # gradient pass's N·n·4 B — at m = n = 1024 that is 0.8%
+            # (expect ≈ the stencil row); m = 8192 adds ~6%.
+            from ciao_tpu.ops.linmap import DenseMap
+
+            for mK in (1024, 8192):
+                kM = jax.random.normal(jax.random.PRNGKey(7),
+                                       (mK, n), jnp.float32) / np.sqrt(n)
+                KD = DenseMap(M=kM)
+                nK2 = float(jnp.linalg.norm(kM, ord=2)) ** 2
+                tauD = jnp.asarray(0.99 / (Lf / 2.0 + 0.5 * nK2),
+                                   jnp.float32)
+                st0 = pd_init(F, g, h1, KD, x0, tauD, sigma, pdc)
+                ms, _ = timed(lambda s, k: pd_run(F, g, h1, KD, s, pdc,
+                                                  k),
+                              st0, S, lambda s: s.x[0])
+                log(f"condat-vu fused [f32, DenseMap {mK}x{n}]: "
+                    f"{ms:.3f} ms/step")
+
     # streamed-table SAGA (round 3): fused at ANY N — the 10M BASELINE
     # shape, where the resident-slab kernel cannot serve
     N10, n10, B10 = 10 * 1024 * 1024, 128, 8_192
@@ -891,6 +913,130 @@ def bench_missing_cells():
             ms, _ = timed(lambda s, k: proshi_run(Fp2, gsh, s, pcfg2, k),
                           st0, S, lambda s: s.z[0])
             log(f"proshi [{label}, fused={fused}]: {ms:.4f} ms/step")
+
+
+def bench_sparse_e2e(Np=131_072, n_feat=16_384, hot=512, k_hot=24,
+                     k_cold=8, p_supp=64, B=2_048, max_chunks=56):
+    """Sparse story END-TO-END (VERDICT r3 #4): time-to-rel-1e-3 on a
+    PLANTED power-law sparse Lasso under spectral-step FISTA, pure-ELL vs
+    hot/cold hybrid — the same operator in both layouts, exact f* by
+    KKT construction (utils.make_sparse_lasso_ell with column-norm
+    equalization + strict dual slack; a densified comparator is
+    physically impossible at rcv1 shapes — 524k×65k dense would be
+    137 GB). Also times the raw SAGA step cost per layout, and a
+    throughput-only datapoint at the full 524k×65k shape. The hybrid's
+    routing win (4.0× per-epoch microbench, PERF.md) must survive at
+    solver level — both layouts run the identical trajectory to f32
+    rounding, so the ratio is pure layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    log(f"sparse e2e: building planted {Np}x{n_feat} power-law lasso "
+        f"(k={k_hot}+{k_cold}, hot={hot}) on device")
+    prob = make_sparse_lasso_ell(N=Np, n=n_feat, hot=hot, k_hot=k_hot,
+                                 k_cold=k_cold, p=p_supp, rho=1.0, seed=0)
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    Lm = jnp.asarray(float(jnp.max(prob.L)), jnp.float32)
+    F_h = prob.hybrid
+    target = prob.f_star * (1 + 1e-3)
+
+    @jax.jit
+    def cost(F, z):
+        r = F.coeff_all(z) / Np
+        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
+
+    # FISTA with the SPECTRAL stepsize is the right solver for this
+    # instance: the row-moduli stepsize 1/(3·max L_i) is ~8× too
+    # conservative here (Lmax_row 2.4M vs λmax(mean Hessian) 288k —
+    # Katyusha at the row-L step needed >2700 epochs and stalled in the
+    # tail; FISTA at 0.95/λ̂ reaches rel 1e-3 in ~50 passes). Both
+    # layouts run the IDENTICAL deterministic trajectory, so the
+    # time-to-target ratio is pure layout.
+    @jax.jit
+    def hv_pass(F, v):
+        return (F.grad_sum_all(v)
+                - F.grad_sum_all(jnp.zeros_like(v))) / Np
+
+    from ciao_tpu.solvers.fb import FBCfg, fb_init, fb_run
+
+    v = jax.random.normal(jax.random.PRNGKey(1), (n_feat,), jnp.float32)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(8):
+        hv = hv_pass(F_h, v)
+        lam_h = float(jnp.linalg.norm(hv))
+        v = hv / lam_h
+    gam_f = jnp.asarray(0.95 / lam_h, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.zeros(n_feat, jnp.float32)
+    results = {}
+    fcfg = FBCfg(N=Np, fast=True)
+    for name, F in (("ell", prob.ell), ("hybrid", F_h)):
+        st = fb_init(F, g, x0s, gam_f, fcfg)
+        _ = float(fb_run(F, g, st, fcfg, 25).x[0])  # warm
+        _ = float(cost(F_h, st.x))
+        st = fb_init(F, g, x0s, gam_f, fcfg)
+        t_solve, passes, reached = 0.0, 0, False
+        for _c in range(max_chunks):
+            t0 = time.perf_counter()
+            st = fb_run(F, g, st, fcfg, 25)
+            _ = float(st.x[0])
+            t_solve += time.perf_counter() - t0
+            passes += 25
+            if float(cost(F_h, st.x)) <= target:
+                reached = True
+                break
+        results[name] = (t_solve, passes, reached)
+        log(f"sparse e2e fista [{name}]: "
+            f"{'reached' if reached else 'NOT reached'} rel 1e-3 in "
+            f"{t_solve:.1f}s ({passes} full passes)")
+        assert reached, f"sparse e2e [{name}]: planted target not reached"
+
+        # raw SAGA step cost per layout (the routing-bound datapoint)
+        scfg = SAGACfg(N=Np, sag=False, batch=B, block=True, coeff=True)
+        sts = saga_init(F, g, x0s, (1.0 / (3.0 * Lm)).astype(jnp.float32),
+                        key, scfg)
+        S = 4096
+        sts2 = saga_run(F, g, sts, scfg, S)
+        _ = float(sts2.z[0])
+        t0 = time.perf_counter()
+        sts2 = saga_run(F, g, sts, scfg, S)
+        _ = float(sts2.z[0])
+        dt = time.perf_counter() - t0
+        log(f"sparse saga step [{name}]: {dt / S * 1e3:.3f} ms/step")
+    speedup = results["ell"][0] / max(results["hybrid"][0], 1e-9)
+    log(f"sparse e2e: hybrid time-to-target speedup {speedup:.2f}x "
+        f"(routing microbench was 4.0x)")
+
+    # throughput-only datapoint at the FULL rcv1 shape (524k×65k,
+    # ~0.1% density): per-SAGA-step cost per layout — convergence runs
+    # there would take tens of minutes on the ELL layout, which is
+    # exactly the point of the hybrid
+    del prob, F_h
+    Np2, nf2 = 524_288, 65_536
+    prob2 = make_sparse_lasso_ell(N=Np2, n=nf2, hot=1024, k_hot=48,
+                                  k_cold=16, p=p_supp, rho=1.0, seed=0)
+    Lm2 = jnp.asarray(float(jnp.max(prob2.L)), jnp.float32)
+    x02 = jnp.zeros(nf2, jnp.float32)
+    for name, F in (("ell", prob2.ell), ("hybrid", prob2.hybrid)):
+        scfg = SAGACfg(N=Np2, sag=False, batch=4_096, block=True,
+                       coeff=True)
+        sts = saga_init(F, g, x02,
+                        (1.0 / (3.0 * Lm2)).astype(jnp.float32), key,
+                        scfg)
+        S = 512 if name == "ell" else 2048
+        sts2 = saga_run(F, g, sts, scfg, S)
+        _ = float(sts2.z[0])
+        t0 = time.perf_counter()
+        sts2 = saga_run(F, g, sts, scfg, S)
+        _ = float(sts2.z[0])
+        dt = time.perf_counter() - t0
+        log(f"sparse saga step 524kx65k [{name}]: "
+            f"{dt / S * 1e3:.3f} ms/step")
+    return results
 
 
 def bench_secondary():
@@ -1232,6 +1378,7 @@ def main():
         tpu_samples_per_s(storage="f32")  # exact-f32 path (stderr)
         bench_secondary()
         bench_missing_cells()
+        bench_sparse_e2e()
     cpu = cpu_baseline_samples_per_s()
     log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
     print(

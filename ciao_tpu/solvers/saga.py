@@ -539,6 +539,20 @@ def _warn_saga_fallback(self, F, g, x0, coeff):
         return
     from ciao_tpu.prox import NormL1
 
+    if hasattr(F, "nnz_per_row"):
+        # sparse oracles are ROUTING-bound, not kernel-gated: no fused
+        # kernel exists by design (PERF.md sparse section). The hybrid
+        # hot/cold layout is already the fast path — stay silent; a
+        # pure-ELL layout leaves the known 4× routing win on the table.
+        if not hasattr(F, "A_hot"):
+            runtime.warn_fused_fallback(
+                "SAGA", "pure-ELL sparse rows are bound by the chip's "
+                "~125M elem/s fine-grained routing rate on every slot",
+                "store the hot columns dense via "
+                "HybridSparseLeastSquares/HybridSparseLogistic "
+                "(measured 4x on power-law data, PERF.md)",
+            )
+        return
     if x0.dtype != jnp.float32:
         runtime.warn_fused_fallback(
             "SAGA", f"the iterate dtype is {x0.dtype} and the fused "

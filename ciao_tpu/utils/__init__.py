@@ -1,5 +1,7 @@
 from ciao_tpu.utils.problems import (
     LassoProblem,
+    SparseLassoProblem,
+    make_sparse_lasso_ell,
     LogisticProblem,
     SharingProblem,
     make_lasso,
@@ -9,6 +11,8 @@ from ciao_tpu.utils.problems import (
 
 __all__ = [
     "LassoProblem",
+    "SparseLassoProblem",
+    "make_sparse_lasso_ell",
     "LogisticProblem",
     "SharingProblem",
     "make_lasso",

@@ -169,3 +169,163 @@ def make_sharing():
         d=d, q=q, eta=eta, box_lo=-2.0, box_hi=2.0,
         g_hi=np.ones(n), sum_star=sum_star, L=L,
     )
+
+
+class SparseLassoProblem(NamedTuple):
+    """Planted power-law SPARSE Lasso (rcv1-style): the same operator in
+    both TPU sparse layouts, with the exact optimum known by KKT
+    construction. Built ENTIRELY on device (``make_sparse_lasso_ell``)
+    — at the 1M×65k benchmark scale a host-side dense build would be
+    260 GB, and even the sparse fields would take minutes through a
+    slow host↔device transport."""
+
+    ell: object          # SparseLeastSquaresELL     (pure-ELL layout)
+    hybrid: object       # HybridSparseLeastSquares  (hot/cold layout)
+    lam: float
+    x_star: object       # (n,) device
+    f_star: float        # exact optimal cost (½‖y*‖² + λ‖x*‖₁)
+    L: object            # (N,) device per-row moduli (× N scaling)
+
+
+def make_sparse_lasso_ell(N=4096, n=4096, *, hot=256, k_hot=12, k_cold=4,
+                          p=32, lam=1.0, rho=10.0, beta=1.1, seed=0):
+    """Plant a p-sparse Lasso on a POWER-LAW sparse design, returned in
+    both sparse layouts (pure ELL and hot/cold hybrid) over the SAME
+    operator.
+
+    Construction mirrors :func:`make_lasso`'s well-conditioned KKT
+    recipe, executed with sparse primitives only: each row draws
+    ``k_hot`` entries from the hot columns [0, hot) and ``k_cold`` from
+    the cold tail [hot, n), both with (j+1)^-beta popularity (hot
+    columns are the popular head — rcv1-style doc×term data); a unit
+    dual y* fixes the column scales α_j = min(λ/|A_jᵀy*|, cap) with the
+    cap at the p-th largest correlation, x* lives on those top-p
+    columns with matching signs, and b = A x* + y*. KKT then holds
+    exactly: f* = ½ + λ‖x*‖₁ with no reference solver.
+
+    Duplicate draws: hot duplicates within a row are legitimate (they
+    merge additively — the dense hot block of the hybrid layout merges
+    them, the ELL layout keeps the raw entries; the OPERATOR is
+    identical either way and L is computed on the merged vector); cold
+    duplicates are zeroed (kept-first) so the cold ‖·‖² is exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    hot_pad = max(128, -(-hot // 128) * 128)
+
+    @jax.jit
+    def build(key):
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        wj = (jnp.arange(n, dtype=jnp.float32) + 1.0) ** (-beta)
+        cdf_h = jnp.cumsum(wj[:hot]); cdf_h = cdf_h / cdf_h[-1]
+        cdf_c = jnp.cumsum(wj[hot:]); cdf_c = cdf_c / cdf_c[-1]
+        hot_idx = jnp.searchsorted(
+            cdf_h, jax.random.uniform(k1, (N, k_hot)), side="right"
+        ).astype(jnp.int32)
+        cold_idx = (hot + jnp.searchsorted(
+            cdf_c, jax.random.uniform(k2, (N, k_cold)), side="right"
+        )).astype(jnp.int32)
+        # zero duplicate cold entries (kept-first) so Σ val² is exact
+        srt = jnp.sort(cold_idx, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((N, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1)
+        # map "duplicate" back to the unsorted slots: a slot is a dup if
+        # an EARLIER slot carries the same id
+        earlier = (cold_idx[:, :, None] == cold_idx[:, None, :])
+        tri = jnp.tril(jnp.ones((k_cold, k_cold), bool), -1)[None]
+        is_dup = jnp.any(earlier & tri, axis=2)
+        del dup_sorted
+        hot_val = jax.random.uniform(k3, (N, k_hot), jnp.float32) * 2 - 1
+        cold_val = (jax.random.uniform(k4, (N, k_cold), jnp.float32) * 2
+                    - 1) * (~is_dup)
+        y = jax.random.uniform(k5, (N,), jnp.float32)
+        y = y / jnp.sqrt(jnp.vdot(y, y))
+        # signed correlations s = Aᵀy via scatter-add (merges duplicates)
+        s = jnp.zeros(n, jnp.float32)
+        s = s.at[hot_idx.reshape(-1)].add((y[:, None] * hot_val).reshape(-1))
+        s = s.at[cold_idx.reshape(-1)].add((y[:, None] * cold_val).reshape(-1))
+        c = jnp.abs(s)
+        # COLUMN-NORM EQUALIZATION (the sparse analog of make_lasso's
+        # well_conditioned cap): the KKT scale α_j = λ/c_j FORCES the
+        # support column norms to λ·ν_j/c_j (ν = raw column norm), so
+        # pick the support where that forced norm lands on the target
+        # t (the median of the forced norms) and CAP every other
+        # column's norm at t via α_j = min(λ/c_j, t/ν_j) — KKT still
+        # holds (α ≤ λ/c keeps |A_jᵀy*| ≤ λ off-support) and all
+        # columns carry ~equal norm, so the design is near-Wishart
+        # (κ ≈ (1+√(n/N))²/(1−√(n/N))²) instead of the raw power-law
+        # spectrum, on which every uniform-sampling solver stalls
+        # (measured: top-of-c support → rel 20 after 400 epochs; this
+        # recipe → rel 1e-3 in ~60).
+        nu2 = jnp.zeros(n, jnp.float32)
+        nu2 = nu2.at[hot_idx.reshape(-1)].add(
+            (hot_val * hot_val).reshape(-1))
+        nu2 = nu2.at[cold_idx.reshape(-1)].add(
+            (cold_val * cold_val).reshape(-1))
+        nu = jnp.sqrt(nu2)
+        r = lam * nu / jnp.maximum(c, 1e-30)      # forced support norm
+        r = jnp.where(nu > 0, r, jnp.inf)
+        t = jnp.nanquantile(jnp.where(jnp.isfinite(r), r, jnp.nan), 0.5,
+                            method="nearest")
+        # support: the p columns whose forced norm is closest to t
+        # from above (≥ t so no off-support cap conflicts with them)
+        key_rank = jnp.where(r >= t, r - t, jnp.inf)
+        kth = jnp.sort(key_rank)[p - 1]
+        supp = key_rank <= kth
+        # STRICT dual slack off the support: a continuous r-density
+        # near t would otherwise leave thousands of columns with
+        # |A_jᵀy*| within ε of λ (near-active — support identification
+        # crawls; measured rel 486 after 576 epochs at 131k×16k). The
+        # 0.95/0.8 factors push every off-support correlation to
+        # ≤ 0.95λ and every off-support norm to ≤ 0.8t.
+        alpha = jnp.where(
+            supp,
+            lam / jnp.maximum(c, 1e-30),
+            jnp.minimum(0.95 * lam / jnp.maximum(c, 1e-30),
+                        0.8 * t / jnp.maximum(nu, 1e-30)),
+        )
+        hot_val = hot_val * alpha[hot_idx]
+        cold_val = cold_val * alpha[cold_idx]
+        xs = jnp.where(
+            supp,
+            jax.random.uniform(k6, (n,), jnp.float32)
+            * jnp.asarray(rho / np.sqrt(p), jnp.float32) * jnp.sign(s),
+            0.0)
+        m = (jnp.sum(hot_val * jnp.take(xs, hot_idx, axis=0), axis=1)
+             + jnp.sum(cold_val * jnp.take(xs, cold_idx, axis=0), axis=1))
+        b = m + y
+        # merged hot block (the hybrid layout's dense part)
+        A_hot = jnp.zeros((N, hot_pad), jnp.float32)
+        rows_ = jnp.broadcast_to(jnp.arange(N)[:, None], hot_idx.shape)
+        A_hot = A_hot.at[rows_.reshape(-1), hot_idx.reshape(-1)].add(
+            hot_val.reshape(-1))
+        L = (jnp.sum(A_hot * A_hot, axis=1)
+             + jnp.sum(cold_val * cold_val, axis=1)) * N
+        return (hot_idx, hot_val, cold_idx, cold_val, b, y, xs, A_hot, L)
+
+    import jax.random as jrandom
+
+    (hot_idx, hot_val, cold_idx, cold_val, b, y, xs, A_hot, L) = build(
+        jrandom.PRNGKey(seed))
+
+    from ciao_tpu.oracles import (
+        HybridSparseLeastSquares, SparseLeastSquaresELL,
+    )
+    import jax.numpy as jnp
+
+    scale = jnp.asarray(float(N), jnp.float32)
+    ell = SparseLeastSquaresELL(
+        idx=jnp.concatenate([hot_idx, cold_idx], axis=1),
+        val=jnp.concatenate([hot_val, cold_val], axis=1),
+        b=b, scale=scale, n_dim=n,
+    )
+    hybrid = HybridSparseLeastSquares(
+        A_hot=A_hot, hot_cols=jnp.arange(hot_pad, dtype=jnp.int32),
+        idx=cold_idx, val=cold_val, b=b, scale=scale, n_dim=n,
+    )
+    xs_np = np.asarray(xs, np.float64)
+    y_np = np.asarray(y, np.float64)
+    f_star = 0.5 * float(y_np @ y_np) + lam * float(np.abs(xs_np).sum())
+    return SparseLassoProblem(ell=ell, hybrid=hybrid, lam=float(lam),
+                              x_star=xs, f_star=f_star, L=L)

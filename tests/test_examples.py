@@ -48,3 +48,7 @@ def test_example_lasso_10m_small():
 @pytest.mark.parametrize("storage", ["f32", "bf16", "int8"])
 def test_example_large_scale_lasso_small(storage):
     _load("large_scale_lasso").main(storage=storage, small=True)
+
+
+def test_example_deep_accuracy_small():
+    assert _load("deep_accuracy").main(small=True) <= 1e-6

@@ -431,3 +431,71 @@ def test_sparse_logistic_reference_acceptance():
     x, _ = ciao_tpu.Finito(maxit=9000, sweeping=2)(
         jnp.zeros(prob.X.shape[1]), F=Fs, g=g, L=prob.L, N=prob.X.shape[0])
     assert float(jnp.max(jnp.abs(x - jnp.asarray(prob.x_star)))) < 1e-4
+
+
+def test_planted_sparse_lasso_solver_level():
+    """The planted power-law sparse Lasso (make_sparse_lasso_ell —
+    VERDICT r3 #4's end-to-end sparse story, CI miniature): KKT gives
+    an exact f* (asserted), and the bench's solver plan (FISTA at the
+    spectral stepsize) must reach rel 1e-3 on BOTH layouts of the same
+    operator; SAGA at the reference stepsize must make matched-budget
+    progress on both. Keep N ≥ 8·n — the equalized design needs the
+    Wishart aspect margin (problems.py recipe note)."""
+    import numpy as np
+
+    from ciao_tpu.solvers.fb import FBCfg, fb_init, fb_run
+    from ciao_tpu.solvers.saga import SAGACfg, saga_init, saga_run
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    Np, npx = 2048, 256
+    prob = make_sparse_lasso_ell(N=Np, n=npx, hot=64, k_hot=8,
+                                 k_cold=4, p=16, rho=1.0, seed=0)
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    x0 = jnp.zeros(npx, jnp.float32)
+    F_h = prob.hybrid
+
+    # KKT certificate: |Aᵀr*| ≤ λ everywhere, = λ on the support
+    gs = np.asarray(prob.ell.grad_sum_all(prob.x_star), np.float64) / Np
+    supp = np.asarray(prob.x_star) != 0
+    assert np.abs(gs).max() <= prob.lam * 1.001
+    assert np.abs(np.abs(gs[supp]) - prob.lam).max() < 1e-3
+    # strict dual slack off the support (the round-4 recipe: without it
+    # support identification crawls)
+    assert np.abs(gs[~supp]).max() <= prob.lam * 0.96
+
+    @jax.jit
+    def cost(F, z):
+        r = F.coeff_all(z) / Np       # residual (coeff = N·(m − b))
+        return 0.5 * jnp.sum(r * r) + prob.lam * jnp.sum(jnp.abs(z))
+
+    @jax.jit
+    def hv(F, v):
+        return (F.grad_sum_all(v) - F.grad_sum_all(jnp.zeros_like(v))) / Np
+
+    v = jax.random.normal(jax.random.PRNGKey(1), (npx,), jnp.float32)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(8):
+        w = hv(F_h, v)
+        lam_h = float(jnp.linalg.norm(w))
+        v = w / lam_h
+    target = prob.f_star * (1 + 1e-3)
+    fcfg = FBCfg(N=Np, fast=True)
+    for name, F in (("ell", prob.ell), ("hybrid", F_h)):
+        st = fb_init(F, g, x0, jnp.asarray(0.95 / lam_h, jnp.float32),
+                     fcfg)
+        st = fb_run(F, g, st, fcfg, 400)
+        c = float(cost(F_h, st.x))
+        assert c <= target, (name, c, prob.f_star)
+
+    # SAGA at the reference 1/(3·Lmax) step: both layouts track each
+    # other at a matched budget (trajectory is layout-independent)
+    gam = jnp.asarray(1.0 / (3.0 * float(jnp.max(prob.L))), jnp.float32)
+    outs = []
+    for F in (prob.ell, F_h):
+        cfg = SAGACfg(N=Np, sag=False, batch=256, block=True, coeff=True)
+        st = saga_init(F, g, x0, gam, jax.random.PRNGKey(0), cfg)
+        st = saga_run(F, g, st, cfg, 50 * (Np // 256))
+        outs.append(float(cost(F_h, st.z)))
+    c0 = float(cost(F_h, x0))
+    assert outs[0] < 0.6 * c0 and outs[1] < 0.6 * c0, (outs, c0)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3)

@@ -149,3 +149,22 @@ def test_svrg_warns_and_batch1_hint(fake_tpu, prob):
             jnp.zeros(n, jnp.float32), F,
             NormL1(lam=jnp.asarray(0.1, jnp.float32)), L, np.ones(N),
             None)
+
+
+def test_saga_sparse_layout_warnings(fake_tpu):
+    """Sparse oracles: pure ELL warns with the hybrid remedy; the
+    hybrid layout (already the sparse fast path) stays silent."""
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    prob = make_sparse_lasso_ell(N=512, n=512, hot=128, k_hot=8,
+                                 k_cold=4, p=16, seed=0)
+    L = np.asarray(prob.L)
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    with pytest.warns(UserWarning, match="Hybrid"):
+        _setup(SAGA(block_sampling=True, batch=64), prob.ell, g, L,
+               jnp.zeros(512, jnp.float32))
+    runtime.reset_fallback_warnings()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _setup(SAGA(block_sampling=True, batch=64), prob.hybrid, g, L,
+               jnp.zeros(512, jnp.float32))
