@@ -807,11 +807,31 @@ def bench_missing_cells():
     A10 = jax.random.normal(kA, (N10, n10), jnp.float32)
     b10 = jax.random.normal(kb, (N10,), jnp.float32)
     L10 = jax.jit(lambda a: jnp.max(jnp.sum(a * a, axis=1)))(A10) * N10
+    def _quant_chunked(A, parts=8):
+        """Row-chunked int8 quantization: a monolithic quantize_rows of
+        the 5.4 GB A wants ~2 A-sized f32 temporaries and OOMs HBM once
+        the round-4 bench keeps a few extra states alive — chunking
+        caps the temp at A/parts (per-row scales are chunk-local)."""
+        from ciao_tpu.oracles.base import quantize_rows
+
+        qf = jax.jit(quantize_rows)
+        CH = A.shape[0] // parts
+        qs, rss = [], []
+        for i in range(parts):
+            q, rs = qf(A[i * CH:(i + 1) * CH])
+            qs.append(q)
+            rss.append(rs)
+        return jnp.concatenate(qs), jnp.concatenate(rss)
+
     for tag in ("f32", "int8"):
-        F10 = LeastSquaresRows(A=A10, b=b10,
-                               scale=jnp.asarray(float(N10), jnp.float32))
-        if tag != "f32":
-            F10 = F10.with_storage(tag)
+        if tag == "f32":
+            F10 = LeastSquaresRows(
+                A=A10, b=b10, scale=jnp.asarray(float(N10), jnp.float32))
+        else:
+            q10, rs10 = _quant_chunked(A10)
+            F10 = LeastSquaresRows(
+                A=q10, b=b10, scale=jnp.asarray(float(N10), jnp.float32),
+                row_scale=rs10)
         cfg10 = SAGACfg(N=N10, sag=False, batch=B10, block=True, coeff=True,
                     fused_stream=True)
         st0 = saga_init(F10, g, jnp.zeros(n10, jnp.float32),

@@ -21,9 +21,12 @@ from ciao_tpu.solvers.polish import (
     PolishResult,
     fista_polish,
     grad_mean_chunked,
+    grad_mean_chunked_blocks,
     grad_sum_chunked,
+    grad_sum_chunked_blocks,
     lsq_power_lmax,
     power_lmax,
+    power_lmax_quadratic,
 )
 from ciao_tpu.solvers.sarah import SARAH
 from ciao_tpu.solvers.svrg import SVRG
@@ -60,9 +63,12 @@ __all__ = [
     "PolishResult",
     "fista_polish",
     "grad_mean_chunked",
+    "grad_mean_chunked_blocks",
     "grad_sum_chunked",
+    "grad_sum_chunked_blocks",
     "lsq_power_lmax",
     "power_lmax",
+    "power_lmax_quadratic",
     "SAG",
     "SVRG",
     "iterator",

@@ -34,7 +34,11 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ciao_tpu.solvers.polish import fista_polish, power_lmax
+from ciao_tpu.solvers.polish import (
+    fista_polish,
+    power_lmax,
+    power_lmax_quadratic,
+)
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 
 
@@ -83,10 +87,13 @@ def deep_solve(
     its plateau, then compensated-gradient FISTA polish with an
     automatic curvature-bound stepsize.
 
-    ``F`` must be a dense-rows coefficient oracle in f32 (or bf16)
-    storage — the margin protocol (``coeff_from_margin`` +
-    ``hess_weight_from_margin``) supplies the loss, so least-squares,
-    logistic, Huber, squared-hinge and Poisson rows all work. For a
+    ``F`` is a rank-1 coefficient oracle in f32 (or bf16) storage —
+    dense rows preferred (the margin protocol ``coeff_from_margin`` +
+    ``hess_weight_from_margin`` supplies the loss, so least-squares,
+    logistic, Huber, squared-hinge and Poisson rows all work), and the
+    SPARSE layouts (ELL / hybrid hot-cold) are served too for the
+    quadratic family: the polish gradient runs through the block
+    protocol and η through the exact two-pass quadratic power bound. For a
     staged-precision start pass e.g. ``storages=("int8", "f32")`` — the
     narrow stages are built with ``F.with_storage`` and the polish
     always runs on ``F`` itself. ``g`` needs ``prox_only`` (NormL1 /
@@ -123,15 +130,32 @@ def deep_solve(
         g = Zero()
 
     key = jax.random.PRNGKey(seed + 1)
-    lmax = float(power_lmax(F, z, key, iters=power_iters,
-                            margin_slack=margin_slack))
+    block_protocol = not hasattr(F, "coeff_rows_data")
+    if block_protocol:
+        # SPARSE (ELL / hybrid) oracles: no dense stored rows — the
+        # polish gradient runs through the block protocol and the
+        # curvature bound through the quadratic two-pass power
+        # iteration (exact for the least-squares family; other sparse
+        # losses have no safe automatic η yet)
+        if getattr(F, "coeff_mode", None) != 0:
+            raise ValueError(
+                "deep_solve: automatic polish stepsizes for oracles "
+                "without dense rows cover the quadratic (least-"
+                "squares) family only — pass a dense-rows oracle or "
+                "precompute η yourself via fista_polish"
+            )
+        lmax = float(power_lmax_quadratic(F, key, iters=power_iters))
+    else:
+        lmax = float(power_lmax(F, z, key, iters=power_iters,
+                                margin_slack=margin_slack))
     eta = jnp.asarray(eta_safety / lmax, jnp.float32)
     chunk = _largest_divisor_leq(N, polish_chunk)
 
     fp_hist: List[float] = []
     steps = 0
     for _ in range(polish_max_rounds):
-        res = fista_polish(F, g, z, eta, polish_steps, chunk)
+        res = fista_polish(F, g, z, eta, polish_steps, chunk,
+                           block_protocol=block_protocol)
         z = res.x
         steps += polish_steps
         fp = float(res.fp_res)

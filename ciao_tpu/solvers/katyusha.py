@@ -299,7 +299,7 @@ class Katyusha:
         from ciao_tpu.solvers.base import fused_inner_gate
 
         fused = fused_inner_gate(self.block_sampling, self.batch, x0, F,
-                                 g, N)
+                                 g, N, who="Katyusha")
         cfg = KatyushaCfg(N=N, batch=self.batch, m=m,
                           block=self.block_sampling, ns=ns, fused=fused,
                           fused_precision=self.fused_precision)

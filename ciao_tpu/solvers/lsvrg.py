@@ -290,10 +290,12 @@ def lsvrg_rebase(F, g, state, cfg: LSVRGCfg):
 
 def _loopless_fused_gate(self, x0, F, g, N) -> bool:
     """LSVRG/LKatyusha fused-kernel gate — the shared SVRG-family
-    policy (solvers.base.fused_inner_gate)."""
+    policy (solvers.base.fused_inner_gate, with its one-time TPU
+    fallback warning)."""
     from ciao_tpu.solvers.base import fused_inner_gate
 
-    return fused_inner_gate(self.block_sampling, self.batch, x0, F, g, N)
+    return fused_inner_gate(self.block_sampling, self.batch, x0, F, g,
+                            N, who=type(self).__name__)
 
 
 @dataclasses.dataclass(frozen=True)

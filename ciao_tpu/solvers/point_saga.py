@@ -376,6 +376,11 @@ class PointSAGA:
                     N, x0.size, self.batch, x0.dtype
                 )
             )
+        if (self.block_sampling and self.batch > 1
+                and not (fused or fused_stream)):
+            from ciao_tpu.solvers.base import warn_fused_gate_fallback
+
+            warn_fused_gate_fallback("PointSAGA", F, g, x0)
         cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling,
                            fused=fused, fused_stream=fused_stream,
                            fused_precision=self.fused_precision)

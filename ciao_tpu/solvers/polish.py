@@ -95,19 +95,56 @@ def grad_mean_chunked(F, x, chunk: int):
     return grad_sum_chunked(F, x, chunk) / F.num_terms
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "chunk"))
-def fista_polish(F, g, x0, eta, steps: int, chunk: int = 32_768):
+def grad_sum_chunked_blocks(F, x, chunk: int):
+    """Σᵢ ∇fᵢ(x) with the compensated cross-chunk carry through the
+    BLOCK protocol (``coeff_block`` + ``apply_rows_block``) instead of
+    dense stored rows — this is how SPARSE oracles (ELL / hybrid
+    hot-cold) polish: the same two-sum accumulation, one
+    coefficient-read + one apply per chunk. Any rank-1 block oracle
+    works; the dense-rows version (``grad_sum_chunked``) reads each
+    row once instead of twice and stays preferred where it applies."""
+    N = F.num_terms
+    n = x.size
+    if N % chunk:
+        raise ValueError(f"chunk {chunk} must divide N={N}")
+    d = N // chunk
+
+    def body(carry, i):
+        hi, lo = carry
+        start = i * chunk
+        c = F.coeff_block(x, start, chunk)
+        p = F.apply_rows_block(c, start, chunk)
+        return _two_sum(hi, lo, p), None
+
+    z = jnp.zeros(n, x.dtype)
+    (hi, lo), _ = jax.lax.scan(body, (z, z), jnp.arange(d))
+    return hi + lo
+
+
+def grad_mean_chunked_blocks(F, x, chunk: int):
+    """(1/N)·Σᵢ ∇fᵢ(x) via the block protocol, compensated."""
+    return grad_sum_chunked_blocks(F, x, chunk) / F.num_terms
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "chunk", "block_protocol"))
+def fista_polish(F, g, x0, eta, steps: int, chunk: int = 32_768,
+                 block_protocol: bool = False):
     """``steps`` monotone-FISTA steps x ← prox_g(y − η∇f(y), η) with the
     compensated chunked gradient; one dispatch (η from a spectral bound
-    — see ``lsq_power_lmax``). Monotone restart: if the candidate's
-    fixed-point residual grows, the momentum resets (standard FISTA
-    restart; keeps the last stretch of a nearly-quadratic basin
-    monotone)."""
+    — see ``power_lmax`` / ``power_lmax_quadratic``). Monotone restart:
+    if the candidate's fixed-point residual grows, the momentum resets
+    (standard FISTA restart; keeps the last stretch of a
+    nearly-quadratic basin monotone). ``block_protocol=True`` routes
+    the gradient through ``grad_mean_chunked_blocks`` — the SPARSE
+    oracles' path (no dense stored rows)."""
     eta = jnp.asarray(eta, x0.dtype)
+    grad_fn = (grad_mean_chunked_blocks if block_protocol
+               else grad_mean_chunked)
 
     def step(carry, _):
         x, y, t, _ = carry
-        gr = grad_mean_chunked(F, y, chunk)
+        gr = grad_fn(F, y, chunk)
         x_new = g.prox_only(y - eta * gr, eta)
         res = jnp.linalg.norm(x_new - y) / eta
         # gradient-mapping restart: ⟨y − x_new, x_new − x⟩ > 0 means the
@@ -162,6 +199,28 @@ def power_lmax(F, x, key, iters: int = 8, margin_slack=0.0):
     def body(v, _):
         u = jnp.dot(A, v, precision=_HI)
         hv = jnp.dot(w * u, A, precision=_HI) / N
+        lam = jnp.linalg.norm(hv)
+        return hv / lam, lam
+
+    v0 = jax.random.normal(key, (n,), jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    _, lams = jax.lax.scan(body, v0, None, length=iters)
+    return lams[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def power_lmax_quadratic(F, key, iters: int = 8):
+    """λmax of the mean Hessian for a QUADRATIC (least-squares-family)
+    oracle WITHOUT dense stored rows — the sparse ELL / hybrid layouts:
+    since ∇ is affine, H v = (∇Σf(v) − ∇Σf(0))/N exactly, so the power
+    iteration runs through ``grad_sum_all`` alone (two operator passes
+    per iteration). Quadratic losses only (``coeff_mode == 0``); the
+    loss-generic dense-rows bound is :func:`power_lmax`."""
+    n = F.dim
+
+    def body(v, _):
+        hv = (F.grad_sum_all(v) - F.grad_sum_all(jnp.zeros_like(v)))
+        hv = hv / F.num_terms
         lam = jnp.linalg.norm(hv)
         return hv / lam, lam
 

@@ -339,6 +339,27 @@ class Proshi:
                 and hasattr(F, "A") and hasattr(F, "b")
                 and isinstance(g, (IndBox, NormL1, Zero))
             )
+        if not fused and self.minibatch[1] > 1:
+            from ciao_tpu import runtime
+
+            if runtime.on_tpu() and not jnp.iscomplexobj(x0):
+                if (self.sweeping == Sweep.RANDOM
+                        and not self.block_sampling):
+                    runtime.warn_fused_fallback(
+                        "Proshi", "the RANDOM sweep only fuses through "
+                        "the contiguous-block stream",
+                        "set block_sampling=True (needs d = N/batch "
+                        ">= 64), or use cyclic/shuffled sweeping",
+                    )
+                else:
+                    runtime.warn_fused_fallback(
+                        "Proshi", "the fused sharing kernel needs f32 "
+                        "iterates, a dense rank-1 row oracle and an "
+                        "IndBox/NormL1/Zero coupling prox (random "
+                        "sweeps additionally d >= 64)",
+                        "align the config to those gates or accept the "
+                        "stepwise path",
+                    )
         cfg = ProshiCfg(
             N=N, batch=self.minibatch[1], sweeping=self.sweeping,
             alpha=float(self.alpha), fused=fused,

@@ -254,7 +254,7 @@ class SARAH:
         from ciao_tpu.solvers.base import fused_inner_gate
 
         fused = fused_inner_gate(self.block_sampling, self.batch, x0, F,
-                                 g, N)
+                                 g, N, who="SARAH")
         cfg = SARAHCfg(N=N, batch=self.batch, m=m, block=self.block_sampling,
                        fused=fused, fused_precision=self.fused_precision)
         key = jax.random.PRNGKey(self.seed)

@@ -328,6 +328,10 @@ class SSNM:
                     N, x0.size, self.batch, x0.dtype
                 )
             )
+        if self.batch > 1 and not (fused or fused_stream):
+            from ciao_tpu.solvers.base import warn_fused_gate_fallback
+
+            warn_fused_gate_fallback("SSNM", F, g, x0)
         cfg = SSNMCfg(N=N, batch=self.batch, fused=fused,
                       fused_stream=fused_stream,
                       fused_precision=self.fused_precision)

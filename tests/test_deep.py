@@ -194,3 +194,44 @@ def test_deep_solve_poisson_with_trust_region_slack(data):
     # the polish ran with a finite, slack-inflated stepsize and left
     # the iterate at (or below) the stochastic stage's last objective
     assert cost64(x) <= info.staged.objectives[-1] + 1e-7
+
+
+def test_deep_solve_sparse_layouts_reach_rel_1e6():
+    """deep_solve serves the SPARSE layouts (round 4): block-protocol
+    compensated polish + the exact quadratic power bound drive both
+    the ELL and hybrid layouts of a planted power-law sparse lasso to
+    rel ≤ 1e-6; non-quadratic sparse oracles get a clear error."""
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    Np, npx = 2048, 256
+    prob = make_sparse_lasso_ell(N=Np, n=npx, hot=64, k_hot=8, k_cold=4,
+                                 p=16, rho=1.0, seed=0)
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+
+    def cost64(F_h, z):
+        r = np.asarray(F_h.coeff_all(jnp.asarray(z)), np.float64) / Np
+        return 0.5 * float(r @ r) + prob.lam * float(
+            np.abs(np.asarray(z, np.float64)).sum())
+
+    f_ref = cost64(prob.hybrid, prob.x_star)
+    for name, F in (("ell", prob.ell), ("hybrid", prob.hybrid)):
+        x, info = deep_solve(
+            jnp.zeros(npx, jnp.float32), F, g, L=prob.L, N=Np,
+            batch=256, chunk_epochs=8, max_epochs=64, plateau_rtol=1e-4,
+            polish_max_rounds=24,
+        )
+        rel = (cost64(prob.hybrid, x) - f_ref) / abs(f_ref)
+        assert rel <= 1e-6, (name, rel)
+        assert info.polish_steps > 0
+
+    # non-quadratic sparse: informative rejection
+    from ciao_tpu.oracles import SparseLogisticELL
+
+    y = jnp.asarray(np.sign(np.random.default_rng(0)
+                            .standard_normal(Np)), jnp.float32)
+    Flog = SparseLogisticELL(idx=prob.ell.idx, val=prob.ell.val, y=y,
+                             n_dim=npx)
+    with pytest.raises(ValueError, match="quadratic"):
+        deep_solve(jnp.zeros(npx, jnp.float32), Flog, g,
+                   L=0.25 * prob.L, N=Np, batch=256, chunk_epochs=4,
+                   max_epochs=8)

@@ -168,3 +168,50 @@ def test_saga_sparse_layout_warnings(fake_tpu):
         warnings.simplefilter("error")
         _setup(SAGA(block_sampling=True, batch=64), prob.hybrid, g, L,
                jnp.zeros(512, jnp.float32))
+
+
+def test_beyond_reference_facades_warn(fake_tpu, prob):
+    """Katyusha/SARAH/LSVRG/LKatyusha (shared fused_inner_gate) and
+    PointSAGA/SSNM/Proshi warn once with reason + remedy when a
+    block-sampling config closes their fused gate; silent when open."""
+    from ciao_tpu import (
+        Katyusha, LKatyusha, LSVRG, PointSAGA, Proshi, SARAH, SSNM,
+    )
+
+    F, L = prob
+    bad_g = IndBox(lo=-1.0, hi=1.0)
+    good_g = NormL1(lam=jnp.asarray(0.1, jnp.float32))
+    x0 = jnp.zeros(n, jnp.float32)
+    setups = [
+        ("Katyusha", lambda g: Katyusha(
+            maxit=1, batch=128, m=8, block_sampling=True)._setup(
+                x0, F, g, L, None)),
+        ("SARAH", lambda g: SARAH(
+            maxit=1, batch=128, m=8, block_sampling=True)._setup(
+                x0, F, g, L, None)),
+        ("LSVRG", lambda g: LSVRG(
+            maxit=1, batch=128, block_sampling=True)._setup(
+                x0, F, g, L, None)),
+        ("SSNM", lambda g: SSNM(maxit=1, batch=128)._setup(
+            x0, F, g, L, None)),
+    ]
+    for who, fn in setups:
+        runtime.reset_fallback_warnings()
+        with pytest.warns(UserWarning, match="NormL1/Zero"):
+            fn(bad_g)
+        runtime.reset_fallback_warnings()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            fn(good_g)
+
+    # PointSAGA: g-independent kernel; close the gate via dtype
+    runtime.reset_fallback_warnings()
+    with pytest.warns(UserWarning, match="f32-only"):
+        PointSAGA(maxit=1, batch=128, block_sampling=True)._setup(
+            jnp.zeros(n, jnp.float64), F, None, L, None)
+
+    # Proshi: RANDOM sweep without block_sampling names the remedy
+    runtime.reset_fallback_warnings()
+    with pytest.warns(UserWarning, match="block_sampling"):
+        Proshi(maxit=1, minibatch=(True, 128), sweeping=1)._setup(
+            x0, F, bad_g, L, None)
