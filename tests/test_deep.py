@@ -235,3 +235,29 @@ def test_deep_solve_sparse_layouts_reach_rel_1e6():
         deep_solve(jnp.zeros(npx, jnp.float32), Flog, g,
                    L=0.25 * prob.L, N=Np, batch=256, chunk_epochs=4,
                    max_epochs=8)
+
+
+def test_deep_solve_dp_reaches_rel_1e6_on_mesh():
+    """deep_solve_dp (round 4): the deep-accuracy plan over the
+    8-device DP mesh — local-update DPSAGA to plateau, the curvature
+    power bound evaluated on the SHARDED oracle (auto-partitioned),
+    DP-FISTA polish with per-shard compensated chunks — reaches
+    rel ≤ 1e-6 on the planted lasso."""
+    from ciao_tpu.parallel import deep_solve_dp, make_mesh, shard_finite_sum
+
+    prob = make_lasso(N=N, n=n, p=6, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A, jnp.float32),
+                         b=jnp.asarray(prob.b, jnp.float32),
+                         scale=jnp.asarray(float(N), jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh)
+    x, info = deep_solve_dp(
+        jnp.zeros(n, jnp.float32), Fd, g, L=prob.L, N=N, mesh=mesh,
+        batch=256, local_steps=8, chunk_rounds=16, max_rounds=256,
+        plateau_rtol=1e-4,
+    )
+    rel = (prob.cost(np.asarray(x)) - prob.f_star) / abs(prob.f_star)
+    assert rel <= 1e-6, rel
+    assert info.lmax > 0 and info.polish_steps > 0
