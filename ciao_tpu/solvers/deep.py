@@ -73,6 +73,7 @@ def deep_solve(
     plateau_rtol: float = 1e-5,
     max_epochs: int = 4096,
     gamma: Optional[float] = None,
+    importance_sampling: bool = False,
     polish_steps: int = 4,
     polish_max_rounds: int = 16,
     polish_chunk: int = 32_768,
@@ -99,7 +100,10 @@ def deep_solve(
     always runs on ``F`` itself. ``g`` needs ``prox_only`` (NormL1 /
     Zero / any separable prox). For Poisson pass ``margin_slack``
     (~0.5): its curvature weight is a trust-region bound around the
-    stochastic stage's solution.
+    stochastic stage's solution. ``importance_sampling=True`` runs the
+    stochastic stage with Lipschitz-proportional draws (fused at any N
+    via the systematic-πps schedule) — the right stage-1 knob for
+    ill-conditioned data; the polish stage is sampling-free.
 
     The polish stops early when the fixed-point residual stalls
     (< 1.33× decrease over a round — the compensated-gradient floor).
@@ -121,7 +125,8 @@ def deep_solve(
         x0, F, g, L, N,
         storages=storages, batch=batch, chunk_epochs=chunk_epochs,
         plateau_rtol=plateau_rtol, max_epochs=max_epochs, gamma=gamma,
-        seed=seed, observe=observe,
+        importance_sampling=importance_sampling, seed=seed,
+        observe=observe,
     )
 
     from ciao_tpu.prox import Zero

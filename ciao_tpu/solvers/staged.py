@@ -51,6 +51,7 @@ def staged_saga(
     plateau_rtol: float = 1e-3,
     max_epochs: int = 8192,
     gamma: Optional[float] = None,
+    importance_sampling: bool = False,
     seed: int = 0,
     observe=None,
 ) -> Tuple[jnp.ndarray, StagedInfo]:
@@ -70,6 +71,9 @@ def staged_saga(
     ``observe`` (optional) is called as ``observe(z)`` with the current
     iterate after every chunk — progress/crossing instrumentation (its
     cost is the caller's; ``deep_solve`` threads it through).
+    ``importance_sampling=True`` (needs ``L``) runs every stage with
+    Lipschitz-proportional block draws — at the streamed scale the
+    systematic-πps schedule keeps it fused (round 4).
 
     Returns ``(solution, StagedInfo)``.
     """
@@ -100,7 +104,8 @@ def staged_saga(
     # one cfg serves every stage (the storage lives in the oracle); the
     # facade derives block/coeff/fused gating from the f32 oracle
     solver = SAGA(maxit=1, block_sampling=True, batch=batch,
-                  gamma=gamma, seed=seed)
+                  gamma=gamma, seed=seed,
+                  importance_sampling=importance_sampling)
     _, _, _, cfg, init = solver._setup(x0, F, g, L, N)
     state = init()
 

@@ -261,3 +261,45 @@ def test_deep_solve_dp_reaches_rel_1e6_on_mesh():
     rel = (prob.cost(np.asarray(x)) - prob.f_star) / abs(prob.f_star)
     assert rel <= 1e-6, rel
     assert info.lmax > 0 and info.polish_steps > 0
+
+
+def test_deep_solve_importance_stage():
+    """deep_solve(importance_sampling=True) composes the Lipschitz-
+    proportional stage-1 draws with the polish: full accuracy on the
+    well-conditioned instance, and a clear win over the uniform stage
+    at a matched budget on the raw (uncapped, κ-exploded) reference
+    generator — the data importance sampling exists for."""
+    # plumbing + accuracy: well-conditioned, both schedules hit 1e-6
+    wc = make_lasso(N=2048, n=64, p=6, seed=0, dtype=np.float32,
+                    well_conditioned=True)
+    Fw = LeastSquaresRows(A=jnp.asarray(wc.A, jnp.float32),
+                          b=jnp.asarray(wc.b, jnp.float32),
+                          scale=jnp.asarray(2048.0, jnp.float32))
+    gw = NormL1(lam=jnp.asarray(wc.lam, jnp.float32))
+    xw, info = deep_solve(jnp.zeros(64, jnp.float32), Fw, gw, L=wc.L,
+                          N=2048, batch=128, chunk_epochs=8,
+                          max_epochs=96, plateau_rtol=1e-4,
+                          importance_sampling=True)
+    rel_w = (wc.cost(np.asarray(xw)) - wc.f_star) / abs(wc.f_star)
+    assert rel_w <= 1e-6, rel_w
+    assert info.polish_steps > 0
+
+    # benefit: raw generator (κ huge) — matched budget, importance
+    # stage lands much closer before the (budget-capped) polish
+    prob = make_lasso(N=1024, n=64, p=6, seed=1, dtype=np.float32)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A, jnp.float32),
+                         b=jnp.asarray(prob.b, jnp.float32),
+                         scale=jnp.asarray(1024.0, jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    kw = dict(L=prob.L, N=1024, batch=64, chunk_epochs=16,
+              max_epochs=192, plateau_rtol=1e-4, polish_max_rounds=2)
+    xi, _ = deep_solve(jnp.zeros(64, jnp.float32), F, g,
+                       importance_sampling=True, **kw)
+    xu, _ = deep_solve(jnp.zeros(64, jnp.float32), F, g, **kw)
+    gap_i = prob.cost(np.asarray(xi)) - prob.f_star
+    gap_u = prob.cost(np.asarray(xu)) - prob.f_star
+    # the plateau heuristic stops BOTH runs early on this κ (deep_solve
+    # is a floor-detector, not an ill-conditioning fix), so the edge
+    # here is directional; the 100× matched-budget win without plateau
+    # interference is pinned in tests/test_importance.py
+    assert gap_i * 1.5 < gap_u, (gap_i, gap_u)

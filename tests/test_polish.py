@@ -142,3 +142,37 @@ def test_polish_guards(lasso):
         grad_mean_chunked(F, x, 1000)
     with pytest.raises(ValueError, match="int8"):
         grad_mean_chunked(F.with_storage("int8"), x, 512)
+
+
+def test_block_protocol_chunked_grad_matches_oracle():
+    """grad_mean_chunked_blocks (the sparse layouts' polish gradient)
+    ≡ the oracle's full gradient, for dense AND both sparse layouts —
+    and fista_polish(block_protocol=True) takes the same step as the
+    dense-rows path on a dense oracle."""
+    from ciao_tpu.solvers.polish import (
+        fista_polish, grad_mean_chunked, grad_mean_chunked_blocks,
+    )
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.1 * rng.standard_normal(256), jnp.float32)
+    sp = make_sparse_lasso_ell(N=2048, n=256, hot=64, k_hot=8, k_cold=4,
+                               p=16, rho=1.0, seed=0)
+    for name, F in (("ell", sp.ell), ("hybrid", sp.hybrid)):
+        gb = grad_mean_chunked_blocks(F, x, 256)
+        gref = F.grad_sum_all(x) / 2048
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gref),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+    # dense oracle: both protocols agree step-for-step
+    prob = make_lasso(N=N, n=n, p=8, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A, jnp.float32),
+                         b=jnp.asarray(prob.b, jnp.float32),
+                         scale=jnp.asarray(float(N), jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    x0 = jnp.zeros(n, jnp.float32)
+    r1 = fista_polish(F, g, x0, 1e-6, steps=5, chunk=512)
+    r2 = fista_polish(F, g, x0, 1e-6, steps=5, chunk=512,
+                      block_protocol=True)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=1e-6, atol=1e-8)
