@@ -88,9 +88,39 @@ def main():
     x, _ = TPSAGA(mesh=mesh2, batch=D, maxit=400)(x0, F=F2, g=g, L=prob.L)
     results["tp"] = np.asarray(jax.device_get(x))
 
+    # the deep-accuracy plan over the CROSS-PROCESS mesh: local-update
+    # DPSAGA chunks, sharded-oracle power bound, DP-FISTA compensated
+    # polish — every stage's collectives ride the process boundary.
+    # plateau_rtol=-1 pins the chunk count (the host-side plateau
+    # decision must not knife-edge on reduction order across runs).
+    from ciao_tpu.parallel import deep_solve_dp
+
+    prob_wc = make_lasso(N=N, n=n, p=4, seed=0, dtype=np.float32,
+                         well_conditioned=True)
+    F32 = shard_finite_sum(
+        LeastSquaresRows(
+            A=jnp.asarray(prob_wc.A, jnp.float32),
+            b=jnp.asarray(prob_wc.b, jnp.float32),
+            scale=jnp.asarray(float(N), jnp.float32),
+        ),
+        mesh,
+    )
+    xd, _ = deep_solve_dp(
+        jnp.zeros(n, jnp.float32), F32,
+        NormL1(lam=jnp.asarray(prob_wc.lam, jnp.float32)), L=prob_wc.L,
+        N=N, mesh=mesh, batch=D, local_steps=8, chunk_rounds=32,
+        max_rounds=256, plateau_rtol=-1.0, polish_steps=8,
+        polish_chunk=4,
+    )
+    results["deep"] = np.asarray(jax.device_get(xd))
+
     if jax.process_index() == 0:
         gap = float(prob.cost(results["lockstep"]) - prob.f_star)
-        np.savez(f"{outdir}/multihost_out.npz", gap=gap, **results)
+        rel_deep = float(
+            (prob_wc.cost(results["deep"].astype(np.float64))
+             - prob_wc.f_star) / abs(prob_wc.f_star))
+        np.savez(f"{outdir}/multihost_out.npz", gap=gap,
+                 rel_deep=rel_deep, **results)
     # all processes must reach this point together (the npz write above
     # only happens after both processes' collectives completed)
     jax.distributed.shutdown()

@@ -150,3 +150,12 @@ def test_two_process_gap_recorded(two_process_run):
     _, _, _, prob = _single_process_reference()
     x0_gap = prob.cost(np.zeros(32)) - prob.f_star
     assert 0 < float(two_process_run["gap"]) < 0.5 * x0_gap
+
+
+def test_two_process_deep_solve_dp(two_process_run):
+    """deep_solve_dp across the process boundary (round 4): the
+    local-update stage's round collectives, the sharded-oracle power
+    iteration and the polish's compensated psums all ran over gloo,
+    and the result sits at deep relative accuracy."""
+    rel = float(two_process_run["rel_deep"])
+    assert rel <= 1e-6, rel
