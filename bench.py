@@ -697,6 +697,18 @@ def bench_missing_cells():
         log(f"sqhinge saga fused [{tag}]: {ms:.4f} ms/step "
             f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
 
+        # Point-SAGA on squared-hinge rows (round-4 in-kernel closed
+        # form: one activity test — must sit at the LSQ θ-solve rates,
+        # no Newton tax)
+        st0 = point_saga_init(F_sqh, _Zero(), x0,
+                              (1.0 / (3.0 * Lm)).astype(jnp.float32),
+                              key, pcfg)
+        ms, _ = timed(lambda s, k: point_saga_run(F_sqh, _Zero(), s,
+                                                  pcfg, k),
+                      st0, 768 * STEPS_PER_EPOCH, lambda s: s.x[0])
+        log(f"point-saga sqhinge fused [{tag}]: {ms:.4f} ms/step "
+            f"({BATCH / ms * 1e3 / 1e6:.0f} M samples/s)")
+
         # Poisson GLM — MODE_POISSON (exp on the VPU), round 3
         st0 = saga_init(F_poi, g, x0,
                         (1.0 / (3.0 * Lm)).astype(jnp.float32), key, scfg)

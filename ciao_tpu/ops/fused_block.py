@@ -1885,6 +1885,17 @@ def _pointprox_theta(mode_static, mz, b_t, na_t, c_old, scale, gamma,
             return th - phi / dphi
 
         return jax.lax.fori_loop(0, 20, _newton_poi, c_old)
+    if mode_static == MODE_SQHINGE:
+        # active iff the deficit at the virtual point stays positive
+        # (oracles.sqhinge._pointprox_core: the active-branch solution
+        # keeps deficit/(1+scale·γ‖a‖²) > 0, so one test decides)
+        y_t = b_t
+        deficit = 1.0 - y_t * mz
+        return jnp.where(
+            deficit > 0,
+            -scale * y_t * deficit / (1.0 + scale * gamma * na_t),
+            jnp.zeros_like(mz),
+        )
     theta_lsq = scale * (mz - b_t) / (1.0 + gamma * scale * na_t)
     if mode_static == MODE_HUBER:
         # the unclipped fixed point IS theta_lsq; one clip finishes it

@@ -349,10 +349,12 @@ class PointSAGA:
             from ciao_tpu.ops import coeff_multistep_available
             from ciao_tpu.ops.fused_block import (
                 MODE_HUBER, MODE_LOGISTIC, MODE_LSQ, MODE_POISSON,
+                MODE_SQHINGE,
             )
 
-            # the in-kernel θ-solve: closed forms for least-squares and
-            # Huber (one clip — round 3), 20-step Newton for logistic
+            # the in-kernel θ-solve: closed forms for least-squares,
+            # Huber (one clip — round 3) and squared hinge (one
+            # activity test — round 4), 20-step Newton for logistic
             # and Poisson rows
             kernel_ok = (
                 hasattr(F, "coeff_rows_data")
@@ -360,7 +362,8 @@ class PointSAGA:
                 and getattr(F, "coeff_mode", None) in (MODE_LSQ,
                                                        MODE_LOGISTIC,
                                                        MODE_HUBER,
-                                                       MODE_POISSON)
+                                                       MODE_POISSON,
+                                                       MODE_SQHINGE)
             )
             fused = kernel_ok and coeff_multistep_available(
                 N, x0.size, self.batch, x0.dtype
