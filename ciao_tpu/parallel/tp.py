@@ -1080,6 +1080,105 @@ _DYS_ST_SPECS = TPDYSState(
 )
 
 
+class TPPDCfg(NamedTuple):
+    N: int
+    D: int
+    M: int
+    kkind: str = "firstdiff"   # "identity" | "firstdiff" (stencil K)
+
+
+class TPPDState(NamedTuple):
+    tau: jnp.ndarray
+    sigma: jnp.ndarray
+    x: jnp.ndarray       # (n_loc,) primal shard — the solution view
+    y: jnp.ndarray       # (n_loc,) dual shard, PADDED to n (see step)
+    it: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def solution(self):
+        return self.x
+
+
+def _tp_pd_init(F, gh, x0, tau, sigma, cfg: TPPDCfg):
+    return TPPDState(
+        tau=tau, sigma=sigma, x=x0, y=jnp.zeros_like(x0),
+        it=jnp.ones((), jnp.int32), status=jnp.zeros((), jnp.int32),
+    )
+
+
+def _tp_pd_step(F, gh, cfg: TPPDCfg, state: TPPDState):
+    """One 2-D-sharded Condat-Vũ step with a HALO-EXCHANGE stencil K.
+
+    Round 3 kept Condat-Vũ DP-only because a general K matvec mixes
+    coordinates (a dense K under a coordinate shard needs an n-sized
+    all-gather per step — still true, still DP-only). But the
+    ANALYSIS-STENCIL case — K = FirstDifference, the total-variation /
+    fused-lasso workhorse — touches only ADJACENT coordinates: each
+    "model" shard needs exactly ONE scalar from each neighbor per
+    apply, a single-element `lax.ppermute` riding the ICI ring. The
+    dual y (globally (n−1,)) is carried PADDED to (n,) with the
+    virtual last element pinned to 0, so it shards exactly like x:
+
+        (Kx)_i  = x_{i+1} − x_i   (i < n−1; virtual row n−1 → 0)
+        (Kᵀy)_j = y_{j−1} − y_j   (y_{−1} = y_{n−1} = 0)
+
+    The gradient is the TPFB margin psum pair; both proxes are
+    coordinate-local (separable g, h — the dual prox via the Moreau
+    identity). f = 0 (TP Chambolle-Pock) skips the oracle. Trajectory
+    ≡ single-chip to reduction order (pinned in test_primal_dual)."""
+    from ciao_tpu.oracles import ZeroOracle
+    from ciao_tpu.solvers.primal_dual import prox_conjugate
+
+    g, h = gh
+    tau, sigma = state.tau, state.sigma
+    x, y = state.x, state.y
+    M = cfg.M
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    n_loc = x.shape[0]
+    ring_fwd = [(i, (i + 1) % M) for i in range(M)]   # recv left's send
+    ring_bwd = [(i, (i - 1) % M) for i in range(M)]   # recv right's send
+
+    if isinstance(F, ZeroOracle):
+        grad = jnp.zeros_like(x)
+    else:
+        r = _psum_m(F.margin_all(x))
+        grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+
+    if cfg.kkind == "identity":
+        kty = y
+    else:
+        # Kᵀy: left neighbor's LAST dual element (0 for the first shard)
+        left_last = jax.lax.ppermute(y[-1:], MODEL_AXIS, ring_fwd)
+        left_last = jnp.where(mi == 0, 0.0, left_last)
+        kty = jnp.concatenate([left_last, y[:-1]]) - y
+    x_new = g.prox_only(x - tau * (grad + kty), tau)
+
+    v = 2.0 * x_new - x
+    if cfg.kkind == "identity":
+        kx = v
+    else:
+        # Kv: right neighbor's FIRST primal element (0 for the last
+        # shard — its final row is the virtual zero row of the pad)
+        right_first = jax.lax.ppermute(v[:1], MODEL_AXIS, ring_bwd)
+        right_first = jnp.where(mi == M - 1, 0.0, right_first)
+        kx = jnp.concatenate([v[1:], right_first]) - v
+        virtual = (mi == M - 1) & (jnp.arange(n_loc) == n_loc - 1)
+        kx = jnp.where(virtual, 0.0, kx)
+    y_new = prox_conjugate(h, y + sigma * kx, sigma)
+    if cfg.kkind != "identity":
+        # keep the pad's virtual element exactly 0 (prox_{σh*}(0) = 0
+        # for every norm here, but pin it against exotic h)
+        y_new = jnp.where(virtual, 0.0, y_new)
+    return state._replace(x=x_new, y=y_new, it=state.it + 1)
+
+
+_PD_ST_SPECS = TPPDState(
+    tau=P(), sigma=P(), x=P(MODEL_AXIS), y=P(MODEL_AXIS), it=P(),
+    status=P(),
+)
+
+
 class TPPANOCCfg(NamedTuple):
     N: int
     D: int
@@ -1540,6 +1639,8 @@ def _tp_ssnm_rebase(F, g, cfg: TPCfg, state: TPSSNMState):
 
 
 _TP_FAMILY = {
+    "pd": (_tp_pd_init, _tp_pd_step, _PD_ST_SPECS, _tp_rebase_identity,
+           (P(MODEL_AXIS), P(), P())),
     "saga": (_tp_saga_init, _tp_saga_step, _ST_SPECS, _tp_saga_rebase,
              (P(MODEL_AXIS), P(), P())),
     "finito": (_tp_finito_init, _tp_finito_step, _FIN_ST_SPECS,
@@ -2221,9 +2322,9 @@ class TPDavisYin:
     proxes and the relaxation are coordinate-local, so the trajectory
     equals single-chip to reduction order. Requires a rank-1 oracle
     with the margin protocol. ``TPDouglasRachford`` is the f = 0 case.
-    (Condat-Vũ stays DP-only: its K matvec mixes coordinates, which
-    under a coordinate shard would cost an extra n-sized all-gather per
-    step — see COVERAGE.md.)"""
+    (Condat-Vũ with a DENSE K stays DP-only — its matvec mixes
+    coordinates; the stencil case ships as :class:`TPCondatVu`, round
+    4.)"""
 
     mesh: object = None
     gamma: Optional[float] = None
@@ -2322,6 +2423,138 @@ class TPDavisYin:
 def TPDouglasRachford(**kwargs) -> TPDavisYin:
     """``TPDavisYin`` with f = 0 (Douglas-Rachford over the 2-D mesh)."""
     return TPDavisYin(**kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class TPCondatVu:
+    """Condat-Vũ on a ("data", "model") mesh for STENCIL analysis maps
+    (round 4; see :class:`ciao_tpu.solvers.CondatVu`): minimize
+    (1/N)Σf_i + g(x) + h(Kx) with K = `FirstDifference` (total
+    variation / fused lasso) or `IdentityMap`. The stencil touches only
+    adjacent coordinates, so the coordinate shard needs ONE scalar halo
+    per neighbor per apply — a single-element `lax.ppermute` riding the
+    ICI ring — instead of the n-sized all-gather a general K would
+    force (dense `DenseMap` K therefore stays DP-only — `DPCondatVu`).
+    The dual is carried padded to (n,) so it shards exactly like x.
+    One margin psum over "model" + one gradient psum over "data" + two
+    single-scalar ppermutes per step; both proxes coordinate-local
+    (separable g, h). ``TPChambollePock`` is the f = 0 case."""
+
+    mesh: object = None
+    tau: Optional[float] = None
+    sigma: Optional[float] = None
+    maxit: int = 1000
+    verbose: bool = False
+    freq: int = 100
+
+    def __post_init__(self):
+        assert self.tau is None or self.tau > 0
+        assert self.sigma is None or self.sigma > 0
+        assert self.maxit > 0 and self.freq > 0
+
+    def _setup(self, x0, F, g, h, K, L, N):
+        from ciao_tpu.ops.linmap import FirstDifference, IdentityMap
+        from ciao_tpu.solvers.primal_dual import CondatVu as _CV
+
+        mesh = self.mesh
+        if mesh is None or MODEL_AXIS not in mesh.shape:
+            raise ValueError(
+                "TPCondatVu needs a ('data','model') mesh (make_mesh_2d)"
+            )
+        D, M = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+        x0 = jnp.asarray(x0)
+        if N is None:
+            if F is None:
+                raise ValueError("TPCondatVu: provide F or N")
+            N = F.num_terms
+        if F is None:
+            from ciao_tpu.oracles import ZeroOracle
+
+            F = ZeroOracle(n_terms=N)
+        if g is None:
+            g = Zero()
+        if h is None:
+            h = Zero()
+        if K is None:
+            K = IdentityMap()
+        if isinstance(K, IdentityMap):
+            kkind = "identity"
+        elif isinstance(K, FirstDifference):
+            kkind = "firstdiff"
+        else:
+            raise ValueError(
+                "TPCondatVu serves stencil maps only (FirstDifference /"
+                " IdentityMap) — a dense K mixes coordinates and needs "
+                "an n-sized all-gather per step under a coordinate "
+                "shard; use DPCondatVu for DenseMap"
+            )
+        for term, name in ((g, "g"), (h, "h")):
+            if not getattr(term, "separable", False):
+                raise ValueError(
+                    f"TPCondatVu shards coordinates — {name} must be "
+                    f"separable (got {type(term).__name__})"
+                )
+        from ciao_tpu.oracles import ZeroOracle as _ZO
+
+        if not isinstance(F, _ZO) and not hasattr(F, "margin_all"):
+            raise ValueError(
+                "TPCondatVu needs the margin protocol (dense row "
+                f"oracles); {type(F).__name__} is DP-only"
+            )
+        if N % D != 0:
+            raise ValueError("TPCondatVu: need N divisible by D")
+        if x0.size % M != 0:
+            raise ValueError("TPCondatVu: need n divisible by the model axis")
+        rdt = real_dtype_of(x0)
+        if L is not None:
+            Lf = float(jnp.mean(jnp.asarray(L, rdt)))
+        elif isinstance(F, _ZO) or self.tau is not None:
+            Lf = 0.0
+        else:
+            raise ValueError(
+                "TPCondatVu: provide the smoothness moduli L, or an "
+                "explicit stepsize τ"
+            )
+        # reuse the single-chip stepsize rule (σ = 1/‖K‖, τ from the
+        # convergence condition) so trajectories match exactly
+        tau, sigma = _CV(tau=self.tau, sigma=self.sigma)._stepsizes(
+            Lf, float(K.opnorm_bound(x0.size)), rdt)
+        gh = (g, h)
+        cfg = TPPDCfg(N=N, D=D, M=M, kkind=kkind)
+        f_specs = data_model_specs(F, N)
+        leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
+        g_leaves, g_treedef = jax.tree_util.tree_flatten(
+            model_prox_specs(gh, x0.size)
+        )
+        init_c, step_c, run_c, rebase_c = _compiled_tp_family(
+            "pd", mesh, f_treedef, tuple(leaves), g_treedef,
+            tuple(g_leaves), cfg
+        )
+        init = lambda: init_c(F, gh, x0, tau, sigma)
+        step = lambda s: step_c(F, gh, s)
+        run = lambda s, k: run_c(F, gh, s, k)
+        rebase = lambda s: rebase_c(F, gh, s)
+        return x0, F, gh, init, step, run, rebase
+
+    def __call__(self, x0, F=None, g=None, h=None, K=None, L=None, N=None,
+                 observe=None):
+        x0, F, gh, init, step, run, _ = self._setup(x0, F, g, h, K, L, N)
+        disp = lambda it, st: print(f"{it:5d} | {float(st.tau):.3e}")
+        state, it = run_solver_loop(
+            init, run, self.maxit, self.verbose, self.freq, disp, observe
+        )
+        return state.solution, it
+
+    def iterator(self, x0, F=None, g=None, h=None, K=None, L=None, N=None):
+        x0_orig = x0
+        x0, F, gh, init, step, run, rebase = self._setup(
+            x0, F, g, h, K, L, N)
+        return SolverIterable(x0_orig, init, step, rebase_fn=rebase)
+
+
+def TPChambollePock(**kwargs) -> TPCondatVu:
+    """``TPCondatVu`` with f = 0 (Chambolle-Pock over the 2-D mesh)."""
+    return TPCondatVu(**kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

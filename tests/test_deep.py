@@ -303,3 +303,56 @@ def test_deep_solve_importance_stage():
     # here is directional; the 100× matched-budget win without plateau
     # interference is pinned in tests/test_importance.py
     assert gap_i * 1.5 < gap_u, (gap_i, gap_u)
+
+
+def test_deep_solve_huber_and_sqhinge_rel_1e6_vs_f64_reference(data):
+    """Completes the deep-target matrix: Huber and squared hinge (the
+    remaining advertised smooth losses with global curvature weights)
+    land within rel 1e-6 of f64 reference optima through the same API."""
+    A, b, y, _ = data
+    lam_l1 = 0.05
+    A64 = np.asarray(A, np.float64)
+
+    def run_case(F32, F64, cost64, L):
+        lam_sp = float(np.linalg.eigvalsh(A64.T @ A64 / N).max())
+        xref, _ = ciao_tpu.FISTA(maxit=20_000, gamma=0.9 / lam_sp)(
+            jnp.zeros(n, jnp.float64), F=F64,
+            g=NormL1(lam=jnp.asarray(lam_l1, jnp.float64)), N=N)
+        f_star = cost64(xref)
+        x, info = deep_solve(
+            jnp.zeros(n, jnp.float32), F32,
+            NormL1(lam=jnp.asarray(lam_l1, jnp.float32)), L=L, N=N,
+            batch=256, chunk_epochs=8, max_epochs=64, plateau_rtol=1e-4)
+        rel = (cost64(x) - f_star) / abs(f_star)
+        assert -1e-6 < rel <= 1e-6, rel
+        assert info.polish_steps > 0
+
+    # Huber (delta = 0.7, scale 1)
+    delta = 0.7
+    Fh32 = HuberRows(A=A, b=b, delta=jnp.asarray(delta, jnp.float32),
+                     scale=jnp.asarray(1.0, jnp.float32))
+    Fh64 = HuberRows(A=jnp.asarray(A64), b=jnp.asarray(np.asarray(b, np.float64)),
+                     delta=jnp.asarray(delta, jnp.float64),
+                     scale=jnp.asarray(1.0, jnp.float64))
+
+    def hub_cost(z):
+        r = A64 @ np.asarray(z, np.float64) - np.asarray(b, np.float64)
+        hv = np.where(np.abs(r) <= delta, 0.5 * r * r,
+                      delta * (np.abs(r) - 0.5 * delta))
+        return hv.mean() + lam_l1 * np.abs(np.asarray(z, np.float64)).sum()
+
+    run_case(Fh32, Fh64, hub_cost, jnp.sum(A * A, axis=1))
+
+    # squared hinge (smooth SVM)
+    Fs32 = SquaredHingeRows(A=A, y=y, scale=jnp.asarray(1.0, jnp.float32))
+    Fs64 = SquaredHingeRows(A=jnp.asarray(A64),
+                            y=jnp.asarray(np.asarray(y, np.float64)),
+                            scale=jnp.asarray(1.0, jnp.float64))
+
+    def sqh_cost(z):
+        m = A64 @ np.asarray(z, np.float64)
+        d = np.maximum(0.0, 1.0 - np.asarray(y, np.float64) * m)
+        return 0.5 * (d * d).mean() + lam_l1 * np.abs(
+            np.asarray(z, np.float64)).sum()
+
+    run_case(Fs32, Fs64, sqh_cost, jnp.sum(A * A, axis=1))

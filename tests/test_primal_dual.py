@@ -452,3 +452,66 @@ def test_cv_and_dys_observer_three_term_objective():
     )
     objs2 = [r["obj"] for r in tr2.records if "obj" in r]
     assert len(objs2) >= 3 and np.isfinite(objs2[-1])
+
+
+def test_tp_condat_vu_matches_single_chip():
+    """TPCondatVu (round 4): the halo-exchange stencil K over the
+    (4, 2) ("data","model") mesh — one scalar ppermute per K apply —
+    must reproduce the single-chip Condat-Vũ trajectory to reduction
+    order on a fused-lasso problem (K = FirstDifference)."""
+    import ciao_tpu
+    from ciao_tpu.parallel import (
+        TPCondatVu, make_mesh_2d, shard_finite_sum_2d,
+    )
+
+    rng = np.random.default_rng(3)
+    Np, npx = 64, 16
+    A = jnp.asarray(rng.standard_normal((Np, npx)))
+    b = jnp.asarray(rng.standard_normal(Np))
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(Np)))
+    L = np.asarray(jnp.sum(A * A, axis=1) * Np)
+    g = NormL1(lam=jnp.asarray(0.05))
+    h = NormL1(lam=jnp.asarray(0.1))
+    K = FirstDifference()
+    x0 = jnp.zeros(npx)
+    mesh = make_mesh_2d(4, 2)
+    Fd = shard_finite_sum_2d(F, mesh)
+    x_tp, _ = TPCondatVu(mesh=mesh, maxit=300)(
+        x0, F=Fd, g=g, h=h, K=K, L=L, N=Np)
+    x_sc, _ = ciao_tpu.CondatVu(maxit=300)(
+        x0, F=F, g=g, h=h, K=K, L=L, N=Np)
+    np.testing.assert_allclose(np.asarray(x_tp), np.asarray(x_sc),
+                               rtol=1e-9, atol=1e-12)
+
+    # f = 0: TP Chambolle-Pock ≡ single-chip Chambolle-Pock
+    from ciao_tpu.parallel import TPChambollePock
+
+    x_tp0, _ = TPChambollePock(mesh=mesh, maxit=300)(
+        x0, g=g, h=h, K=K, N=Np)
+    x_sc0, _ = ciao_tpu.ChambollePock(maxit=300)(
+        x0, g=g, h=h, K=K, N=Np)
+    np.testing.assert_allclose(np.asarray(x_tp0), np.asarray(x_sc0),
+                               rtol=1e-9, atol=1e-12)
+
+    # identity-K case shards too
+    x_tpi, _ = TPCondatVu(mesh=mesh, maxit=200)(
+        x0, F=Fd, g=g, h=h, L=L, N=Np)
+    x_sci, _ = ciao_tpu.CondatVu(maxit=200)(
+        x0, F=F, g=g, h=h, L=L, N=Np)
+    np.testing.assert_allclose(np.asarray(x_tpi), np.asarray(x_sci),
+                               rtol=1e-9, atol=1e-12)
+
+    # guards: dense K and non-separable g are DP-only / rejected
+    import pytest as _pytest
+
+    from ciao_tpu.ops.linmap import DenseMap
+    from ciao_tpu.prox import NormNuclear
+
+    with _pytest.raises(ValueError, match="DenseMap"):
+        TPCondatVu(mesh=mesh, maxit=2)(
+            x0, F=Fd, g=g, h=h,
+            K=DenseMap(M=jnp.eye(npx)), L=L, N=Np)
+    with _pytest.raises(ValueError, match="separable"):
+        TPCondatVu(mesh=mesh, maxit=2)(
+            x0, F=Fd, g=NormNuclear(lam=jnp.asarray(0.1)), h=h, K=K,
+            L=L, N=Np)
