@@ -129,3 +129,97 @@ def deep_solve_dp(
         observe(x)
     return x, DeepSolveInfo(staged=sinfo, lmax=lmax, eta=eta,
                             polish_steps=polish_steps, fp_res=[])
+
+
+def deep_solve_tp(
+    x0,
+    F,
+    g=None,
+    L=None,
+    N: Optional[int] = None,
+    *,
+    mesh,
+    batch: int = 0,
+    chunk_steps: int = 2048,
+    plateau_rtol: float = 1e-5,
+    max_steps: int = 262_144,
+    gamma: Optional[float] = None,
+    polish_steps: int = 16,
+    polish_chunk: int = 32_768,
+    power_iters: int = 6,
+    eta_safety: float = 0.9,
+    margin_slack: float = 0.0,
+    seed: int = 0,
+    observe=None,
+) -> Tuple[jnp.ndarray, DeepSolveInfo]:
+    """The deep-accuracy plan on a ("data", "model") mesh — the
+    TENSOR-PARALLEL face of :func:`ciao_tpu.deep_solve` (huge-n
+    problems whose iterate itself shards over coordinates):
+
+    1. TPSAGA in step chunks to the objective plateau (margins psum
+       over "model", innovation psum over "data");
+    2. the curvature bound from the same generic :func:`power_lmax`
+       evaluated on the 2-D-sharded oracle (auto-partitioned jit);
+    3. TP-FISTA polish with ``polish_chunk`` — each (data, model)
+       shard's compensated chunked gradient, hi/lo carries psum'd
+       separately over "data".
+
+    ``F`` must be sharded with ``shard_finite_sum_2d`` (dense f32
+    rows); ``g`` separable. Pinned to rel ≤ 1e-6 on the CI mesh in
+    ``tests/test_deep.py``."""
+    from ciao_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from ciao_tpu.parallel.tp import TPForwardBackward, TPSAGA
+    from ciao_tpu.prox import Zero
+
+    if MODEL_AXIS not in getattr(mesh, "shape", {}):
+        raise ValueError("deep_solve_tp needs a ('data','model') mesh")
+    if N is None:
+        N = F.num_terms
+    if g is None:
+        g = Zero()
+    D = mesh.shape[DATA_AXIS]
+    b = batch or D
+
+    solver = TPSAGA(mesh=mesh, batch=b, gamma=gamma, seed=seed)
+    x0r, Fd, g, init, _, run, _ = solver._setup(x0, F, g, L, N)
+    state = init()
+
+    @jax.jit
+    def _obj(F_, g_, z):
+        return F_.value_sum_all(z) / N + g_.value(z)
+
+    objs: List[float] = []
+    chunks = 0
+    prev = float(_obj(Fd, g, state.z))
+    plateaued = False
+    while chunks * chunk_steps < max_steps:
+        state = run(state, chunk_steps)
+        cur = float(_obj(Fd, g, state.z))
+        chunks += 1
+        objs.append(cur)
+        if observe is not None:
+            observe(state.z)
+        if prev - cur < plateau_rtol * max(abs(prev), 1e-30):
+            plateaued = True
+            prev = cur
+            break
+        prev = cur
+
+    sinfo = StagedInfo(
+        storages=["f32"],
+        epochs=[chunks * chunk_steps * b // max(N, 1)],
+        objectives=[prev], switched_early=[plateaued])
+
+    key = jax.random.PRNGKey(seed + 1)
+    lmax = float(power_lmax(Fd, state.z, key, iters=power_iters,
+                            margin_slack=margin_slack))
+    eta = eta_safety / lmax
+
+    pchunk = _largest_divisor_leq(N // D, polish_chunk)
+    pol = TPForwardBackward(mesh=mesh, maxit=polish_steps, fast=True,
+                            gamma=eta, polish_chunk=pchunk)
+    x, _ = pol(state.z, F=Fd, g=g)
+    if observe is not None:
+        observe(x)
+    return x, DeepSolveInfo(staged=sinfo, lmax=lmax, eta=eta,
+                            polish_steps=polish_steps, fp_res=[])

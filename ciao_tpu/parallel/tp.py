@@ -995,6 +995,7 @@ class TPFBCfg(NamedTuple):
     D: int
     M: int
     fast: bool = False
+    polish_chunk: int = 0   # FB/FISTA: compensated chunked local gradient
 
     @property
     def n_loc(self):
@@ -1009,13 +1010,45 @@ def _tp_fb_init(F, g, x0, gamma, cfg: TPFBCfg):
     )
 
 
+def _tp_fb_grad_polish(F, y, cfg: TPFBCfg):
+    """COMPENSATED 2-D-sharded full gradient (the TP face of
+    solvers.polish.grad_sum_chunked — round 4): each (data, model)
+    shard streams its row block in ``polish_chunk``-row chunks — one
+    "model" margin psum per chunk — and carries the partial gradient
+    shard with a two-sum compensation; the final "data" reduction psums
+    the hi and lo carries SEPARATELY (D addends cost ~√D·eps, orders
+    below the chunk carries they ride on). This is what lets the
+    model-sharded deep_solve_tp polish below the monolithic-f32
+    gradient floor."""
+    from ciao_tpu.solvers.polish import _two_sum
+
+    C = cfg.polish_chunk
+    d = cfg.n_loc // C
+
+    def body(carry, i):
+        hi, lo = carry
+        start = i * C
+        m = _psum_m(F.margin_block(y, start, C))
+        c = F.coeff_from_margin(m, start, C)
+        p = F.apply_rows_block(c, start, C)
+        return _two_sum(hi, lo, p), None
+
+    z = jnp.zeros_like(y)
+    (hi, lo), _ = jax.lax.scan(body, (z, z), jnp.arange(d))
+    return (_psum_d(hi) + _psum_d(lo)) / cfg.N
+
+
 def _tp_fb_step(F, g, cfg: TPFBCfg, state: TPFBState):
     """One 2-D-sharded ISTA/FISTA step: full-gradient margins psum over
     "model", the gradient shard psum over "data", prox + extrapolation
-    coordinate-local (separable g)."""
+    coordinate-local (separable g). ``polish_chunk`` swaps in the
+    compensated chunked gradient (deep-accuracy polish)."""
     gamma = state.gamma
-    r = _psum_m(F.margin_all(state.y))
-    grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
+    if cfg.polish_chunk:
+        grad = _tp_fb_grad_polish(F, state.y, cfg)
+    else:
+        r = _psum_m(F.margin_all(state.y))
+        grad = _psum_d(F.apply_all(F.coeff_from_margin_all(r))) / cfg.N
     x_new = g.prox_only(state.y - gamma * grad, gamma)
     if cfg.fast:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t * state.t))
@@ -2233,10 +2266,12 @@ class TPForwardBackward:
     verbose: bool = False
     freq: int = 100
     fast: bool = False
+    polish_chunk: int = 0   # >0: compensated chunked local gradient
 
     def __post_init__(self):
         assert self.gamma is None or self.gamma > 0
         assert self.maxit > 0 and self.freq > 0
+        assert self.polish_chunk >= 0
 
     def _setup(self, x0, F, g, L, N):
         mesh = self.mesh
@@ -2277,7 +2312,20 @@ class TPForwardBackward:
                     "or a stepsize γ"
                 )
             gamma = 1.0 / jnp.mean(jnp.asarray(L, rdt))
-        cfg = TPFBCfg(N=N, D=D, M=M, fast=self.fast)
+        if self.polish_chunk:
+            if (N // D) % self.polish_chunk:
+                raise ValueError(
+                    f"TPForwardBackward: polish_chunk="
+                    f"{self.polish_chunk} must divide the per-device "
+                    f"row count {N // D}"
+                )
+            if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
+                raise ValueError(
+                    "TPForwardBackward: polish_chunk needs f32/bf16 "
+                    "rows (int8 dequant defines a different operator)"
+                )
+        cfg = TPFBCfg(N=N, D=D, M=M, fast=self.fast,
+                      polish_chunk=self.polish_chunk)
         f_specs = data_model_specs(F, N)
         leaves, f_treedef = jax.tree_util.tree_flatten(f_specs)
         g_leaves, g_treedef = jax.tree_util.tree_flatten(

@@ -356,3 +356,48 @@ def test_deep_solve_huber_and_sqhinge_rel_1e6_vs_f64_reference(data):
             np.asarray(z, np.float64)).sum()
 
     run_case(Fs32, Fs64, sqh_cost, jnp.sum(A * A, axis=1))
+
+
+def test_deep_solve_tp_reaches_rel_1e6_on_2d_mesh():
+    """deep_solve_tp (round 4): the deep plan with the ITERATE sharded
+    over coordinates — TPSAGA to plateau, power bound on the 2-D-
+    sharded oracle, TP-FISTA polish with per-shard compensated chunks
+    (hi/lo psum'd separately) — reaches rel ≤ 1e-6 on the (4, 2) mesh."""
+    from ciao_tpu.parallel import (
+        deep_solve_tp, make_mesh_2d, shard_finite_sum_2d,
+    )
+
+    prob = make_lasso(N=N, n=n, p=6, seed=0, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(A=jnp.asarray(prob.A, jnp.float32),
+                         b=jnp.asarray(prob.b, jnp.float32),
+                         scale=jnp.asarray(float(N), jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    mesh = make_mesh_2d(4, 2)
+    Fd = shard_finite_sum_2d(F, mesh)
+    x, info = deep_solve_tp(
+        jnp.zeros(n, jnp.float32), Fd, g, L=prob.L, N=N, mesh=mesh,
+        batch=8, chunk_steps=1024, max_steps=16_384, plateau_rtol=1e-4,
+        polish_chunk=64,
+    )
+    rel = (prob.cost(np.asarray(x)) - prob.f_star) / abs(prob.f_star)
+    assert rel <= 1e-6, rel
+    assert info.lmax > 0 and info.polish_steps > 0
+
+    # the TP polish path itself ≡ plain TP FISTA within f32 noise
+    from ciao_tpu.parallel import TPFISTA, TPForwardBackward
+
+    x0 = jnp.zeros(n, jnp.float32)
+    x_p, _ = TPForwardBackward(mesh=mesh, maxit=200, fast=True,
+                               polish_chunk=64)(x0, F=Fd, g=g, L=prob.L)
+    x_f, _ = TPFISTA(mesh=mesh, maxit=200)(x0, F=Fd, g=g, L=prob.L)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_f),
+                               rtol=1e-4, atol=1e-5)
+    # guards
+    with pytest.raises(ValueError, match="divide"):
+        TPForwardBackward(mesh=mesh, maxit=2, polish_chunk=77)(
+            x0, F=Fd, g=g, L=prob.L)
+    with pytest.raises(ValueError, match="int8"):
+        TPForwardBackward(mesh=mesh, maxit=2, polish_chunk=64)(
+            x0, F=shard_finite_sum_2d(F.with_storage("int8"), mesh),
+            g=g, L=prob.L)
