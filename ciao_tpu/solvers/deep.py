@@ -60,6 +60,29 @@ def _largest_divisor_leq(N: int, c: int) -> int:
     return c
 
 
+def _sparse_quadratic_twin(F):
+    """A zero-b, unit-scale least-squares oracle over the SAME sparse
+    fields as ``F`` — its (exact) quadratic power bound gives
+    λmax(AᵀA/N), which a global margin-curvature factor (1/4 for
+    logistic) turns into the safe polish stepsize for non-quadratic
+    sparse losses."""
+    import jax.numpy as jnp
+
+    from ciao_tpu.oracles import (
+        HybridSparseLeastSquares, SparseLeastSquaresELL,
+    )
+
+    N = F.num_terms
+    b0 = jnp.zeros(N, jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
+    if hasattr(F, "A_hot"):
+        return HybridSparseLeastSquares(
+            A_hot=F.A_hot, hot_cols=F.hot_cols, idx=F.idx, val=F.val,
+            b=b0, scale=one, n_dim=F.dim)
+    return SparseLeastSquaresELL(idx=F.idx, val=F.val, b=b0, scale=one,
+                                 n_dim=F.dim)
+
+
 def deep_solve(
     x0,
     F,
@@ -140,16 +163,23 @@ def deep_solve(
         # SPARSE (ELL / hybrid) oracles: no dense stored rows — the
         # polish gradient runs through the block protocol and the
         # curvature bound through the quadratic two-pass power
-        # iteration (exact for the least-squares family; other sparse
-        # losses have no safe automatic η yet)
-        if getattr(F, "coeff_mode", None) != 0:
+        # iteration: exact for the least-squares family; for sparse
+        # LOGISTIC the global margin-curvature bound 1/4 scales the
+        # same Gram λmax, evaluated on a zero-b least-squares TWIN
+        # built over the oracle's own index/value fields
+        mode = getattr(F, "coeff_mode", None)
+        if mode == 0:
+            lmax = float(power_lmax_quadratic(F, key, iters=power_iters))
+        elif mode == 1:
+            lmax = 0.25 * float(power_lmax_quadratic(
+                _sparse_quadratic_twin(F), key, iters=power_iters))
+        else:
             raise ValueError(
                 "deep_solve: automatic polish stepsizes for oracles "
                 "without dense rows cover the quadratic (least-"
-                "squares) family only — pass a dense-rows oracle or "
-                "precompute η yourself via fista_polish"
+                "squares) and logistic families — pass a dense-rows "
+                "oracle or precompute η yourself via fista_polish"
             )
-        lmax = float(power_lmax_quadratic(F, key, iters=power_iters))
     else:
         lmax = float(power_lmax(F, z, key, iters=power_iters,
                                 margin_slack=margin_slack))

@@ -224,17 +224,18 @@ def test_deep_solve_sparse_layouts_reach_rel_1e6():
         assert rel <= 1e-6, (name, rel)
         assert info.polish_steps > 0
 
-    # non-quadratic sparse: informative rejection
-    from ciao_tpu.oracles import SparseLogisticELL
-
-    y = jnp.asarray(np.sign(np.random.default_rng(0)
-                            .standard_normal(Np)), jnp.float32)
-    Flog = SparseLogisticELL(idx=prob.ell.idx, val=prob.ell.val, y=y,
-                             n_dim=npx)
-    with pytest.raises(ValueError, match="quadratic"):
-        deep_solve(jnp.zeros(npx, jnp.float32), Flog, g,
-                   L=0.25 * prob.L, N=Np, batch=256, chunk_epochs=4,
-                   max_epochs=8)
+    # unsupported sparse loss (neither quadratic nor logistic):
+    # informative rejection — patch the class's static mode tag
+    cls = type(prob.ell)
+    orig_mode = cls.coeff_mode
+    cls.coeff_mode = 7
+    try:
+        with pytest.raises(ValueError, match="quadratic"):
+            deep_solve(jnp.zeros(npx, jnp.float32), prob.ell, g,
+                       L=prob.L, N=Np, batch=256, chunk_epochs=4,
+                       max_epochs=8)
+    finally:
+        cls.coeff_mode = orig_mode
 
 
 def test_deep_solve_dp_reaches_rel_1e6_on_mesh():
@@ -401,3 +402,59 @@ def test_deep_solve_tp_reaches_rel_1e6_on_2d_mesh():
         TPForwardBackward(mesh=mesh, maxit=2, polish_chunk=64)(
             x0, F=shard_finite_sum_2d(F.with_storage("int8"), mesh),
             g=g, L=prob.L)
+
+
+def test_deep_solve_sparse_logistic_rel_1e6_vs_f64_reference():
+    """Sparse LOGISTIC deep target (round 4, closing the last queue
+    item): the automatic η comes from 1/4 × the quadratic twin's Gram
+    power bound; the block-protocol compensated polish lands within
+    rel 1e-6 of an f64 dense reference optimum — both ELL and hybrid."""
+    from ciao_tpu.oracles import (
+        HybridSparseLogistic, LogisticRows, SparseLogisticELL,
+    )
+    from ciao_tpu.utils.problems import make_sparse_lasso_ell
+
+    Np, npx = 2048, 256
+    base = make_sparse_lasso_ell(N=Np, n=npx, hot=64, k_hot=8, k_cold=4,
+                                 p=16, rho=1.0, seed=0)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(np.sign(rng.standard_normal(Np)), jnp.float32)
+    lam_l1 = 0.002
+    g = NormL1(lam=jnp.asarray(lam_l1, jnp.float32))
+
+    # densify (small CI shape) for the f64 reference
+    idx = np.asarray(base.ell.idx)
+    val = np.asarray(base.ell.val, np.float64)
+    A64 = np.zeros((Np, npx))
+    for k in range(idx.shape[1]):
+        np.add.at(A64, (np.arange(Np), idx[:, k]), val[:, k])
+    F64 = LogisticRows(X=jnp.asarray(A64),
+                       y=jnp.asarray(np.asarray(y, np.float64)))
+    lam_sp = float(np.linalg.eigvalsh(0.25 * A64.T @ A64 / Np).max())
+    xref, _ = ciao_tpu.FISTA(maxit=20_000, gamma=0.9 / lam_sp)(
+        jnp.zeros(npx, jnp.float64), F=F64,
+        g=NormL1(lam=jnp.asarray(lam_l1, jnp.float64)), N=Np)
+
+    def cost64(z):
+        m = A64 @ np.asarray(z, np.float64)
+        return (np.logaddexp(0.0, -np.asarray(y, np.float64) * m).mean()
+                + lam_l1 * np.abs(np.asarray(z, np.float64)).sum())
+
+    f_star = cost64(xref)
+    L = 0.25 * np.asarray((A64 ** 2).sum(axis=1), np.float32)
+    Fe = SparseLogisticELL(idx=base.ell.idx, val=base.ell.val, y=y,
+                           n_dim=npx)
+    Fh = HybridSparseLogistic(A_hot=base.hybrid.A_hot,
+                              hot_cols=base.hybrid.hot_cols,
+                              idx=base.hybrid.idx, val=base.hybrid.val,
+                              y=y, n_dim=npx)
+    for name, F in (("ell", Fe), ("hybrid", Fh)):
+        # the 1/4-bound eta is conservative where the margins are
+        # large (local curvature << 1/4) -> give FISTA a longer leash
+        x, info = deep_solve(
+            jnp.zeros(npx, jnp.float32), F, g, L=L, N=Np, batch=256,
+            chunk_epochs=8, max_epochs=96, plateau_rtol=1e-4,
+            polish_steps=16, polish_max_rounds=48)
+        rel = (cost64(x) - f_star) / abs(f_star)
+        assert -1e-6 < rel <= 1e-6, (name, rel)
+        assert info.polish_steps > 0
