@@ -113,7 +113,8 @@ def deep_solve_dp(
     sinfo = StagedInfo(storages=["f32"],
                        epochs=[chunks * chunk_rounds * local_steps
                                * b // max(N, 1)],
-                       objectives=[prev], switched_early=[plateaued])
+                       objectives=objs or [prev],
+                       switched_early=[plateaued])
 
     # curvature bound straight on the sharded oracle (auto-partitioned)
     key = jax.random.PRNGKey(seed + 1)
@@ -208,7 +209,7 @@ def deep_solve_tp(
     sinfo = StagedInfo(
         storages=["f32"],
         epochs=[chunks * chunk_steps * b // max(N, 1)],
-        objectives=[prev], switched_early=[plateaued])
+        objectives=objs or [prev], switched_early=[plateaued])
 
     key = jax.random.PRNGKey(seed + 1)
     lmax = float(power_lmax(Fd, state.z, key, iters=power_iters,
