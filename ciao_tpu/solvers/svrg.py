@@ -178,6 +178,72 @@ def _svrg_step_fused(F, g, cfg: SVRGCfg, state: SVRGState,
     )
 
 
+def _svrg_step_fused_plus(F, g, cfg: SVRGCfg, state: SVRGState,
+                          key) -> SVRGState:
+    """Fused SVRG++ outer iterate (round 4 — the single-chip twin of
+    the DP ``_svrg_local_outer`` plus path): the DOUBLING inner length
+    m_t = m0·2^t runs a DYNAMIC number of K=64-step
+    ``svrg_coeff_multistep`` launches (a while_loop — each launch is
+    the same static kernel; only the count is dynamic) plus a dynamic
+    (< K) stepwise remainder on the same (key, k) start stream, then
+    the one-pass fused anchor refresh. Equal to the stepwise block path
+    to f32 rounding (pinned in tests/test_ops.py)."""
+    from ciao_tpu.ops.fused_block import (
+        SLAB_ROWS, _pick_tile, coeff_apply_all, oracle_scalar_consts,
+        rows_scale_row, rows_scale_slab, svrg_coeff_multistep,
+    )
+    from ciao_tpu.solvers.saga import _gen_block_starts
+
+    B = cfg.batch
+    rows, offs = F.coeff_rows_data()
+    gamma, av = state.gamma, state.av
+    scale, mode, lam, aux = oracle_scalar_consts(F, g)
+    scalars = jnp.stack(
+        [
+            scale,
+            jnp.asarray(gamma, jnp.float32),
+            jnp.asarray(gamma * lam, jnp.float32),
+            jnp.asarray(1.0 / B, jnp.float32),
+            mode,
+            aux,
+        ]
+    )[None, :]
+    slab = (SLAB_ROWS, cfg.N // SLAB_ROWS)
+    b8 = offs.reshape(slab)
+    rs8 = rows_scale_slab(F)
+    K = 64
+    Lq = state.m // K
+
+    def launch(carry):
+        q, w2, zs2 = carry
+        starts = _gen_block_starts(key, q * K, cfg, K)
+        w2, zs2 = svrg_coeff_multistep(
+            rows, b8, state.canch, starts, w2, zs2, av[None, :],
+            scalars, B, precision=cfg.fused_precision, rs8=rs8,
+        )
+        return (q + 1, w2, zs2)
+
+    q, w2, zs2 = jax.lax.while_loop(
+        lambda c: c[0] < Lq, launch,
+        (jnp.zeros((), jnp.int32), state.w[None, :], state.z[None, :]),
+    )
+    w, zsum, _ = _svrg_inner_block(
+        F, g, cfg, state.z_full, av, gamma, w2[0], zs2[0], key,
+        state.m - Lq * K, k0=Lq * K,
+    )
+    z_full = zsum / state.m.astype(jnp.real(zsum).dtype)
+    tile = _pick_tile(B, cfg.N, z_full.size, esize=rows.dtype.itemsize)
+    c1, gsum = coeff_apply_all(
+        rows, offs[None, :], z_full[None, :],
+        jnp.stack([scale, mode, aux])[None, :], tile,
+        precision=cfg.fused_precision, rs1=rows_scale_row(F),
+    )
+    return state._replace(
+        m=state.m * 2, av=gsum[0] / cfg.N, z=jnp.zeros_like(zsum),
+        z_full=z_full, w=w, it=state.it + 1, canch=c1.reshape(slab),
+    )
+
+
 def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
     """Outer iterate (SVRG_basic.jl:71-96): m inner steps with indices
     drawn iid WITH replacement (rand(ind, m), :73), then anchor refresh."""
@@ -186,9 +252,12 @@ def _svrg_step(F, g, cfg: SVRGCfg, state: SVRGState) -> SVRGState:
     key, sub = jax.random.split(state.key)
 
     if cfg.fused:
-        # note: the fused path manages its own anchor/key flow; the
+        # note: the fused paths manage their own anchor/key flow; the
         # inner sampling stream (split-then-draw from ``sub``) is
         # identical to the block path below.
+        if cfg.plus:
+            return _svrg_step_fused_plus(F, g, cfg,
+                                         state._replace(key=key), sub)
         return _svrg_step_fused(F, g, cfg, state._replace(key=key), sub)
     if cfg.block:
         w, zsum, _ = _svrg_inner_block(
@@ -343,7 +412,6 @@ class SVRG:
         if (
             self.block_sampling
             and self.batch > 1
-            and not self.plus
             and x0.dtype == jnp.float32
         ):
             from ciao_tpu.ops import svrg_multistep_available
@@ -372,7 +440,9 @@ class SVRG:
         cfg = SVRGCfg(
             N=N, plus=self.plus, batch=self.batch,
             block=self.block_sampling, fused=fused,
-            m_fused=m if fused else 0,
+            # SVRG++'s doubling m takes the dynamic-launch fused path
+            # (_svrg_step_fused_plus); m_fused serves plain SVRG only
+            m_fused=0 if self.plus else (m if fused else 0),
             fused_precision=self.fused_precision,
         )
         key = jax.random.PRNGKey(self.seed)

@@ -1178,3 +1178,40 @@ def test_finito_streamed_multistep_matches_stepwise():
                                            np.asarray(st_sw.av),
                                            rtol=max(wide, 1e-3),
                                            atol=av_atol, err_msg=tag)
+
+
+def test_svrg_plus_fused_dynamic_m_matches_stepwise():
+    """Single-chip SVRG++ on the fused path (round 4): the doubling m
+    runs a dynamic number of K=64-step launches + a dynamic remainder
+    (_svrg_step_fused_plus) and must track the stepwise block path
+    across outers whose m crosses the launch boundary (48→96→192),
+    doubling m in sync."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ciao_tpu.solvers.svrg import SVRGCfg, svrg_init, svrg_run
+
+    Np, npix, Bp = 8192, 128, 128
+    prob = make_lasso(N=Np, n=npix, p=4, seed=5, dtype=np.float32,
+                      well_conditioned=True)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32), b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    gamma = jnp.asarray(1.0 / (10.0 * np.max(prob.L)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    x0 = jnp.zeros(npix, jnp.float32)
+
+    cfg_sw = SVRGCfg(N=Np, plus=True, batch=Bp, block=True)
+    st_sw = svrg_run(F, g, svrg_init(F, g, x0, gamma, 48, key, cfg_sw),
+                     cfg_sw, 3)
+    cfg_f = cfg_sw._replace(fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        st_f = svrg_run(F, g, svrg_init(F, g, x0, gamma, 48, key, cfg_f),
+                        cfg_f, 3)
+    assert int(st_f.m) == int(st_sw.m) == 48 * 8
+    np.testing.assert_allclose(np.asarray(st_f.z_full),
+                               np.asarray(st_sw.z_full),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_f.w), np.asarray(st_sw.w),
+                               rtol=2e-5, atol=1e-6)
