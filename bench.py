@@ -22,7 +22,10 @@ the full per-family fused-kernel table (PERF.md).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -30,6 +33,91 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Tunnel-outage hardening (VERDICT r4 #1). The axon TPU backend dials an
+# HTTP tunnel lazily on first jax use; when the tunnel is down the dial
+# HANGS (round 4 lost its entire perf capture to a ~50-minute silent
+# stall under the driver's timeout). Three defenses, all subprocess/
+# thread based so a dead backend can never wedge THIS process:
+#   1. probe_backend(): run `import jax + one tiny device computation`
+#      in a SUBPROCESS with a hard per-attempt timeout; retry with
+#      short backoff inside an explicit total deadline, then give up
+#      FAST with a nonzero exit.
+#   2. a watchdog thread with a whole-run deadline: if the measurement
+#      program itself wedges mid-run (tunnel drops after the probe),
+#      os._exit — rc 0 if the driver-consumed headline line already
+#      flushed (partial success), rc 3 otherwise.
+#   3. headline_printed flag so the watchdog can tell those apart.
+# ---------------------------------------------------------------------------
+PROBE_TIMEOUT_S = float(os.environ.get("CIAO_BENCH_PROBE_TIMEOUT", "150"))
+PROBE_DEADLINE_S = float(os.environ.get("CIAO_BENCH_PROBE_DEADLINE", "600"))
+BENCH_DEADLINE_S = float(os.environ.get("CIAO_BENCH_DEADLINE", "2700"))
+
+_PROBE_SRC = """
+import time, sys
+t0 = time.time()
+import jax, jax.numpy as jnp
+d = jax.devices()[0]
+x = jnp.ones((256, 256), jnp.float32)
+v = float(jnp.sum(jnp.dot(x, x)))
+assert v == 256.0 ** 3, v
+print(f"PROBE_OK {d.platform} {d.device_kind} {time.time() - t0:.1f}s",
+      flush=True)
+"""
+
+_headline_printed = False
+
+
+def probe_backend() -> bool:
+    """True iff a subprocess can import jax and run one tiny device
+    computation within PROBE_TIMEOUT_S, retrying with backoff until
+    PROBE_DEADLINE_S. Never hangs the caller: the child is hard-killed
+    on timeout (the axon dial has no internal timeout of its own)."""
+    t_end = time.monotonic() + PROBE_DEADLINE_S
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = min(PROBE_TIMEOUT_S, max(10.0, t_end - time.monotonic()))
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=budget,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                log(f"backend probe ok (attempt {attempt}): "
+                    f"{r.stdout.strip().splitlines()[-1]}")
+                return True
+            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            log(f"backend probe attempt {attempt} failed rc={r.returncode}: "
+                + " | ".join(tail))
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {attempt} timed out after "
+                f"{time.monotonic() - t0:.0f}s (tunnel hang — child killed)")
+        if time.monotonic() + 20.0 >= t_end:
+            log(f"backend unreachable after {attempt} attempts / "
+                f"{PROBE_DEADLINE_S:.0f}s deadline — giving up fast")
+            return False
+        time.sleep(20.0)
+
+
+def _start_watchdog() -> None:
+    """Hard whole-run deadline: past BENCH_DEADLINE_S the process exits
+    NOW (os._exit — a wedged tunnel ignores soft signals), rc 0 if the
+    headline JSON already flushed, rc 3 if the round has no number."""
+    def fire():
+        time.sleep(BENCH_DEADLINE_S)
+        if _headline_printed:
+            log(f"watchdog: deadline {BENCH_DEADLINE_S:.0f}s hit AFTER the "
+                "headline flushed — exiting 0 with partial secondaries")
+            os._exit(0)
+        log(f"watchdog: deadline {BENCH_DEADLINE_S:.0f}s hit with NO "
+            "headline — exiting 3")
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 # ---------------------------------------------------------------------------
@@ -1398,21 +1486,29 @@ def bench_secondary():
 
 
 def main():
-    # the TPU tunnel occasionally drops the first connection — retry once
+    global _headline_printed
+    t_start = time.monotonic()
+    _start_watchdog()
+    if not probe_backend():
+        # a dead tunnel must cost MINUTES, not the driver's whole budget
+        # (round 4 lost every perf number to a silent ~50-minute stall)
+        sys.exit(2)
+    # the TPU tunnel occasionally drops the first connection — retry once,
+    # but only re-probe + retry while the watchdog budget still has room
+    # for a full measurement pass
+    # CPU baseline first: pure numpy, tunnel-independent, and needed for
+    # the headline's vs_baseline — so the headline JSON can flush the
+    # moment the TPU measurement lands
+    cpu = cpu_baseline_samples_per_s()
+    log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
     try:
         tpu = tpu_samples_per_s()
     except Exception as e:  # noqa: BLE001
-        log(f"TPU run failed ({type(e).__name__}: {e}); retrying once")
+        log(f"TPU run failed ({type(e).__name__}: {e}); re-probing + "
+            "retrying once")
+        if not probe_backend():
+            sys.exit(2)
         tpu = tpu_samples_per_s()
-    import os
-
-    if os.environ.get("CIAO_BENCH_ALL"):
-        tpu_samples_per_s(storage="f32")  # exact-f32 path (stderr)
-        bench_secondary()
-        bench_missing_cells()
-        bench_sparse_e2e()
-    cpu = cpu_baseline_samples_per_s()
-    log(f"CPU batch-1 baseline: {cpu:,.0f} samples/s")
     print(
         json.dumps(
             {
@@ -1424,6 +1520,14 @@ def main():
         ),
         flush=True,
     )
+    _headline_printed = True
+    log(f"headline flushed at t+{time.monotonic() - t_start:.0f}s "
+        f"(deadline {BENCH_DEADLINE_S:.0f}s)")
+    if os.environ.get("CIAO_BENCH_ALL"):
+        tpu_samples_per_s(storage="f32")  # exact-f32 path (stderr)
+        bench_secondary()
+        bench_missing_cells()
+        bench_sparse_e2e()
     # BASELINE.md anchors, machine-captured every round as secondary
     # JSON lines (the driver consumes the FIRST line; these are for the
     # record). Each is fenced: a tunnel hiccup here must not cost the
