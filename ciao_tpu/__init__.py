@@ -86,6 +86,10 @@ from ciao_tpu.solvers import (
     solution,
     DeepSolveInfo,
     deep_solve,
+    DeepSharingInfo,
+    deep_solve_sharing,
+    proshi_resync,
+    sharing_objective,
     StagedInfo,
     staged_saga,
     fista_polish,
@@ -125,6 +129,10 @@ __all__ = [
     "Status",
     "DeepSolveInfo",
     "deep_solve",
+    "DeepSharingInfo",
+    "deep_solve_sharing",
+    "proshi_resync",
+    "sharing_objective",
     "StagedInfo",
     "staged_saga",
     "fista_polish",

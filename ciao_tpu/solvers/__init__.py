@@ -17,6 +17,8 @@ from ciao_tpu.solvers.saga import SAG, SAGA
 from ciao_tpu.solvers.ssnm import SSNM
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 from ciao_tpu.solvers.deep import DeepSolveInfo, deep_solve
+from ciao_tpu.solvers.deep_sharing import DeepSharingInfo, deep_solve_sharing
+from ciao_tpu.solvers.proshi import proshi_resync, sharing_objective
 from ciao_tpu.solvers.polish import (
     PolishResult,
     fista_polish,
@@ -60,6 +62,10 @@ __all__ = [
     "staged_saga",
     "DeepSolveInfo",
     "deep_solve",
+    "DeepSharingInfo",
+    "deep_solve_sharing",
+    "proshi_resync",
+    "sharing_objective",
     "PolishResult",
     "fista_polish",
     "grad_mean_chunked",

@@ -80,6 +80,96 @@ def _coupling(g, av, hat_gamma):
     return (z - av) / hat_gamma
 
 
+def _two_sum(hi, lo, p):
+    """Knuth two-sum: (hi, lo) ← (hi, lo) + p, capturing the rounding
+    error of the add exactly into the compensation term (the
+    solvers/polish.py chunk-carry pattern applied to the block table)."""
+    s = hi + p
+    t = s - hi
+    e = (p - t) + (hi - (s - t))
+    return s, lo + e
+
+
+def _resync_chunk_of(N: int, chunk: int) -> int:
+    c = min(chunk, N)
+    while N % c:
+        c -= 1
+    return c
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _av_compensated(s, chunk: int):
+    """Σ_i s_i over the (N, n) block table with per-chunk sums and a
+    compensated (two-sum) cross-chunk carry: one-shot f32 error drops
+    from ~√N·eps to ~√chunk·eps + O(eps²)."""
+    N, n = s.shape
+    z0 = jnp.zeros(n, s.dtype)
+
+    def body(carry, i):
+        hi, lo = carry
+        blk = jax.lax.dynamic_slice_in_dim(s, i * chunk, chunk, 0)
+        return _two_sum(hi, lo, jnp.sum(blk, axis=0)), None
+
+    (hi, lo), _ = jax.lax.scan(body, (z0, z0), jnp.arange(N // chunk))
+    return hi + lo
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _proshi_resync_jit(g, state: ProshiState, chunk: int) -> ProshiState:
+    av = _av_compensated(state.s, chunk)
+    return state._replace(av=av, z=_coupling(g, av, state.hat_gamma))
+
+
+def proshi_resync(g, state: ProshiState, chunk: int = 4096) -> ProshiState:
+    """Recompute the coupling sum ``av = Σ_i s_i`` EXACTLY (compensated
+    chunked reduction) and refresh ``z``.
+
+    Why this matters for deep targets: ProShI maintains ``av``
+    incrementally (``av += Σ_B Δs``, reference ProShI_basic.jl:113-123)
+    — in f32 the per-step rounding drifts, and a drift δ displaces the
+    algorithm's fixed point so that the coupling sum becomes
+    ``prox_g(av_true + δ) − δ``: the soft-threshold's EXACT zeros on the
+    off-support coordinates are destroyed, which costs a FIRST-order
+    λ‖δ‖₁ in the sharing objective (everything else is second-order —
+    the f32 table itself is not the floor). Resyncing at chunk
+    boundaries removes the drift; :func:`deep_solve_sharing` packages
+    the schedule. The DP local path already resyncs exactly at every
+    round boundary (parallel/dp.py) — this is the single-chip analog."""
+    return _proshi_resync_jit(g, state,
+                              _resync_chunk_of(state.s.shape[0], chunk))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _sharing_objective_jit(F, g, state: ProshiState, chunk: int):
+    N, n = state.s.shape
+    z0 = jnp.zeros((), state.s.dtype)
+
+    def body(carry, i):
+        hi, lo = carry
+        start = i * chunk
+        s_blk = jax.lax.dynamic_slice_in_dim(state.s, start, chunk, 0)
+        g_blk = jax.lax.dynamic_slice_in_dim(state.gamma, start, chunk)
+        x_blk = s_blk + g_blk[:, None] * state.z[None, :]
+        idx = start + jnp.arange(chunk)
+        vals, _ = F.value_and_grad_pointwise(x_blk, idx)
+        return _two_sum(hi, lo, jnp.sum(vals)), None
+
+    (hi, lo), _ = jax.lax.scan(body, (z0, z0), jnp.arange(N // chunk))
+    # Σ_i x_i = Σ_i s_i + (Σ_i γ_i) z — no (N, n) temp materialized
+    u = _av_compensated(state.s, chunk) + state.hat_gamma * state.z
+    return (hi + lo) / N + g.value(u)
+
+
+def sharing_objective(F, g, state: ProshiState, chunk: int = 4096):
+    """The sharing objective (1/N) Σ_i f_i(x_i) + g(Σ_i x_i) at the
+    state's block solution, with compensated chunked reductions for both
+    the value sum and the coupling sum (deep-target evaluation needs
+    this: a monolithic f32 reduction over N blocks cannot resolve
+    rel ≤ 1e-6)."""
+    return _sharing_objective_jit(F, g, state,
+                                  _resync_chunk_of(state.s.shape[0], chunk))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def proshi_init(F, g, x0, gamma, key, cfg: ProshiCfg) -> ProshiState:
     """Reference ProShI_basic.jl:45-90."""

@@ -4,6 +4,8 @@ from ciao_tpu.utils.problems import (
     make_sparse_lasso_ell,
     LogisticProblem,
     SharingProblem,
+    PlantedSharingProblem,
+    make_sharing_planted,
     make_lasso,
     make_logistic_l1,
     make_sharing,
@@ -15,6 +17,8 @@ __all__ = [
     "make_sparse_lasso_ell",
     "LogisticProblem",
     "SharingProblem",
+    "PlantedSharingProblem",
+    "make_sharing_planted",
     "make_lasso",
     "make_logistic_l1",
     "make_sharing",

@@ -171,6 +171,73 @@ def make_sharing():
     )
 
 
+class PlantedSharingProblem(NamedTuple):
+    """Any-scale sharing problem with a CLOSED-FORM exact optimum."""
+
+    d: np.ndarray        # (N, n) quadratic diagonals (all > 0), f64
+    q: np.ndarray        # (N, n) linear terms, f64
+    lam: float           # g = lam * ||.||_1 on the coupling sum
+    x_star: np.ndarray   # (N, n) exact block optima, f64
+    u_star: np.ndarray   # (n,) optimal coupling sum (exact zeros off-support)
+    v_star: np.ndarray   # (n,) optimal dual (element of lam*d||u*||_1)
+    f_star: float        # exact optimal value
+    L: np.ndarray        # (N,) block smoothness moduli max_j d_ij
+
+    def cost(self, blocks) -> float:
+        """Sharing objective (1/N) Σ f_i(x_i) + λ‖Σ x_i‖₁ at the (N, n)
+        block matrix, evaluated in f64."""
+        x = np.asarray(blocks, np.float64)
+        quad = 0.5 * np.sum(self.d * x * x) + np.sum(self.q * x)
+        return quad / self.d.shape[0] + self.lam * np.sum(
+            np.abs(x.sum(axis=0)))
+
+
+def make_sharing_planted(N=4096, n=128, p=None, seed=0):
+    """Planted sharing problem at ANY scale (the deep-accuracy analog of
+    :func:`make_lasso` for the sharing formulation — the reference's
+    only sharing instance is the N=3 hardcoded one above,
+    ``test/test_sharing.jl:11-28``, and it gets its tolerance from f64
+    for free; this gives an exact f* to measure f32 floors against).
+
+        min (1/N) Σ_i [½⟨x_i, d_i ⊙ x_i⟩ + ⟨q_i, x_i⟩] + λ‖Σ_i x_i‖₁
+
+    KKT closes in one soft-threshold: stationarity forces
+    ∇f_i(x_i)/1 = −N v with v ∈ λ∂‖u‖₁, so x_i = −(q_i + N v)/d_i and
+    per coordinate j the dual is v_j = clip(v0_j, ±λ) with
+    v0_j = −(Σ_i q_ij/d_ij)/(N Σ_i 1/d_ij) — on-support coordinates
+    (|v0_j| > λ) get u*_j = N S_j (v0_j − λ sign v0_j) whose sign
+    matches v_j automatically, off-support get u*_j = 0 exactly.
+    λ is placed between the p-th and (p+1)-th largest |v0| so the
+    support size is exactly ``p`` (default n//8). d ∈ [1, 2] keeps every
+    block well-conditioned; q carries a shared per-coordinate mean so
+    the coupling term is a material fraction of the objective.
+    Everything is computed and returned in f64."""
+    if p is None:
+        p = max(1, n // 8)
+    assert 0 < p < n
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(1.0, 2.0, size=(N, n))
+    mu = rng.standard_normal(n)
+    q = mu[None, :] + rng.standard_normal((N, n))
+
+    S = np.sum(1.0 / d, axis=0)                   # (n,)
+    Q = np.sum(q / d, axis=0)                     # (n,)
+    v0 = -Q / (N * S)
+    mags = np.sort(np.abs(v0))[::-1]
+    lam = float(0.5 * (mags[p - 1] + mags[p]))    # support = top-p of |v0|
+    v = np.clip(v0, -lam, lam)
+    x_star = -(q + N * v[None, :]) / d
+    u_star = N * S * (v0 - v)                     # exact zeros off-support
+    f_star = float(
+        (0.5 * np.sum(d * x_star * x_star) + np.sum(q * x_star)) / N
+        + lam * np.sum(np.abs(u_star))
+    )
+    return PlantedSharingProblem(
+        d=d, q=q, lam=lam, x_star=x_star, u_star=u_star, v_star=v,
+        f_star=f_star, L=np.max(d, axis=1),
+    )
+
+
 class SparseLassoProblem(NamedTuple):
     """Planted power-law SPARSE Lasso (rcv1-style): the same operator in
     both TPU sparse layouts, with the exact optimum known by KKT
