@@ -105,6 +105,19 @@ class SparseLeastSquaresELL(SmoothOracle):
     #                 hasattr(F, "coeff_rows_data"), which this class
     #                 deliberately does not provide)
 
+    def margin_all(self, x):
+        """Raw margins <a_i, x> (no scale/offset) — one operator pass;
+        with :meth:`apply_all` this is the block-protocol pair the
+        margin-weighted curvature power iteration
+        (:func:`ciao_tpu.solvers.power_lmax_weighted`) runs on."""
+        return self._margin(x, self.idx, self.val)
+
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        """Margin curvature d²f_i/dm² = ``scale`` — global and exact
+        for least squares (``margin_slack`` ignored)."""
+        del margin_slack
+        return jnp.asarray(self.scale, r.dtype)
+
     def coeff_batch(self, x, idx):
         idx_B, val_B, b_B = self.idx[idx], self.val[idx], self.b[idx]
         return self.scale * (self._margin(x, idx_B, val_B) - b_B)
@@ -310,6 +323,14 @@ class HybridSparseLeastSquares(SmoothOracle):
     supports_coeff: bool = static_field(default=True)
     coeff_mode = 0
 
+    def margin_all(self, x):
+        """Raw margins <a_i, x> (hot + cold parts, no scale/offset)."""
+        return self._margin_parts(x, self.A_hot, self.idx, self.val)
+
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        del margin_slack
+        return jnp.asarray(self.scale, r.dtype)
+
     def coeff_batch(self, x, idx):
         m = self._margin_parts(x, self.A_hot[idx], self.idx[idx],
                                self.val[idx])
@@ -381,6 +402,20 @@ class HybridSparseLeastSquares(SmoothOracle):
         cold = jnp.sum(val_B * jnp.take_along_axis(xs, idx_B, axis=1), axis=1)
         c = self.scale * (dense + cold - self.b[idx])
         return self._dense_rows(c, Ah_B, idx_B, val_B)
+
+
+def _logistic_trust_weight(r, margin_slack=0.0):
+    """POINTWISE trust-region bound on the logistic margin curvature
+    σ(t)(1−σ(t)) over the interval |m − r| ≤ margin_slack: σ' is even
+    and unimodal with peak 1/4 at 0, so the interval max is σ' at the
+    endpoint nearest zero — 1/4 if the interval straddles it. Replaces
+    the global 1/4 the dense path uses (VERDICT r4 #5): near a
+    well-separated optimum the pointwise weights are ≪ 1/4 and the
+    polish stepsize η = 0.9/λ̂ grows accordingly (the quadratic-twin ×
+    1/4 bound needed a 2× longer FISTA leash)."""
+    t = jnp.maximum(jnp.abs(r) - margin_slack, 0.0)
+    sg = jax.nn.sigmoid(t)
+    return sg * (1.0 - sg)
 
 
 def _sigmoid_coeff(y_B, m):
@@ -476,6 +511,15 @@ class SparseLogisticELL(SmoothOracle):
     # --- coefficient (rank-1) protocol ----------------------------------
     supports_coeff: bool = static_field(default=True)
     coeff_mode = 1  # logistic formula (no fused kernel: no coeff_rows_data)
+
+    def margin_all(self, x):
+        """Raw margins <a_i, x> — label-free (the logistic margin
+        curvature σ'(y·m) = σ'(m) is even, so the weighted Hessian
+        needs no labels)."""
+        return self._margin(x, self.idx, self.val)
+
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        return _logistic_trust_weight(r, margin_slack)
 
     def coeff_batch(self, x, idx):
         m = self._margin(x, self.idx[idx], self.val[idx])
@@ -658,6 +702,12 @@ class HybridSparseLogistic(SmoothOracle):
     # --- coefficient (rank-1) protocol ------------------------------------
     supports_coeff: bool = static_field(default=True)
     coeff_mode = 1
+
+    def margin_all(self, x):
+        return self._margin_parts(x, self.A_hot, self.idx, self.val)
+
+    def hess_weight_from_margin(self, r, margin_slack=0.0):
+        return _logistic_trust_weight(r, margin_slack)
 
     def coeff_batch(self, x, idx):
         m = self._margin_parts(x, self.A_hot[idx], self.idx[idx],

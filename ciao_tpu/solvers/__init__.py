@@ -29,6 +29,7 @@ from ciao_tpu.solvers.polish import (
     lsq_power_lmax,
     power_lmax,
     power_lmax_quadratic,
+    power_lmax_weighted,
 )
 from ciao_tpu.solvers.sarah import SARAH
 from ciao_tpu.solvers.svrg import SVRG

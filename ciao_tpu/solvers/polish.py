@@ -209,6 +209,46 @@ def power_lmax(F, x, key, iters: int = 8, margin_slack=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+def power_lmax_weighted(F, x, key, iters: int = 8, margin_slack=0.0):
+    """λmax of the margin-WEIGHTED mean Hessian for BLOCK-PROTOCOL
+    (sparse ELL / hybrid) oracles — the exact analog of
+    :func:`power_lmax` without dense stored rows (VERDICT r4 #5):
+
+        H̄ = (1/N) · Aᵀ diag(w̄ᵢ) A,
+        w̄ᵢ = F.hess_weight_from_margin(mᵢ, margin_slack),
+
+    where the margins mᵢ = ⟨aᵢ, x⟩ come from ONE ``margin_all`` pass at
+    the anchor and each power iteration is a ``margin_all`` +
+    ``apply_all`` pair (two operator passes — the
+    ``power_lmax_quadratic`` machinery plus the diagonal weight). For
+    sparse LOGISTIC the weight is the POINTWISE trust-region bound on
+    σ(t)(1−σ(t)) over |m−mᵢ| ≤ ``margin_slack`` — near a separated
+    optimum this sits far below the global 1/4, so the polish stepsize
+    η = 0.9/λ̂ roughly doubles vs the quadratic-twin × 1/4 bound and the
+    FISTA leash halves. Least-squares layouts get their exact constant
+    weight (identical to the quadratic bound)."""
+    if not (hasattr(F, "margin_all") and hasattr(F, "apply_all")
+            and hasattr(F, "hess_weight_from_margin")):
+        raise ValueError(
+            "power_lmax_weighted needs the block margin protocol "
+            "(margin_all / apply_all / hess_weight_from_margin)")
+    N, n = F.num_terms, F.dim
+    m = F.margin_all(x.astype(jnp.float32))
+    w = F.hess_weight_from_margin(m, margin_slack)
+
+    def body(v, _):
+        u = F.margin_all(v)
+        hv = F.apply_all(w * u) / N
+        lam = jnp.linalg.norm(hv)
+        return hv / lam, lam
+
+    v0 = jax.random.normal(key, (n,), jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    _, lams = jax.lax.scan(body, v0, None, length=iters)
+    return lams[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
 def power_lmax_quadratic(F, key, iters: int = 8):
     """λmax of the mean Hessian for a QUADRATIC (least-squares-family)
     oracle WITHOUT dense stored rows — the sparse ELL / hybrid layouts:
