@@ -1006,6 +1006,41 @@ def bench_missing_cells():
             log(f"importance saga streamed 10.5Mx128 "
                 f"[systematic-clipped {tag}]: {ms:.4f} ms/step "
                 f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+            # round 5 (VERDICT r4 #6): the same schedule through the
+            # OTHER two streamed kernels — Finito-coeff and Point-SAGA
+            # (fixed-point table methods: no direction reweighting;
+            # window-aligned launches, zero clamping by construction)
+            sol_fi = _ct.Finito(maxit=1, sweeping=1,
+                                minibatch=(True, B10),
+                                importance_sampling=True)
+            _, _, _, ficfg, init_fi, fvar = sol_fi._setup(
+                jnp.zeros(n10, jnp.float32), F10, g, L10_rows, N10)
+            assert (fvar == "basic_coeff" and ficfg.fused_stream
+                    and ficfg.importance)
+            from ciao_tpu.solvers.finito import finito_run as _frn2
+
+            st0 = init_fi()
+            ms, _ = timed(lambda s, k: _frn2(F10, g, s, ficfg,
+                                             "basic_coeff", k),
+                          st0, S10, lambda s: s.z[0])
+            log(f"importance finito-coeff streamed 10.5Mx128 "
+                f"[systematic-clipped {tag}]: {ms:.4f} ms/step "
+                f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
+
+            sol_pi = _ct.PointSAGA(maxit=1, batch=B10,
+                                   block_sampling=True,
+                                   importance_sampling=True)
+            _, _, _, picfg, init_pi = sol_pi._setup(
+                jnp.zeros(n10, jnp.float32), F10, None, L10_rows, N10)
+            assert picfg.fused_stream and picfg.importance
+            st0 = init_pi()
+            ms, _ = timed(lambda s, k: point_saga_run(F10, _Zero(), s,
+                                                      picfg, k),
+                          st0, S10, lambda s: s.x[0])
+            log(f"importance point-saga streamed 10.5Mx128 "
+                f"[systematic-clipped {tag}]: {ms:.4f} ms/step "
+                f"({B10 / ms * 1e3 / 1e6:.0f} M samples/s)")
         del F10
     del A10, b10
 

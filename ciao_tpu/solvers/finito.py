@@ -68,6 +68,16 @@ class FinitoCfg(NamedTuple):
     # the VMEM slab cap (any N): (1, N) c row through clamped aliased
     # windows, (d, n) anchors VMEM-resident, per-block Σ1/γ pre-gathered
     fused_stream: bool = False
+    # Lipschitz-proportional block draws (round 5, VERDICT r4 #6): the
+    # SAGA systematic-πps clipped schedule replaces the RANDOM sweep.
+    # Finito is a pure anchor-table method — its fixed point (all
+    # anchors consistent at z*) is schedule-independent, so non-uniform
+    # draws need no correction anywhere: hot (large-L) anchors are
+    # simply refreshed more often, and their 1/γ_i ∝ L_i weights
+    # already dominate the av mean. Per-index γ_i = αN/L_i unchanged.
+    importance: bool = False
+    istrat: bool = True
+    iwin: int = 64
 
 
 class FinitoBasicState(NamedTuple):
@@ -102,6 +112,12 @@ class FinitoCoeffState(NamedTuple):
     sweep: SweepState
     it: jnp.ndarray
     status: jnp.ndarray
+    # importance mode only (leafless None otherwise): π-scale CDF of
+    # the clipped block distribution + the 1/(d·q̃) row kept solely for
+    # draw-stream parity with saga._gen_importance_draws (Finito
+    # ignores the weight — see FinitoCfg.importance).
+    qcum: object = None
+    qinv: object = None
 
     @property
     def solution(self):
@@ -272,7 +288,15 @@ def _finito_coeff_step(F, g, cfg: FinitoCfg, state: FinitoCoeffState):
     — two matvecs over the SAME oracle rows, zero table IO."""
     N, B = cfg.N, cfg.batch
     hat = state.hat_gamma
-    block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
+    if cfg.importance:
+        from ciao_tpu.solvers.saga import _gen_importance_draws
+
+        starts, _ = _gen_importance_draws(
+            state.sweep.key, state.it, cfg, state.qcum, state.qinv, 1)
+        block = starts[0] // B
+        sweep = state.sweep          # stateless (key, it) schedule
+    else:
+        block, sweep = next_block_id(state.sweep, N, B, cfg.sweeping)
     start = block * B
     c_new = F.coeff_block(state.z, start, B)
     c_old = jax.lax.dynamic_slice_in_dim(state.c, start, B)
@@ -636,19 +660,26 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
     )[None, :]
     invg2 = state.invg[None, :].astype(jnp.float32)
 
-    def gen_starts(sweep, k):
-        blocks, sweep = gen_block_ids(sweep, k, N, B, cfg.sweeping)
-        return sweep, blocks * B
-
-    def body(carry, _):
+    def body(carry, it0):
         c8, zb, z2, av2, sweep = carry
-        sweep, starts = gen_starts(sweep, K)
+        if cfg.importance:
+            # stateless (key, it) stream; the slab kernel is revisit-
+            # hazard-free so no window alignment is needed — the
+            # vectorized draws equal the stepwise stream by position
+            from ciao_tpu.solvers.saga import _gen_importance_draws
+
+            starts, _ = _gen_importance_draws(
+                state.sweep.key, it0, cfg, state.qcum, state.qinv, K)
+        else:
+            blocks, sweep = gen_block_ids(sweep, K, N, B, cfg.sweeping)
+            starts = blocks * B
         c8, zb, z2, av2 = finito_coeff_multistep(
             rows, b8, starts, c8, zb, invg2, z2, av2, scalars, B,
             precision=cfg.fused_precision, rs8=rs8,
         )
         return (c8, zb, z2, av2, sweep), None
 
+    its0 = state.it + K * jnp.arange(L, dtype=jnp.int32)
     (c8, zb, z2, av2, sweep), _ = jax.lax.scan(
         body,
         (
@@ -658,8 +689,7 @@ def _finito_run_fused(F, g, state, cfg: FinitoCfg, steps: int):
             state.av[None, :],
             state.sweep,
         ),
-        None,
-        length=L,
+        its0,
     )
     state = state._replace(
         c=c8.reshape(N), zb=zb, z=z2[0], av=av2[0], sweep=sweep,
@@ -688,7 +718,7 @@ def _finito_run_fused_streamed(F, g, state, cfg: FinitoCfg, steps: int):
 
     N, B = cfg.N, cfg.batch
     d = N // B
-    K = min(64, d)
+    K = min(cfg.iwin, d) if cfg.importance else min(64, d)
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -707,7 +737,15 @@ def _finito_run_fused_streamed(F, g, state, cfg: FinitoCfg, steps: int):
 
     def launch(carry):
         c1, zb, z2, av2, sweep, it = carry
-        if cfg.sweeping == Sweep.CYCLIC:
+        if cfg.importance:
+            from ciao_tpu.sampling import first_duplicate
+            from ciao_tpu.solvers.saga import _gen_importance_draws
+
+            starts, _ = _gen_importance_draws(
+                state.sweep.key, it, cfg, state.qcum, state.qinv, K)
+            blocks = starts // B
+            fcl = first_duplicate(blocks)   # = K within aligned windows
+        elif cfg.sweeping == Sweep.CYCLIC:
             blocks, sweep = gen_block_ids(sweep, K, N, B, cfg.sweeping)
             fcl = jnp.asarray(K, jnp.int32)  # K ≤ d cyclic: no clamp
         else:
@@ -720,6 +758,30 @@ def _finito_run_fused_streamed(F, g, state, cfg: FinitoCfg, steps: int):
             interpret=interp,
         )
         return (c1, zb, z2, av2, sweep, it + fcl)
+
+    if cfg.importance:
+        # stratified schedule: WINDOW-ALIGNED launches (the SAGA
+        # fused_stream pattern — same-window blocks are distinct by
+        # construction, so aligned launches never clamp; launch iff
+        # it % K == 0, else one stepwise step)
+        target = state.it + jnp.asarray(steps, jnp.int32)
+
+        def do_launch(st):
+            c1, zb, z2, av2, sweep, it = launch(
+                (st.c[None, :], st.zb, st.z[None, :], st.av[None, :],
+                 st.sweep, st.it)
+            )
+            return st._replace(c=c1[0], zb=zb, z=z2[0], av=av2[0],
+                               sweep=sweep, it=it)
+
+        def wbody(st):
+            aligned = (st.it % K == 0) & (st.it + K <= target)
+            return jax.lax.cond(
+                aligned, do_launch,
+                lambda s: _finito_coeff_step(F, g, cfg, s), st,
+            )
+
+        return jax.lax.while_loop(lambda st: st.it < target, wbody, state)
 
     return run_clamped_stream(
         state, steps, K,
@@ -815,11 +877,29 @@ class Finito:
     tol: float = 1e-8
     tol_b: float = 1e-9
     table: str = "auto"  # "full" (N,n) | "coeff" (N,) | "auto" (coeff if rank-1)
+    # Lipschitz-proportional block draws over the RANDOM sweep (round
+    # 5): the SAGA systematic-πps clipped schedule drives which anchors
+    # refresh; needs sweeping=1, the coefficient table, L and
+    # N % batch == 0. Per-index γ_i = αN/L_i are unchanged (Finito's
+    # fixed point is schedule-independent — see FinitoCfg.importance).
+    importance_sampling: bool = False
     fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
     def __post_init__(self):
         assert self.fused_precision in ("highest", "default")
+        if self.importance_sampling:
+            if self.sweeping != 1:
+                raise ValueError(
+                    "Finito importance_sampling replaces the RANDOM "
+                    "sweep — set sweeping=1")
+            if self.LFinito or self.adaptive:
+                raise ValueError(
+                    "Finito importance_sampling: basic variant only")
+            if self.table == "full":
+                raise ValueError(
+                    "Finito importance_sampling needs the coefficient "
+                    "table (table='auto' or 'coeff')")
         if self.gamma is not None:
             gmin = np.min(np.asarray(self.gamma))
             assert gmin > 0, "γ must be positive"
@@ -907,7 +987,8 @@ class Finito:
             gamma = resolve_gamma_array(self.gamma, L, N, self.alpha, rdt)
             if variant == "basic":
                 coeff_ok = (
-                    self.sweeping != Sweep.RANDOM
+                    (self.sweeping != Sweep.RANDOM
+                     or self.importance_sampling)
                     and N % cfg.batch == 0
                     and getattr(F, "supports_coeff", False)
                 )
@@ -916,6 +997,40 @@ class Finito:
                         "Finito table='coeff' needs a rank-1 oracle and "
                         "cyclic/shuffled sweeping with N divisible by batch"
                     )
+                if self.importance_sampling and not coeff_ok:
+                    raise ValueError(
+                        "Finito importance_sampling needs a rank-1 "
+                        "oracle and N divisible by batch")
+                qcum = qinv = None
+                iwin = 64
+                if self.importance_sampling:
+                    # the SAGA facade's schedule construction verbatim
+                    # (f64 host build; clipped; π-scale CDF)
+                    if L is None:
+                        raise ValueError(
+                            "Finito importance_sampling: provide L")
+                    if jnp.iscomplexobj(x0):
+                        raise ValueError(
+                            "Finito importance_sampling: real dtypes "
+                            "only")
+                    from ciao_tpu.sampling import clip_block_distribution
+
+                    Lb64 = np.asarray(
+                        jax.device_get(jnp.asarray(L)), np.float64)
+                    if Lb64.ndim == 0:
+                        Lb64 = np.full((N,), Lb64)
+                    d_imp = N // cfg.batch
+                    Lblk64 = np.max(Lb64.reshape(d_imp, cfg.batch), axis=1)
+                    q64 = Lblk64 / np.sum(Lblk64)
+                    iwin = min(64, d_imp)
+                    q64, _ = clip_block_distribution(q64, iwin)
+                    qcum64 = np.cumsum(iwin * q64)
+                    qcum64 *= iwin / qcum64[-1]
+                    qcum64[-1] = iwin
+                    qcum = jnp.asarray(qcum64, rdt)
+                    qinv = jnp.asarray(1.0 / (d_imp * q64), rdt)
+                    cfg = cfg._replace(importance=True, istrat=True,
+                                       iwin=iwin)
                 if self.table in ("auto", "coeff") and coeff_ok:
                     variant = "basic_coeff"
                     # K-steps-per-launch fused kernel (TPU, f32, L1/Zero)
@@ -948,7 +1063,13 @@ class Finito:
                         _warn_finito_fallback("Finito", F, g, x0,
                                               kernel_ok)
                     cfg_c = cfg
-                    init = lambda: finito_coeff_init(F, g, x0, gamma, key, cfg_c)
+                    if self.importance_sampling:
+                        init = lambda: finito_coeff_init(
+                            F, g, x0, gamma, key, cfg_c)._replace(
+                                qcum=qcum, qinv=qinv)
+                    else:
+                        init = lambda: finito_coeff_init(
+                            F, g, x0, gamma, key, cfg_c)
                 else:
                     init = lambda: finito_basic_init(F, g, x0, gamma, key, cfg)
             else:

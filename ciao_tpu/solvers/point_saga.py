@@ -41,6 +41,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ciao_tpu.prox import Zero
 from ciao_tpu.solvers.base import (
@@ -60,6 +61,20 @@ class PointSAGACfg(NamedTuple):
     # at N ≤ 1M): (1, N) coefficient row through clamped aliased
     # windows, the saga fused_stream machinery
     fused_stream: bool = False
+    # Lipschitz-proportional block sampling (round 5, VERDICT r4 #6 —
+    # the SAGA systematic-πps schedule shared verbatim). Point-SAGA is a
+    # FIXED-POINT table method: at the optimum every realized map fixes
+    # x* exactly (prox optimality per drawn block), so non-uniform
+    # draws need NO direction reweighting — the schedule only changes
+    # which anchors refresh most often. The stepsize compensates via
+    # the clipped effective smoothness 1/(3·max_j L_j/(d·q̃_j)).
+    # ``istrat``/``iwin`` mirror SAGACfg (the facade always sets
+    # istrat=True here: one schedule for stepwise AND streamed keeps
+    # the streams bit-identical; same-window draws are distinct by
+    # construction, which is also the streamed kernel's hazard gate).
+    importance: bool = False
+    istrat: bool = True
+    iwin: int = 64
 
 
 class PointSAGAState(NamedTuple):
@@ -75,6 +90,13 @@ class PointSAGAState(NamedTuple):
     # Layout follows the kernel: (8, N/8) slab under cfg.fused, (1, N)
     # row under cfg.fused_stream; None otherwise (leafless pytree node).
     na8: object = None
+    # importance mode only (leafless None otherwise): the π-scale CDF
+    # of the clipped block distribution and the 1/(d·q̃_j) weights —
+    # the latter kept ONLY for draw-stream parity with SAGA's
+    # _block_choice/_gen_importance_draws helpers (Point-SAGA ignores
+    # the weight: fixed-point method, see PointSAGACfg.importance).
+    qcum: object = None
+    qinv: object = None
 
     @property
     def solution(self):
@@ -128,7 +150,12 @@ def _point_saga_step(F, g, cfg: PointSAGACfg,
     v = state.x - gamma * state.av          # shared shifted iterate
     if cfg.block:
         key = state.key
-        start = _block_start(key, state.it, N, B)
+        if cfg.importance:
+            from ciao_tpu.solvers.saga import _block_choice
+
+            start, _ = _block_choice(cfg, state)  # weight unused (see cfg)
+        else:
+            start = _block_start(key, state.it, N, B)
         c_B = jax.lax.dynamic_slice_in_dim(state.c, start, B)
         theta, u = F.pointprox_block(v, c_B, gamma, start, B)
         c = jax.lax.dynamic_update_slice_in_dim(state.c, theta, start, 0)
@@ -177,7 +204,13 @@ def _point_saga_run_fused(F, g, state, cfg: PointSAGACfg, steps: int):
 
     def body(carry, it0):
         c8, x2, av2 = carry
-        starts = _gen_block_starts(state.key, it0, cfg, K)
+        if cfg.importance:
+            from ciao_tpu.solvers.saga import _gen_importance_draws
+
+            starts, _ = _gen_importance_draws(
+                state.key, it0, cfg, state.qcum, state.qinv, K)
+        else:
+            starts = _gen_block_starts(state.key, it0, cfg, K)
         c8, x2, av2 = point_saga_multistep(
             rows, b8, state.na8, c8, starts, x2, av2, scalars, B,
             mode=int(F.coeff_mode), precision=cfg.fused_precision,
@@ -214,7 +247,8 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
     from ciao_tpu.solvers.saga import run_clamped_stream, stream_launch_K
 
     B, N = cfg.batch, cfg.N
-    K = stream_launch_K(N // B)
+    d = N // B
+    K = min(cfg.iwin, d) if cfg.importance else stream_launch_K(d)
     rows, offs = F.coeff_rows_data()
     b1 = offs[None, :]
     rs1 = rows_scale_row(F)
@@ -230,7 +264,13 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
 
     def launch(carry):
         c1, x2, av2, it = carry
-        starts = _gen_block_starts(state.key, it, cfg, K)
+        if cfg.importance:
+            from ciao_tpu.solvers.saga import _gen_importance_draws
+
+            starts, _ = _gen_importance_draws(
+                state.key, it, cfg, state.qcum, state.qinv, K)
+        else:
+            starts = _gen_block_starts(state.key, it, cfg, K)
         fcl = first_duplicate(starts // B)
         c1, x2, av2 = point_saga_multistep_streamed(
             rows, b1, state.na8, c1, starts, x2, av2, scalars, B,
@@ -238,6 +278,29 @@ def _point_saga_run_fused_streamed(F, g, state, cfg: PointSAGACfg,
             rs1=rs1, f=fcl, interpret=interp,
         )
         return (c1, x2, av2, it + fcl)
+
+    if cfg.importance:
+        # stratified schedule: launches must be WINDOW-ALIGNED (the
+        # SAGA fused_stream pattern verbatim — a launch spanning two
+        # windows re-draws hot near-1/K-mass blocks in both halves and
+        # clamps early). Launch iff it % K == 0, else one stepwise
+        # step; one jitted while_loop.
+        target = state.it + jnp.asarray(steps, jnp.int32)
+
+        def do_launch(st):
+            c1, x2, av2, it = launch(
+                (st.c[None, :], st.x[None, :], st.av[None, :], st.it)
+            )
+            return st._replace(c=c1[0], x=x2[0], av=av2[0], it=it)
+
+        def body(st):
+            aligned = (st.it % K == 0) & (st.it + K <= target)
+            return jax.lax.cond(
+                aligned, do_launch,
+                lambda s: _point_saga_step(F, g, cfg, s), st,
+            )
+
+        return jax.lax.while_loop(lambda st: st.it < target, body, state)
 
     return run_clamped_stream(
         state, steps, K,
@@ -298,6 +361,12 @@ class PointSAGA:
     freq: int = 1000
     batch: int = 1
     block_sampling: bool = False
+    # Lipschitz-proportional block draws via the SAGA systematic-πps
+    # clipped schedule (round 5; needs block_sampling + L). No
+    # direction reweighting — Point-SAGA is a fixed-point table method
+    # (PointSAGACfg.importance); γ defaults to the clipped effective
+    # smoothness 1/(3·max_j L_j/(d·q̃_j)).
+    importance_sampling: bool = False
     fused_precision: str = "highest"  # "default" = bf16-mul/f32-acc MXU dots
     seed: int = 0
 
@@ -326,6 +395,42 @@ class PointSAGA:
                 "support it"
             )
         rdt = real_dtype_of(x0)
+        if self.block_sampling and N % self.batch != 0:
+            raise ValueError(
+                "PointSAGA block_sampling needs N divisible by batch"
+            )
+        qcum = qinv = None
+        iwin = 64
+        L_eff64 = None
+        if self.importance_sampling:
+            # the SAGA facade's schedule construction verbatim (f64 on
+            # host — an f32 cumsum drift would skew the realized draws),
+            # ALWAYS clipped+systematic here: one schedule serves the
+            # stepwise, slab-fused and streamed paths identically
+            if not self.block_sampling:
+                raise ValueError(
+                    "importance_sampling needs block_sampling=True")
+            if L is None:
+                raise ValueError("PointSAGA importance_sampling: provide L")
+            if jnp.iscomplexobj(x0):
+                raise ValueError(
+                    "PointSAGA importance_sampling: real dtypes only")
+            from ciao_tpu.sampling import clip_block_distribution
+
+            Lb64 = np.asarray(jax.device_get(jnp.asarray(L)), np.float64)
+            if Lb64.ndim == 0:
+                Lb64 = np.full((N,), Lb64)
+            d_imp = N // self.batch
+            Lblk64 = np.max(Lb64.reshape(d_imp, self.batch), axis=1)
+            q64 = Lblk64 / np.sum(Lblk64)
+            iwin = min(64, d_imp)
+            q64, _ = clip_block_distribution(q64, iwin)
+            L_eff64 = float(np.max(Lblk64 / (d_imp * q64)))
+            qcum64 = np.cumsum(iwin * q64)
+            qcum64 *= iwin / qcum64[-1]
+            qcum64[-1] = iwin
+            qcum = jnp.asarray(qcum64, rdt)
+            qinv = jnp.asarray(1.0 / (d_imp * q64), rdt)
         if self.gamma is not None:
             gamma = jnp.asarray(self.gamma, rdt)
         else:
@@ -334,11 +439,10 @@ class PointSAGA:
                     "PointSAGA: provide the smoothness moduli L, or a "
                     "stepsize γ"
                 )
-            gamma = 1.0 / (3.0 * jnp.max(jnp.asarray(L, rdt)))
-        if self.block_sampling and N % self.batch != 0:
-            raise ValueError(
-                "PointSAGA block_sampling needs N divisible by batch"
-            )
+            if self.importance_sampling:
+                gamma = jnp.asarray(1.0 / (3.0 * L_eff64), rdt)
+            else:
+                gamma = 1.0 / (3.0 * jnp.max(jnp.asarray(L, rdt)))
         fused = False
         fused_stream = False
         if (
@@ -386,9 +490,16 @@ class PointSAGA:
             warn_fused_gate_fallback("PointSAGA", F, g, x0)
         cfg = PointSAGACfg(N=N, batch=self.batch, block=self.block_sampling,
                            fused=fused, fused_stream=fused_stream,
-                           fused_precision=self.fused_precision)
+                           fused_precision=self.fused_precision,
+                           importance=self.importance_sampling,
+                           istrat=True, iwin=iwin)
         key = jax.random.PRNGKey(self.seed)
-        init = lambda: point_saga_init(F, g, x0, gamma, key, cfg)
+        if self.importance_sampling:
+            init = lambda: point_saga_init(F, g, x0, gamma, key,
+                                           cfg)._replace(qcum=qcum,
+                                                         qinv=qinv)
+        else:
+            init = lambda: point_saga_init(F, g, x0, gamma, key, cfg)
         return x0, F, g, cfg, init
 
     def __call__(self, x0, F=None, g=None, L=None, N=None, observe=None):

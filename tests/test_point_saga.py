@@ -411,3 +411,114 @@ def test_point_saga_huber_pointprox_and_fused():
     x_tp, _ = TPPointSAGA(mesh=mesh2, maxit=50, batch=2)(
         x0, F=shard_finite_sum_2d(F, mesh2), L=L)
     assert np.all(np.isfinite(np.asarray(x_tp)))
+
+
+from ciao_tpu.utils.problems import make_lasso
+
+
+def _ips_schedule(L, N, B, rdt=jnp.float32):
+    """The facade's importance-schedule construction (f64 on host,
+    clipped + π-scale CDF) — kept in sync with PointSAGA._setup."""
+    from ciao_tpu.sampling import clip_block_distribution
+
+    d = N // B
+    Lb = np.asarray(L, np.float64)
+    Lblk = np.max(Lb.reshape(d, B), axis=1)
+    q = Lblk / Lblk.sum()
+    iwin = min(64, d)
+    q, _ = clip_block_distribution(q, iwin)
+    qcum = np.cumsum(iwin * q)
+    qcum *= iwin / qcum[-1]
+    qcum[-1] = iwin
+    L_eff = float(np.max(Lblk / (d * q)))
+    return (jnp.asarray(qcum, rdt), jnp.asarray(1.0 / (d * q), rdt),
+            iwin, L_eff)
+
+
+def test_point_saga_importance_fused_paths_match_stepwise():
+    """Round 5 (VERDICT r4 #6): importance draws through BOTH fused
+    Point-SAGA kernels (resident slab + streamed window-aligned
+    launches) reproduce the stepwise systematic-πps stream — same
+    trajectory, no clamp waste (same-window blocks are distinct by
+    construction)."""
+    import jax
+
+    from ciao_tpu.prox import Zero
+    from ciao_tpu.solvers.point_saga import (
+        PointSAGACfg, point_saga_init, point_saga_run,
+    )
+
+    Np, npix, Bp = 8192, 128, 128   # d = 64 blocks
+    prob = make_lasso(N=Np, n=npix, p=4, seed=3, dtype=np.float32)
+    F = LeastSquaresRows(
+        A=jnp.asarray(prob.A, jnp.float32),
+        b=jnp.asarray(prob.b, jnp.float32),
+        scale=jnp.asarray(float(Np), jnp.float32),
+    )
+    qcum, qinv, iwin, L_eff = _ips_schedule(prob.L, Np, Bp)
+    gamma = jnp.asarray(1.0 / (3.0 * L_eff), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros(npix, jnp.float32)
+    base = PointSAGACfg(N=Np, batch=Bp, block=True, importance=True,
+                        istrat=True, iwin=iwin)
+    from jax.experimental.pallas import tpu as pltpu
+
+    states = {}
+    for tag, cfg in (("stepwise", base),
+                     ("slab", base._replace(fused=True)),
+                     ("stream", base._replace(fused_stream=True))):
+        st = point_saga_init(F, Zero(), x0, gamma, key, cfg)._replace(
+            qcum=qcum, qinv=qinv)
+        with pltpu.force_tpu_interpret_mode():
+            states[tag] = point_saga_run(F, Zero(), st, cfg, 193)
+    for tag in ("slab", "stream"):
+        assert int(states[tag].it) == int(states["stepwise"].it) == 194
+        np.testing.assert_allclose(
+            np.asarray(states[tag].x), np.asarray(states["stepwise"].x),
+            rtol=1e-4, atol=1e-6, err_msg=tag)
+        np.testing.assert_allclose(
+            np.asarray(states[tag].c), np.asarray(states["stepwise"].c),
+            rtol=1e-3,
+            atol=max(1e-3, 1e-4 * float(np.abs(states["stepwise"].c).max())),
+            err_msg=tag)
+
+
+def test_point_saga_importance_facade_converges_and_guards():
+    """Facade-level: importance_sampling=True on an ill-conditioned
+    CONSISTENT least-squares system (Point-SAGA has no composite-g
+    form) converges at a matched budget much closer than uniform (hot
+    anchors refresh more often; γ scales with the clipped EFFECTIVE
+    smoothness instead of max L); guards reject the invalid combos."""
+    import ciao_tpu
+
+    Np, npx = 1024, 64
+    rng = np.random.default_rng(1)
+    # log-uniform row scales 1..~30 → ~7.6x block-L spread (the
+    # reference generator's L spread is only ~1.4x at block level —
+    # too narrow to separate the schedules)
+    scale_row = 10.0 ** (1.5 * np.arange(Np) / (Np - 1))
+    A = rng.standard_normal((Np, npx)) * scale_row[:, None]
+    x_true = rng.standard_normal(npx)
+    b = A @ x_true                       # consistent: argmin unique, f*=0
+    L = Np * (A * A).sum(axis=1)
+    F = LeastSquaresRows(
+        A=jnp.asarray(A), b=jnp.asarray(b), scale=jnp.asarray(float(Np)))
+    z0 = jnp.zeros(npx, A.dtype)
+    steps = 16000
+    xu, _ = ciao_tpu.PointSAGA(maxit=steps, batch=8, block_sampling=True)(
+        z0, F=F, L=L, N=Np)
+    xi, _ = ciao_tpu.PointSAGA(maxit=steps, batch=8, block_sampling=True,
+                               importance_sampling=True)(
+        z0, F=F, L=L, N=Np)
+    gap_u = float(np.sum((A @ np.asarray(xu) - b) ** 2))
+    gap_i = float(np.sum((A @ np.asarray(xi) - b) ** 2))
+    # measured ~750x; assert two orders with slack
+    assert gap_i * 100 < gap_u, (gap_i, gap_u)
+
+    with pytest.raises(ValueError, match="block_sampling"):
+        ciao_tpu.PointSAGA(maxit=2, importance_sampling=True)(
+            z0, F=F, L=L, N=Np)
+    with pytest.raises(ValueError, match="provide L"):
+        ciao_tpu.PointSAGA(maxit=2, batch=8, block_sampling=True,
+                           importance_sampling=True, gamma=0.1)(
+            z0, F=F, N=Np)
