@@ -159,3 +159,27 @@ def test_sharing_objective_matches_host_f64(planted_f32):
     dev = float(sharing_objective(F, g, st, 1024))
     host = prob.cost(np.asarray(st.solution))
     assert abs(dev - host) / abs(host) < 1e-5
+
+
+def test_dp_proshi_reaches_deep_target_on_mesh():
+    """Sharing deep accuracy ON THE DP MESH (completes the parallel-
+    mode deep matrix for the sharing class): DPProshi's local-update
+    mode resyncs av = Σ s_i EXACTLY at round boundaries
+    (parallel/dp.py `rebase_every`), which is the distributed analog of
+    `proshi_resync` — an f32 run on the 8-device mesh must land within
+    rel 1e-6 of the f64 closed-form optimum of the planted instance."""
+    import jax
+
+    from ciao_tpu.parallel import DPProshi, make_mesh, shard_finite_sum
+
+    prob = make_sharing_planted(N=2048, n=64, p=8, seed=2)
+    F = DiagQuadratic(d=jnp.asarray(prob.d, jnp.float32),
+                      q=jnp.asarray(prob.q, jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    mesh = make_mesh()
+    Fd = shard_finite_sum(F, mesh, N=2048)
+    x, _ = DPProshi(mesh=mesh, maxit=1500, batch=64, sweeping=2,
+                    local_steps=4, rebase_every=8)(
+        jnp.zeros(64, jnp.float32), F=Fd, g=g, L=prob.L, N=2048)
+    assert np.asarray(x).shape == (2048, 64)
+    assert rel_gap(prob, x) < 1e-6
