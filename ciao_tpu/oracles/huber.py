@@ -225,11 +225,15 @@ class HuberRows(SmoothOracle):
         return A @ x
 
     def hess_weight_from_margin(self, r, margin_slack=0.0):
-        """Upper bound on the margin curvature: H_δ'' ∈ {0, 1}, so
-        d²f_i/dm² ≤ scale — GLOBAL (``margin_slack`` ignored; the clip
-        only flattens the quadratic)."""
-        del margin_slack
-        return jnp.asarray(self.scale, r.dtype)
+        """POINTWISE trust-region bound on the margin curvature
+        (round 5 — was the global ``scale``): H_δ'' = 1 on the
+        quadratic branch |m − b| ≤ δ and 0 on the linear tails, so the
+        interval max over |m − rᵢ| ≤ ``margin_slack`` is
+        scale·1{|rᵢ − bᵢ| ≤ δ + slack} — rows pinned deep in the
+        robust (linear) tails contribute no curvature and the polish
+        stepsize grows on heavy-outlier data."""
+        act = (jnp.abs(r - self.b) <= self.delta + margin_slack)
+        return jnp.asarray(self.scale, r.dtype) * act.astype(r.dtype)
 
     def coeff_from_margin(self, r, start, size: int):
         _, b_B = self._slice(start, size)

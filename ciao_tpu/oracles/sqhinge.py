@@ -231,11 +231,14 @@ class SquaredHingeRows(SmoothOracle):
         return A @ x
 
     def hess_weight_from_margin(self, r, margin_slack=0.0):
-        """Upper bound on the margin curvature: the active branch is
-        (scale/2)(1−ym)² with d²/dm² = scale, the inactive branch 0 —
-        GLOBAL bound ``scale`` (``margin_slack`` ignored)."""
-        del margin_slack
-        return jnp.asarray(self.scale, r.dtype)
+        """POINTWISE trust-region bound on the margin curvature
+        (round 5 — was the global ``scale``): the active branch
+        (y·m < 1) has d²/dm² = scale, the satisfied branch 0, so the
+        interval max over |m − rᵢ| ≤ ``margin_slack`` is
+        scale·1{yᵢ·rᵢ < 1 + slack} — confidently-classified rows
+        contribute no curvature near a separated optimum."""
+        act = (self.y * r < 1.0 + margin_slack)
+        return jnp.asarray(self.scale, r.dtype) * act.astype(r.dtype)
 
     def coeff_from_margin(self, r, start, size: int):
         _, y_B = self._slice(start, size)

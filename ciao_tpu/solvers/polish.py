@@ -177,13 +177,15 @@ def power_lmax(F, x, key, iters: int = 8, margin_slack=0.0):
         H̄ = (1/N) · Aᵀ diag(w̄ᵢ) A,
 
     where w̄ᵢ = ``F.hess_weight_from_margin(m, margin_slack)`` bounds
-    each row's margin curvature d²fᵢ/dm² (GLOBAL for least-squares /
-    logistic / Huber / squared-hinge; a trust-region weight evaluated
-    at the anchor ``x`` for Poisson, whose curvature e^m has no global
-    bound — pass a ``margin_slack`` covering the polish's margin
-    motion). Each iteration is one 2-pass read of the rows. The polish
-    caller takes η = 0.9/λ̂ (``deep_solve``); since w̄ ≥ w everywhere in
-    the trust region, the step is safe — at worst conservative.
+    each row's margin curvature d²fᵢ/dm² (exact GLOBAL constant for
+    least-squares; POINTWISE trust-region weights at the anchor ``x``
+    for logistic / Huber / squared-hinge / Poisson as of round 5 —
+    valid while each margin moves ≤ ``margin_slack``, which the
+    post-plateau polish satisfies; pass a slack covering the motion
+    when in doubt). Each iteration is one 2-pass read of the rows. The
+    polish caller takes η = 0.9/λ̂ (``deep_solve``); w̄ ≥ w everywhere
+    in the trust region, so the step is safe there — at worst
+    conservative.
 
     Supersedes ``lsq_power_lmax`` (kept as the least-squares wrapper).
     Reference anchor: the reference needs no such machinery because its
@@ -200,7 +202,9 @@ def power_lmax(F, x, key, iters: int = 8, margin_slack=0.0):
         u = jnp.dot(A, v, precision=_HI)
         hv = jnp.dot(w * u, A, precision=_HI) / N
         lam = jnp.linalg.norm(hv)
-        return hv / lam, lam
+        # pointwise indicator weights (Huber/sqhinge) can be all-zero
+        # at an anchor with no active rows — keep the iteration finite
+        return hv / jnp.maximum(lam, jnp.finfo(hv.dtype).tiny), lam
 
     v0 = jax.random.normal(key, (n,), jnp.float32)
     v0 = v0 / jnp.linalg.norm(v0)
@@ -240,7 +244,7 @@ def power_lmax_weighted(F, x, key, iters: int = 8, margin_slack=0.0):
         u = F.margin_all(v)
         hv = F.apply_all(w * u) / N
         lam = jnp.linalg.norm(hv)
-        return hv / lam, lam
+        return hv / jnp.maximum(lam, jnp.finfo(hv.dtype).tiny), lam
 
     v0 = jax.random.normal(key, (n,), jnp.float32)
     v0 = v0 / jnp.linalg.norm(v0)

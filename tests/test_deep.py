@@ -72,17 +72,45 @@ def test_chunked_grad_is_loss_generic(data):
 
 
 def test_power_lmax_matches_dense_eigen(data):
-    """Generic curvature bound vs dense f64 λmax of (1/N)AᵀWA."""
+    """Generic curvature bound vs dense f64 λmax of (1/N)AᵀWA — with
+    the round-5 POINTWISE trust-region weights per loss."""
     A, b, y, cnt = data
     A64 = np.asarray(A, np.float64)
+    y64 = np.asarray(y, np.float64)
+    b64 = np.asarray(b, np.float64)
     rng = np.random.default_rng(2)
     x = jnp.asarray(0.1 * rng.standard_normal(n), jnp.float32)
+    m64 = A64 @ np.asarray(x, np.float64)
     key = jax.random.PRNGKey(3)
 
-    # logistic: global weight 1/4
-    lam = float(power_lmax(LogisticRows(X=A, y=y), x, key, iters=16))
-    lam_true = float(np.linalg.eigvalsh(0.25 * A64.T @ A64 / N).max())
-    assert 0.8 * lam_true < lam <= 1.02 * lam_true
+    def eig(W):
+        return float(np.linalg.eigvalsh((A64.T * W) @ A64 / N).max())
+
+    # logistic: pointwise σ'(max(|m|−slack, 0)) ≤ 1/4
+    for slack in (0.0, 0.5):
+        lam = float(power_lmax(LogisticRows(X=A, y=y), x, key, iters=16,
+                               margin_slack=slack))
+        t = np.maximum(np.abs(m64) - slack, 0.0)
+        sg = 1.0 / (1.0 + np.exp(-t))
+        lam_true = eig(sg * (1.0 - sg))
+        assert 0.8 * lam_true < lam <= 1.02 * lam_true, slack
+    # ... and never above the old global-1/4 bound
+    assert lam <= 1.02 * eig(np.full(N, 0.25))
+
+    # Huber: quadratic-branch indicator 1{|m − b| ≤ δ + slack}
+    Fh = HuberRows(A=A, b=b, delta=jnp.asarray(0.7, jnp.float32),
+                   scale=jnp.asarray(1.0, jnp.float32))
+    for slack in (0.0, 0.5):
+        lam = float(power_lmax(Fh, x, key, iters=16, margin_slack=slack))
+        lam_true = eig((np.abs(m64 - b64) <= 0.7 + slack).astype(float))
+        assert 0.8 * lam_true < lam <= 1.02 * lam_true, slack
+
+    # squared hinge: activity indicator 1{y·m < 1 + slack}
+    Fs = SquaredHingeRows(A=A, y=y, scale=jnp.asarray(1.0, jnp.float32))
+    for slack in (0.0, 0.5):
+        lam = float(power_lmax(Fs, x, key, iters=16, margin_slack=slack))
+        lam_true = eig((y64 * m64 < 1.0 + slack).astype(float))
+        assert 0.8 * lam_true < lam <= 1.02 * lam_true, slack
 
     # poisson: trust-region weights e^{m+slack} at the anchor
     Fp = PoissonRows(A=0.05 * A, y=cnt, scale=jnp.asarray(1.0, jnp.float32))
