@@ -1095,6 +1095,39 @@ def bench_missing_cells():
             log(f"proshi [{label}, fused={fused}]: {ms:.4f} ms/step")
 
 
+def bench_sharing_deep(Nb=65_536, nb=128, p=16):
+    """Round 5 (VERDICT r4 #2's on-chip leg): the SHARING deep-accuracy
+    route end-to-end on the real chip — ``deep_solve_sharing`` (f32
+    ProShI + compensated periodic coupling-sum resync) on a planted
+    instance with a closed-form f64 optimum. Reports wall time and the
+    final host-f64 relative gap. The (N, n) DiagQuadratic stepwise path
+    has no fused kernel (not rank-1) — this row also pins the stepwise
+    ProShI class's on-chip per-step cost at scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu import deep_solve_sharing
+    from ciao_tpu.oracles import DiagQuadratic
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.utils import make_sharing_planted
+
+    prob = make_sharing_planted(N=Nb, n=nb, p=p, seed=0)
+    F = DiagQuadratic(d=jnp.asarray(prob.d, jnp.float32),
+                      q=jnp.asarray(prob.q, jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    t0 = time.perf_counter()
+    blocks, info = deep_solve_sharing(
+        jnp.zeros(nb, jnp.float32), F, g=g, L=prob.L, N=Nb,
+        batch=512, sweeping=2, chunk_epochs=16, max_epochs=512,
+        resync_chunk=4096)
+    dt = time.perf_counter() - t0
+    rel = (prob.cost(np.asarray(blocks)) - prob.f_star) / abs(prob.f_star)
+    steps = info.epochs * (Nb // 512)
+    log(f"sharing deep {Nb}x{nb} [f32 ProShI+resync]: rel {rel:.2e} in "
+        f"{dt:.1f}s ({info.epochs} epochs, {info.resyncs} resyncs, "
+        f"~{dt / max(steps, 1) * 1e3:.3f} ms/step stepwise)")
+
+
 def bench_sparse_e2e(Np=131_072, n_feat=16_384, hot=512, k_hot=24,
                      k_cold=8, p_supp=64, B=2_048, max_chunks=56):
     """Sparse story END-TO-END (VERDICT r3 #4): time-to-rel-1e-3 on a
@@ -1588,6 +1621,7 @@ def main():
         bench_secondary()
         bench_missing_cells()
         bench_sparse_e2e()
+        bench_sharing_deep()
     # BASELINE.md anchors, machine-captured every round as secondary
     # JSON lines (the driver consumes the FIRST line; these are for the
     # record). Each is fenced: a tunnel hiccup here must not cost the
