@@ -13,11 +13,30 @@ on the CPU CI mesh (``tests/test_warnings.py``).
 
 from __future__ import annotations
 
+import contextlib
 import warnings
 
 import jax
 
 _FALLBACK_WARNED: set = set()
+_EXPECTED_DEPTH = 0
+
+
+@contextlib.contextmanager
+def expected_fallback():
+    """Scope in which a fused-fallback is EXPECTED — a caller knowingly
+    takes the stepwise path (e.g. :func:`ciao_tpu.deep_solve_sharing`,
+    whose ProShI leg is stepwise BY DESIGN: (N, n) DiagQuadratic blocks
+    are not rank-1, no fused kernel exists for the class). Warnings
+    inside the scope are dropped WITHOUT consuming the one-time dedup
+    slot, so a user's own later config with the same reason still
+    warns."""
+    global _EXPECTED_DEPTH
+    _EXPECTED_DEPTH += 1
+    try:
+        yield
+    finally:
+        _EXPECTED_DEPTH -= 1
 
 
 def on_tpu() -> bool:
@@ -34,6 +53,8 @@ def warn_fused_fallback(who: str, reason: str, remedy: str) -> None:
     remedy; silent off-TPU and silent when the fused path is taken
     (callers only invoke this after the gates closed)."""
     if not on_tpu():
+        return
+    if _EXPECTED_DEPTH:
         return
     key = (who, reason)
     if key in _FALLBACK_WARNED:

@@ -215,3 +215,32 @@ def test_beyond_reference_facades_warn(fake_tpu, prob):
     with pytest.warns(UserWarning, match="block_sampling"):
         Proshi(maxit=1, minibatch=(True, 128), sweeping=1)._setup(
             x0, F, bad_g, L, None)
+
+
+def test_deep_solve_sharing_expected_fallback_is_silent(fake_tpu):
+    """deep_solve_sharing's ProShI leg is stepwise BY DESIGN ((N, n)
+    quadratic blocks are not rank-1): the public API must not warn —
+    and the suppression must NOT consume the one-time dedup slot, so a
+    user's own later stepwise config with the same reason still does
+    (runtime.expected_fallback)."""
+    from ciao_tpu import DiagQuadratic, deep_solve_sharing
+    from ciao_tpu.utils import make_sharing_planted
+
+    prob = make_sharing_planted(N=64, n=16, p=4, seed=0)
+    F = DiagQuadratic(d=jnp.asarray(prob.d, jnp.float32),
+                      q=jnp.asarray(prob.q, jnp.float32))
+    g = NormL1(lam=jnp.asarray(prob.lam, jnp.float32))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        blocks, info = deep_solve_sharing(
+            jnp.zeros(16, jnp.float32), F, g=g, L=prob.L, N=64,
+            batch=8, chunk_epochs=8, max_epochs=64, resync_chunk=16)
+    rel = (prob.cost(np.asarray(blocks)) - prob.f_star) / abs(prob.f_star)
+    assert rel < 1e-5
+
+    # the same stepwise reason still warns when the USER hits it
+    from ciao_tpu import Proshi
+
+    with pytest.warns(UserWarning, match="stepwise XLA path"):
+        Proshi(maxit=1, minibatch=(True, 8), sweeping=2)._setup(
+            jnp.zeros(16, jnp.float32), F, g, prob.L, 64)
