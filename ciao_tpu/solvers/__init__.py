@@ -18,6 +18,7 @@ from ciao_tpu.solvers.ssnm import SSNM
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 from ciao_tpu.solvers.deep import DeepSolveInfo, deep_solve
 from ciao_tpu.solvers.deep_sharing import DeepSharingInfo, deep_solve_sharing
+from ciao_tpu.solvers.deep_pd import DeepPDInfo, deep_solve_pd, tv_refine
 from ciao_tpu.solvers.proshi import proshi_resync, sharing_objective
 from ciao_tpu.solvers.polish import (
     PolishResult,
@@ -65,6 +66,9 @@ __all__ = [
     "deep_solve",
     "DeepSharingInfo",
     "deep_solve_sharing",
+    "DeepPDInfo",
+    "deep_solve_pd",
+    "tv_refine",
     "proshi_resync",
     "sharing_objective",
     "PolishResult",

@@ -1,0 +1,386 @@
+"""Deep accuracy for the PRIMAL-DUAL class (analysis sparsity — the
+round-5 completion of "deep accuracy on every expressible problem
+class": finite-sum has :func:`ciao_tpu.deep_solve`, sharing has
+:func:`ciao_tpu.deep_solve_sharing`, and h(Kx) problems get this).
+
+Two f32 obstacles stand between Condat-Vũ and a rel ≤ 1e-6 target:
+
+* the full-gradient reduction — the same √N·eps rounding that floors
+  every finite-sum plan (BASELINE.md). Fix: the ``_pd_step`` body
+  already threads a ``grad_fn`` hook (built for the DP psum path), so
+  every step here substitutes :func:`solvers.polish.grad_mean_chunked`
+  — per-chunk HIGHEST-precision dots with a compensated two-sum
+  cross-chunk carry. Same bytes, deep-grade gradient.
+* the stepsize — the facade's default L_f = mean(L) is the TRACE of
+  the mean Hessian on dense designs (Σ‖aᵢ‖² ≈ n·λmax/κ), i.e. ~n×
+  too conservative a τ for a deep target. Fix: the spectral bound via
+  the loss-generic :func:`solvers.polish.power_lmax` (for least
+  squares this is λmax(AᵀA) exactly).
+
+One more floor is STRUCTURAL, not a reduction: Condat-Vũ's primal
+iterate only reaches Dx = 0 on the flat runs in the limit — the TV
+term is enforced through the dual, nothing snaps neighbors equal — so
+the f32 stationary point carries |Dxᵢ| ~ eps·|x| on every flat
+coordinate and h(Dx) pays it FIRST order: rel floor ≈ (n/jumps)·eps
+(measured 5.5e-6 at n=256, 8 jumps — exactly the model). The endgame
+is the polyhedral problem's own structure: identification is FINITE,
+so once the plateaued iterate shows the jump set, :func:`tv_refine`
+solves the k-segment REDUCED problem exactly (compensated chunked
+Gram/rhs, k×k host-f64 solve), re-certifies optimality through the
+recovered dual (|v| ≤ λ interior off-jump — the analysis-sparsity
+analog of a lasso KKT certificate), and returns the certified
+piecewise-constant point. Measured rel ~1e-7 (the f32 REPRESENTATION
+floor of the point itself); tests/test_deep_pd.py pins f32
+rel ≤ 1e-6 vs the f64 optimum of the planted any-scale fused lasso
+(``utils.problems.make_fused_lasso_planted``, exact f* by a rank-1
+KKT construction).
+
+Reference anchor: none — h(Kx) with a linear K inside the nonsmooth
+term is the capability class the prox-of-g-only reference
+(``ProximalOperators`` g-prox interface, e.g. ``Finito_basic.jl:60``)
+cannot express; this closes the deep-accuracy story for it anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunk_of(N: int, chunk: int) -> int:
+    c = min(chunk, N)
+    while N % c:
+        c -= 1
+    return c
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "chunk"))
+def pd_run_compensated(F, g, h, K, state, cfg, steps: int, chunk: int):
+    """``steps`` Condat-Vũ iterations whose full gradient is the
+    COMPENSATED chunked mean (``grad_mean_chunked``) instead of the
+    single f32 reduction — the exact ``_pd_step`` body otherwise
+    (``grad_fn`` hook). One jitted scan, one dispatch."""
+    from ciao_tpu.solvers.polish import grad_mean_chunked
+    from ciao_tpu.solvers.primal_dual import _pd_step
+
+    grad_fn = lambda x: grad_mean_chunked(F, x, chunk).astype(x.dtype)
+
+    def body(s, _):
+        return _pd_step(F, g, h, K, cfg, s, grad_fn=grad_fn), None
+
+    return jax.lax.scan(body, state, None, length=steps)[0]
+
+
+def _two_sum(hi, lo, p):
+    s = hi + p
+    t = s - hi
+    e = (p - t) + (hi - (s - t))
+    return s, lo + e
+
+
+@partial(jax.jit, static_argnames=("chunk", "k"))
+def _segment_normal_eq(rows, offs, seg_id, chunk: int, k: int):
+    """Compensated chunked G = A_SᵀA_S (k, k) and r = A_Sᵀb (k,) for
+    the segment-collapsed design A_S = A·S (S the (n, k) one-hot
+    segment indicator): per-chunk HIGHEST-precision dots, two-sum
+    cross-chunk carries — the reduced system must be deep-grade or the
+    λ·sᵀDz term pays the Gram's rounding FIRST order."""
+    N, n = rows.shape
+    S = jax.nn.one_hot(seg_id, k, dtype=jnp.float32)   # (n, k)
+    hi = jnp.zeros((k, k), jnp.float32)
+    rhi = jnp.zeros((k,), jnp.float32)
+
+    def body(carry, i):
+        Ghi, Glo, rhi, rlo = carry
+        A_B = jax.lax.dynamic_slice_in_dim(rows, i * chunk, chunk, 0)
+        A_B = A_B.astype(jnp.float32)
+        b_B = jax.lax.dynamic_slice_in_dim(offs, i * chunk, chunk)
+        AS = jnp.dot(A_B, S, precision=jax.lax.Precision.HIGHEST)
+        Gp = jnp.dot(AS.T, AS, precision=jax.lax.Precision.HIGHEST)
+        rp = jnp.dot(b_B.astype(jnp.float32), AS,
+                     precision=jax.lax.Precision.HIGHEST)
+        Ghi, Glo = _two_sum(Ghi, Glo, Gp)
+        rhi, rlo = _two_sum(rhi, rlo, rp)
+        return (Ghi, Glo, rhi, rlo), None
+
+    (Ghi, Glo, rhi, rlo), _ = jax.lax.scan(
+        body, (hi, hi, rhi, rhi), jnp.arange(N // chunk))
+    return Ghi, Glo, rhi, rlo
+
+
+@partial(jax.jit, static_argnames=("chunk", "k"))
+def _tv_cert_grad(rows, offs, seg_id, z_hi, z_lo, chunk: int, k: int):
+    """∇(½‖A·Sz − b‖²) = Aᵀ(A_S z − b) at the EXACT reduced solution:
+    z rides as a double-single (hi, lo) pair so the f32 cast error —
+    which the curvature amplifies to ~0.1·λ through the certificate's
+    cumulative sums — cancels instead of polluting the dual. Margins
+    are ordered cancellation-aware ((m_hi − b) + m_lo); cross-chunk
+    accumulation is the usual two-sum carry."""
+    N, n = rows.shape
+    S = jax.nn.one_hot(seg_id, k, dtype=jnp.float32)
+    z32 = jnp.zeros((n,), jnp.float32)
+
+    def body(carry, i):
+        hi, lo = carry
+        A_B = jax.lax.dynamic_slice_in_dim(rows, i * chunk, chunk, 0)
+        A_B = A_B.astype(jnp.float32)
+        b_B = jax.lax.dynamic_slice_in_dim(offs, i * chunk, chunk)
+        AS = jnp.dot(A_B, S, precision=jax.lax.Precision.HIGHEST)
+        m_hi = jnp.dot(AS, z_hi, precision=jax.lax.Precision.HIGHEST)
+        m_lo = jnp.dot(AS, z_lo, precision=jax.lax.Precision.HIGHEST)
+        r = (m_hi - b_B.astype(jnp.float32)) + m_lo
+        wp = jnp.dot(r, A_B, precision=jax.lax.Precision.HIGHEST)
+        return _two_sum(hi, lo, wp), None
+
+    (whi, wlo), _ = jax.lax.scan(body, (z32, z32),
+                                 jnp.arange(N // chunk))
+    return whi, wlo
+
+
+def tv_refine(F, x, lam: float, *, chunk: int = 4096,
+              jump_rtol: float = 1e-3, cert_rtol: float = 0.01):
+    """Exact REDUCED solve of ½‖Ax−b‖² + λ‖Dx‖₁ on the jump set the
+    plateaued iterate identifies (analysis-sparsity identification is
+    FINITE for this polyhedral problem, so this is the last step, not
+    a heuristic):
+
+    1. J = {i : |Dxᵢ| > jump_rtol·max|Dx|}, signs s = sign(Dx)|_J,
+       k = |J|+1 segments;
+    2. solve  A_SᵀA_S z = A_Sᵀb − λ·D_kᵀs  (Gram/rhs by compensated
+       chunked HIGHEST dots on device, k×k solve on the host in f64);
+    3. certify: recover the EXACT dual on the flat runs from the
+       compensated full gradient at x̂ = Sz via the cumulative-sum
+       inverse of Dᵀ, and check λ-interiority (|vᵢ| ≤ λ(1+cert_rtol)
+       off J) plus the sign match on J — the analysis analog of a
+       lasso KKT certificate.
+
+    Returns ``(x_hat, certified, v)`` — x̂ the f32 piecewise-constant
+    point (its flat runs are EXACT, so h(Dx̂) carries no first-order
+    noise), ``certified`` whether the KKT certificate held, ``v`` the
+    recovered dual (host f64). On a failed certificate callers keep
+    the unrefined iterate."""
+    import numpy as np
+
+    rows, offs = F.coeff_rows_data()
+    N, n = rows.shape
+    c = _chunk_of(N, chunk)
+
+    x_np = np.asarray(x, np.float64)
+    d = np.diff(x_np)
+    theta = jump_rtol * np.max(np.abs(d))
+    J = np.nonzero(np.abs(d) > theta)[0]
+    k = len(J) + 1
+    s = np.sign(d[J])
+    seg_id = np.zeros(n, np.int32)
+    seg_id[J + 1] = 1
+    seg_id = np.cumsum(seg_id).astype(np.int32)
+
+    Ghi, Glo, rhi, rlo = _segment_normal_eq(
+        rows, offs, jnp.asarray(seg_id), c, k)
+    G = np.asarray(Ghi, np.float64) + np.asarray(Glo, np.float64)
+    r = np.asarray(rhi, np.float64) + np.asarray(rlo, np.float64)
+    # the user objective is (1/N)Σ fᵢ + λ‖Dx‖₁ = (scale/N)·½‖Ax−b‖² +
+    # λ‖Dx‖₁ — fold the loss scaling into the λ side of the reduced
+    # stationarity  (scale/N)(Gz − r) + λ·D_kᵀs = 0
+    sc = float(np.asarray(F.scale)) if hasattr(F, "scale") else float(N)
+    lam_eff = lam * N / sc
+    # D_kᵀs in segment space: (D_kᵀs)_j = s_{j-1} − s_j (ends pinned)
+    Dk_t_s = np.zeros(k)
+    Dk_t_s[:-1] -= s
+    Dk_t_s[1:] += s
+    z = np.linalg.solve(G, r - lam_eff * Dk_t_s)
+
+    # ITERATIVE REFINEMENT of the reduced normal equations: the f32
+    # Gram's ~eps relative entries leave a ~5e-7 z error that the
+    # certificate would amplify FIRST order (v shift ≈ ‖H‖·δz·√n ≈
+    # 0.07λ measured); each round re-evaluates the residual with the
+    # double-single margin pass (Sᵀw = Gz − r exactly) and corrects —
+    # measured 0.076λ → 0.002λ dual error in two rounds, and the point
+    # itself lands ~4e-11 rel. The LAST evaluation doubles as the
+    # certificate's gradient.
+    seg_j = jnp.asarray(seg_id)
+    S_host = np.eye(k)[seg_id]
+    for _ in range(3):
+        z_hi = np.asarray(z, np.float32)
+        z_lo = np.asarray(z - z_hi.astype(np.float64), np.float32)
+        whi, wlo = _tv_cert_grad(rows, offs, seg_j,
+                                 jnp.asarray(z_hi), jnp.asarray(z_lo),
+                                 c, k)
+        w_un = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
+        rho = -(S_host.T @ w_un) - lam_eff * Dk_t_s
+        dz = np.linalg.solve(G, rho)
+        z = z + dz
+        if np.max(np.abs(dz)) <= 1e-9 * max(np.max(np.abs(z)), 1e-30):
+            break
+
+    x_hat = jnp.asarray(z[seg_id], jnp.float32)
+    # certificate: ∇f(x̂) + Dᵀv = 0 with ∇f the USER mean gradient →
+    # v_i = Σ_{j≤i} wᵢ (the cumulative-sum inverse of Dᵀ), consistency
+    # Σw = 0, λ·sign match on J, λ-interior off J. The gradient is the
+    # last refinement evaluation, i.e. AT the exact refined z — the
+    # f32 cast of x̂ would shift v by ~λmax·eps·‖z‖·√n, far above the
+    # tolerance.
+    z_hi = np.asarray(z, np.float32)
+    z_lo = np.asarray(z - z_hi.astype(np.float64), np.float32)
+    whi, wlo = _tv_cert_grad(rows, offs, seg_j,
+                             jnp.asarray(z_hi), jnp.asarray(z_lo), c, k)
+    w = (np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)) \
+        * (sc / N)
+    v = np.cumsum(w[:-1])
+    off = np.ones(n - 1, bool)
+    off[J] = False
+    # the v_J = λs condition is near-tautological (the reduced solve
+    # enforces it), so the load-bearing checks are (a) λ-interiority
+    # OFF the jump set and (b) that the SOLVED jumps actually take the
+    # assumed signs with a material magnitude — a mis-identified set
+    # (e.g. a non-converged iterate flagging every coordinate) fails
+    # (b) immediately
+    dz = np.diff(z)
+    sign_ok = bool(np.all(np.sign(dz) == s)
+                   and np.min(np.abs(dz)) > cert_rtol * np.max(np.abs(dz)))
+    certified = bool(
+        sign_ok
+        and np.all(np.abs(v[off]) <= lam * (1.0 + cert_rtol))
+        and np.all(np.abs(v[J] - lam * s) <= lam * cert_rtol)
+        and abs(v[-1] + w[-1]) <= lam * cert_rtol
+    )
+    return x_hat, certified, v
+
+
+@dataclasses.dataclass
+class DeepPDInfo:
+    """What the deep primal-dual solve did."""
+
+    steps: int            # Condat-Vũ steps run
+    dx_rels: List[float]  # per-chunk relative primal motion ‖Δx‖/‖x‖
+    lam_hat: Optional[float]  # spectral curvature bound used for τ
+    tau: float
+    sigma: float
+    refined: bool = False    # tv_refine ran and its certificate held
+    certified: bool = False  # the KKT certificate (when refine ran)
+
+
+def deep_solve_pd(
+    x0,
+    F=None,
+    g=None,
+    h=None,
+    K=None,
+    L=None,
+    N: Optional[int] = None,
+    *,
+    tau: Optional[float] = None,
+    sigma: Optional[float] = None,
+    chunk: int = 4096,
+    chunk_steps: int = 512,
+    max_steps: int = 131_072,
+    plateau_rtol: float = 5e-8,
+    refine_try_rtol: float = 3e-5,
+    power_iters: int = 12,
+    refine: bool = True,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, DeepPDInfo]:
+    """Solve ``min (1/N)Σ fᵢ(x) + g(x) + h(Kx)`` to deep relative
+    accuracy in f32: Condat-Vũ at the SPECTRAL stepsize with a
+    compensated chunked full gradient every step, stopping when the
+    per-chunk relative primal motion plateaus.
+
+    For the TV / fused-lasso structure (g absent, h = λ‖·‖₁,
+    K = FirstDifference, dense-rows F) the plateaued iterate then goes
+    through :func:`tv_refine` — the certified exact reduced solve that
+    removes the structural (n/jumps)·eps floor (module docstring); on
+    a failed certificate the unrefined iterate is returned
+    (``info.refined``/``info.certified`` say which).
+
+    Parameters mirror :class:`ciao_tpu.CondatVu` (omit K for K = I,
+    omit F for the Chambolle-Pock case); ``chunk`` is the compensated
+    reduction's chunk size (rounded down to a divisor of N),
+    ``chunk_steps`` the steps between plateau checks; ``plateau_rtol``
+    defaults to the f32 noise scale of the per-chunk primal motion —
+    identification needs the plateau, not the last digits. Explicit
+    ``tau``/``sigma`` override the spectral choice. Returns
+    ``(x, DeepPDInfo)``."""
+    from ciao_tpu.ops.linmap import IdentityMap
+    from ciao_tpu.solvers.polish import power_lmax
+    from ciao_tpu.solvers.primal_dual import CondatVu, pd_run
+
+    x0j = jnp.asarray(x0)
+    dense_rows = F is not None and hasattr(F, "coeff_rows_data")
+    lam_hat = None
+    if tau is None and dense_rows:
+        # spectral τ: λ̂ from the generic margin-weighted power bound.
+        # The 1.2 margin matters: power iterations approach λmax from
+        # BELOW, and at a random design's Marchenko-Pastur edge the
+        # eigengap is tiny, so a dozen iterations can sit several
+        # percent short — an overlarge τ makes Condat-Vũ oscillate on
+        # the top eigenmode and identification never happens (measured:
+        # a 1.05 margin failed one seed in three). σ = 1/‖K‖ as in the
+        # facade.
+        lam_hat = 1.2 * float(
+            power_lmax(F, x0j.astype(jnp.float32), jax.random.PRNGKey(seed),
+                       iters=power_iters)
+        )
+        Kn = K if K is not None else IdentityMap()
+        normK = float(Kn.opnorm_bound(x0j.shape[0]))
+        sigma = 1.0 / max(normK, 1e-12) if sigma is None else sigma
+        tau = 0.99 / (lam_hat / 2.0 + sigma * normK * normK)
+
+    facade = CondatVu(tau=tau, sigma=sigma)
+    x0j, F, g, h, K, cfg, init = facade._setup(x0j, F, g, h, K, L, N)
+    state = init()
+    c = _chunk_of(cfg.N, chunk)
+
+    from ciao_tpu.ops.linmap import FirstDifference
+    from ciao_tpu.prox import NormL1, Zero
+
+    tv_shape = (
+        refine and dense_rows
+        and isinstance(g, Zero)
+        and isinstance(h, NormL1)
+        and isinstance(K, FirstDifference)
+    )
+
+    dx_rels: List[float] = []
+    steps = 0
+    rounds = max(1, max_steps // chunk_steps)
+    info = DeepPDInfo(
+        steps=0, dx_rels=dx_rels, lam_hat=lam_hat,
+        tau=float(state.tau), sigma=float(state.sigma),
+    )
+    for _ in range(rounds):
+        x_prev = state.x
+        if dense_rows:
+            state = pd_run_compensated(F, g, h, K, state, cfg,
+                                       chunk_steps, c)
+        else:
+            # no finite-sum term (Chambolle-Pock) — nothing to
+            # compensate, the plain jitted run is exact to O(n) rounding
+            state = pd_run(F, g, h, K, state, cfg, chunk_steps)
+        steps += chunk_steps
+        info.steps = steps
+        dx = float(jnp.linalg.norm(state.x - x_prev)
+                   / jnp.maximum(jnp.linalg.norm(state.x), 1e-30))
+        dx_rels.append(dx)
+        if tv_shape and dx <= refine_try_rtol:
+            # identification, not deep convergence, is all the
+            # certified reduced solve needs — try it as soon as the
+            # iterate settles AND actually looks identified (a sparse
+            # jump set; a non-converged iterate flags ~every
+            # coordinate and the k≈n reduced solve is wasted work),
+            # return on the first valid certificate
+            d_np = jnp.abs(jnp.diff(state.x))
+            n_jumps = int(jnp.sum(d_np > 1e-3 * jnp.max(d_np)))
+            if 4 * n_jumps <= state.x.shape[0]:
+                x_hat, certified, _ = tv_refine(
+                    F, state.x, float(jnp.asarray(h.lam)), chunk=c)
+                info.certified = certified
+                if certified:
+                    info.refined = True
+                    return x_hat, info
+        if dx <= plateau_rtol:
+            break
+    return state.x, info

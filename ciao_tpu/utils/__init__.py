@@ -6,6 +6,8 @@ from ciao_tpu.utils.problems import (
     SharingProblem,
     PlantedSharingProblem,
     make_sharing_planted,
+    PlantedFusedLassoProblem,
+    make_fused_lasso_planted,
     make_lasso,
     make_logistic_l1,
     make_sharing,
@@ -19,6 +21,8 @@ __all__ = [
     "SharingProblem",
     "PlantedSharingProblem",
     "make_sharing_planted",
+    "PlantedFusedLassoProblem",
+    "make_fused_lasso_planted",
     "make_lasso",
     "make_logistic_l1",
     "make_sharing",

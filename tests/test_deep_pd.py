@@ -1,0 +1,155 @@
+"""Deep accuracy for the PRIMAL-DUAL class (round 5): the planted
+any-scale fused lasso (rank-1 KKT construction), the compensated
+Condat-Vũ driver, and the certified TV reduced solve
+(`solvers/deep_pd.py`). Completes the deep-accuracy matrix over every
+expressible problem class — finite-sum (`deep_solve`), sharing
+(`deep_solve_sharing`), analysis sparsity h(Kx) (this).
+
+Reference anchor: none — h(Kx) is the capability class the
+prox-of-g-only reference cannot express; the planted-optimum test
+DISCIPLINE is SURVEY §4's."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ciao_tpu import (
+    FirstDifference,
+    LeastSquaresRows,
+    NormL1,
+    deep_solve_pd,
+    tv_refine,
+)
+from ciao_tpu.solvers.deep_pd import pd_run_compensated
+from ciao_tpu.utils import make_fused_lasso_planted
+
+
+def _oracle(p, dtype=jnp.float32):
+    N = p.A.shape[0]
+    return LeastSquaresRows(
+        A=jnp.asarray(p.A, dtype), b=jnp.asarray(p.b, dtype),
+        scale=jnp.asarray(float(N), dtype),
+    )
+
+
+def test_planted_construction_is_exact():
+    """The rank-1 dual correction satisfies the fused-lasso KKT system
+    to f64 roundoff and the planted point is a strict minimum."""
+    N, n = 2048, 128
+    p = make_fused_lasso_planted(N=N, n=n, jumps=6, seed=0)
+    r = p.A @ p.x_star - p.b
+    Dt_v = np.zeros(n)
+    Dt_v[:-1] -= p.v_star
+    Dt_v[1:] += p.v_star
+    kkt = p.A.T @ r + Dt_v
+    assert np.max(np.abs(kkt)) < 1e-10
+    assert abs(p.cost(p.x_star) - p.f_star) < 1e-10
+    # dual validity: λ·sign at jumps, strictly interior off them
+    d = np.diff(p.x_star)
+    J = d != 0
+    np.testing.assert_array_equal(p.v_star[J], p.lam * np.sign(d[J]))
+    assert np.max(np.abs(p.v_star[~J])) <= 0.6 * p.lam + 1e-12
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        assert p.cost(p.x_star + 1e-3 * rng.standard_normal(n)) > p.f_star
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_deep_solve_pd_certified_fused_lasso(seed):
+    """f32 Condat-Vũ + certified TV reduced solve lands ORDERS below
+    the structural (n/jumps)·eps CV floor (~5e-6 measured unrefined):
+    rel ≤ 1e-8 vs the exact f64 optimum, exact jump-set recovery."""
+    N, n = 8192, 256
+    p = make_fused_lasso_planted(N=N, n=n, jumps=8, seed=seed)
+    F = _oracle(p)
+    h = NormL1(lam=jnp.asarray(p.lam, jnp.float32))
+    x, info = deep_solve_pd(
+        jnp.zeros(n, jnp.float32), F, h=h, K=FirstDifference(), N=N,
+        chunk=1024, chunk_steps=512, max_steps=32768)
+    rel = (p.cost(np.asarray(x)) - p.f_star) / abs(p.f_star)
+    assert info.refined and info.certified
+    assert 0 <= rel < 1e-8
+    d = np.abs(np.diff(np.asarray(x, np.float64)))
+    true_J = np.abs(np.diff(p.x_star)) > 0
+    assert np.all(d[true_J] > 1e-2)
+    assert np.all(d[~true_J] == 0.0)  # flat runs EXACT in f32
+
+
+def test_deep_solve_pd_beats_unrefined_floor():
+    """The same budget WITHOUT the reduced solve sits at the
+    first-order TV noise floor — the refinement is what removes it."""
+    N, n = 8192, 256
+    p = make_fused_lasso_planted(N=N, n=n, jumps=8, seed=1)
+    F = _oracle(p)
+    h = NormL1(lam=jnp.asarray(p.lam, jnp.float32))
+    kw = dict(N=N, chunk=1024, chunk_steps=512, max_steps=4096)
+    x_ref, i_ref = deep_solve_pd(jnp.zeros(n, jnp.float32), F, h=h,
+                                 K=FirstDifference(), **kw)
+    x_raw, i_raw = deep_solve_pd(jnp.zeros(n, jnp.float32), F, h=h,
+                                 K=FirstDifference(), refine=False, **kw)
+    rel_ref = (p.cost(np.asarray(x_ref)) - p.f_star) / p.f_star
+    rel_raw = (p.cost(np.asarray(x_raw)) - p.f_star) / p.f_star
+    assert i_ref.refined and not i_raw.refined
+    assert rel_ref < 1e-8 < rel_raw
+
+
+def test_tv_refine_rejects_unidentified_iterate():
+    """A garbage point (no identified structure) must FAIL the
+    certificate — the solved jump signs cannot match the assumed ones
+    on a dense pseudo-jump set."""
+    N, n = 2048, 128
+    p = make_fused_lasso_planted(N=N, n=n, jumps=6, seed=3)
+    F = _oracle(p)
+    rng = np.random.default_rng(0)
+    x_bad = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    _, certified, _ = tv_refine(F, x_bad, p.lam, chunk=1024)
+    assert not certified
+
+
+def test_pd_run_compensated_matches_plain_in_f64():
+    """The compensated driver is the SAME iteration — in f64, where
+    compensation is invisible at test tolerance, trajectories match
+    the plain pd_run to reduction-order noise."""
+    from ciao_tpu.solvers.primal_dual import CondatVu, pd_run
+
+    N, n = 512, 64
+    p = make_fused_lasso_planted(N=N, n=n, jumps=4, seed=0)
+    F = _oracle(p, jnp.float64)
+    h = NormL1(lam=jnp.asarray(p.lam, jnp.float64))
+    K = FirstDifference()
+    facade = CondatVu()
+    x0, F, g, h, K, cfg, init = facade._setup(
+        jnp.zeros(n, jnp.float64), F, None, h, K, p.L, N)
+    s_plain = pd_run(F, g, h, K, init(), cfg, 200)
+    s_comp = pd_run_compensated(F, g, h, K, init(), cfg, 200, 128)
+    np.testing.assert_allclose(np.asarray(s_comp.x), np.asarray(s_plain.x),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_comp.y), np.asarray(s_plain.y),
+                               rtol=0, atol=1e-11)
+
+
+def test_deep_solve_pd_chambolle_pock_path():
+    """F = None (no finite-sum term): the driver takes the plain
+    pd_run leg and still solves — small TV denoise against the
+    subdifferential certificate."""
+    from ciao_tpu.prox import SqrDistPoint
+
+    rng = np.random.default_rng(3)
+    n = 48
+    truth = np.repeat([0.0, 2.0, -1.0], n // 3)
+    b = jnp.asarray(truth + 0.2 * rng.standard_normal(n), jnp.float64)
+    lam = 0.3
+    x, info = deep_solve_pd(
+        jnp.zeros(n, jnp.float64), g=SqrDistPoint(b=b, rho=jnp.asarray(1.0)),
+        h=NormL1(lam=jnp.asarray(lam)), K=FirstDifference(), N=1,
+        tau=0.25, sigma=1.0, chunk_steps=2000, max_steps=40000,
+        plateau_rtol=1e-14)
+    assert not info.refined  # no dense rows — refine not applicable
+    # exact TV certificate: v = cumsum(x − b) interior / ±λ at jumps
+    xn = np.asarray(x)
+    v = np.cumsum(xn - np.asarray(b))[:-1]
+    d = np.diff(xn)
+    J = np.abs(d) > 1e-6
+    assert np.max(np.abs(v[~J])) <= lam * (1 + 1e-6)
+    np.testing.assert_allclose(v[J], lam * np.sign(d[J]), rtol=0, atol=1e-6)
