@@ -1128,6 +1128,94 @@ def bench_sharing_deep(Nb=65_536, nb=128, p=16):
         f"~{dt / max(steps, 1) * 1e3:.3f} ms/step stepwise)")
 
 
+def bench_pd_deep(Nb=262_144, nb=1_024, jumps=16):
+    """Round 5: the PRIMAL-DUAL deep-accuracy route end-to-end on the
+    real chip — ``deep_solve_pd`` (compensated Condat-Vũ + the
+    certified TV reduced solve) on a planted fused lasso ASSEMBLED ON
+    DEVICE: only the n-sized KKT ingredients (x*, Dᵀv) cross the
+    tunnel; the f32 operator A = C + y·cᵀ with c = Dᵀv − Cᵀy computed
+    in f32 is its own plant (KKT holds to f32 rounding → suboptimality
+    of x* is second-order), r* = −y exactly by construction, and the
+    gap uses the cancellation-free difference form
+    ½‖u‖² + ⟨u, r*⟩ with u = A(z−x*) via double-single margins —
+    the deep_target_10m metrology applied to the h(Kx) class."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ciao_tpu import FirstDifference, LeastSquaresRows, deep_solve_pd
+    from ciao_tpu.prox import NormL1
+    from ciao_tpu.utils import make_fused_lasso_planted
+
+    HI = jax.lax.Precision.HIGHEST
+    # host: the n-sized plant (reuse the generator's x*/v machinery at
+    # a token N — only x_star / v_star / lam matter here)
+    pp = make_fused_lasso_planted(N=8, n=nb, jumps=jumps, seed=0)
+    Dt_v = np.zeros(nb)
+    Dt_v[:-1] -= pp.v_star
+    Dt_v[1:] += pp.v_star
+    xs64 = pp.x_star
+
+    @partial(jax.jit, static_argnames=("N", "n"))
+    def build(key, xs, dtv, N, n):
+        kc, ky = jax.random.split(key)
+        C = jax.random.uniform(kc, (N, n), jnp.float32, -1.0, 1.0)
+        y = jax.random.normal(ky, (N,), jnp.float32)
+        y = y / jnp.linalg.norm(y)
+        c = dtv - jnp.dot(y, C, precision=HI)
+        A = C + y[:, None] * c[None, :]
+        b = jnp.dot(A, xs, precision=HI) + y
+        return A, b, y
+
+    A, b, y = build(jax.random.PRNGKey(0),
+                    jnp.asarray(xs64, jnp.float32),
+                    jnp.asarray(Dt_v, jnp.float32), Nb, nb)
+    A.block_until_ready()
+    F = LeastSquaresRows(A=A, b=b, scale=jnp.asarray(float(Nb), jnp.float32))
+    h = NormL1(lam=jnp.asarray(pp.lam, jnp.float32))
+
+    t0 = time.perf_counter()
+    x, info = deep_solve_pd(
+        jnp.zeros(nb, jnp.float32), F, h=h, K=FirstDifference(), N=Nb,
+        chunk=4096, chunk_steps=256, max_steps=8192)
+    rel_probe = float(x[0])  # noqa: F841 — hard sync through the tunnel
+    dt = time.perf_counter() - t0
+
+    # difference-form gap vs the COMPUTED r* = −y of the f32 operator
+    @partial(jax.jit, static_argnames=("chunk",))
+    def quad_gap(A, y, d_hi, d_lo, chunk: int):
+        def body(carry, i):
+            hi, lo = carry
+            A_B = jax.lax.dynamic_slice_in_dim(A, i * chunk, chunk, 0)
+            y_B = jax.lax.dynamic_slice_in_dim(y, i * chunk, chunk)
+            u = (jnp.dot(A_B, d_hi, precision=HI)
+                 + jnp.dot(A_B, d_lo, precision=HI))
+            p = jnp.sum(0.5 * u * u - u * y_B)
+            s = hi + p
+            t = s - hi
+            e = (p - t) + (hi - (s - t))
+            return (s, lo + e), None
+
+        (hi, lo), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32),) * 2,
+            jnp.arange(A.shape[0] // chunk))
+        return hi + lo
+
+    d64 = np.asarray(x, np.float64) - xs64
+    d_hi = np.asarray(d64, np.float32)
+    d_lo = np.asarray(d64 - d_hi.astype(np.float64), np.float32)
+    gap_q = float(quad_gap(A, y, jnp.asarray(d_hi), jnp.asarray(d_lo), 4096))
+    tv = pp.lam * (np.sum(np.abs(np.diff(np.asarray(x, np.float64))))
+                   - np.sum(np.abs(np.diff(xs64))))
+    f_star = 0.5 + pp.lam * np.sum(np.abs(np.diff(xs64)))
+    rel = (gap_q + tv) / f_star
+    log(f"pd deep {Nb}x{nb} [f32 CondatVu+certified-TV-refine]: rel "
+        f"{rel:.2e} in {dt:.1f}s ({info.steps} CV steps, refined="
+        f"{info.refined} certified={info.certified}, "
+        f"~{dt / max(info.steps, 1) * 1e3:.2f} ms/step incl. compile)")
+
+
 def bench_sparse_e2e(Np=131_072, n_feat=16_384, hot=512, k_hot=24,
                      k_cold=8, p_supp=64, B=2_048, max_chunks=56):
     """Sparse story END-TO-END (VERDICT r3 #4): time-to-rel-1e-3 on a
@@ -1622,6 +1710,7 @@ def main():
         bench_missing_cells()
         bench_sparse_e2e()
         bench_sharing_deep()
+        bench_pd_deep()
     # BASELINE.md anchors, machine-captured every round as secondary
     # JSON lines (the driver consumes the FIRST line; these are for the
     # record). Each is fenced: a tunnel hiccup here must not cost the
