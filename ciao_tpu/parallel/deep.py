@@ -224,3 +224,101 @@ def deep_solve_tp(
         observe(x)
     return x, DeepSolveInfo(staged=sinfo, lmax=lmax, eta=eta,
                             polish_steps=polish_steps, fp_res=[])
+
+
+def deep_solve_pd_dp(
+    x0,
+    F,
+    g=None,
+    h=None,
+    K=None,
+    L=None,
+    N: Optional[int] = None,
+    *,
+    mesh=None,
+    tau: Optional[float] = None,
+    sigma: Optional[float] = None,
+    chunk_steps: int = 256,
+    max_steps: int = 8192,
+    refine_try_rtol: float = 3e-5,
+    plateau_rtol: float = 5e-8,
+    polish_chunk: int = 32_768,
+    power_iters: int = 12,
+    seed: int = 0,
+):
+    """The PRIMAL-DUAL deep route (:func:`ciao_tpu.deep_solve_pd`) over
+    a DP mesh: :class:`DPCondatVu` with ``polish_chunk`` (per-shard
+    compensated chunked gradient + ONE x-sized psum per step) at the
+    spectral stepsize from :func:`power_lmax` ON the row-sharded oracle
+    (auto-partitioned jit — the deep_solve_dp pattern), with the same
+    early certified :func:`ciao_tpu.tv_refine` attempts once the
+    replicated iterate settles. The refine passes (segment Gram, dual
+    certificate) are plain jits over the sharded rows — XLA
+    auto-partitions the chunk scan and inserts the reductions.
+
+    ``F`` must already be sharded (``shard_finite_sum``) with dense f32
+    rows. Returns ``(x, DeepPDInfo)``; on a failed certificate the
+    unrefined replicated iterate is returned (``info.certified``)."""
+    from ciao_tpu.ops.linmap import FirstDifference, IdentityMap
+    from ciao_tpu.parallel.dp import DPCondatVu
+    from ciao_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from ciao_tpu.prox import NormL1, Zero
+    from ciao_tpu.solvers.deep_pd import DeepPDInfo, tv_refine
+
+    if mesh is None:
+        mesh = make_mesh()
+    if N is None:
+        N = F.num_terms
+    D = mesh.shape[DATA_AXIS]
+    x0j = jnp.asarray(x0)
+
+    lam_hat = None
+    if tau is None:
+        # spectral τ on the SHARDED oracle; 1.2 margin — see
+        # solvers.deep_pd (power iteration under-converges at the MP
+        # edge; an overlarge τ oscillates and never identifies)
+        lam_hat = 1.2 * float(power_lmax(
+            F, x0j.astype(jnp.float32), jax.random.PRNGKey(seed),
+            iters=power_iters))
+        Kn = K if K is not None else IdentityMap()
+        normK = float(Kn.opnorm_bound(x0j.shape[0]))
+        sigma = 1.0 / max(normK, 1e-12) if sigma is None else sigma
+        tau = 0.99 / (lam_hat / 2.0 + sigma * normK * normK)
+
+    pchunk = _largest_divisor_leq(N // D, polish_chunk)
+    solver = DPCondatVu(mesh=mesh, tau=tau, sigma=sigma,
+                        polish_chunk=pchunk)
+    x0r, Fd, ghk, init, _, run, _ = solver._setup(x0j, F, g, h, K, L, N)
+    g_r, h_r, K_r = ghk
+    state = init()
+
+    tv_shape = (isinstance(g_r, Zero) and isinstance(h_r, NormL1)
+                and isinstance(K_r, FirstDifference))
+    gchunk = _largest_divisor_leq(N, polish_chunk)
+
+    dx_rels: List[float] = []
+    steps = 0
+    info = DeepPDInfo(steps=0, dx_rels=dx_rels, lam_hat=lam_hat,
+                      tau=float(tau), sigma=float(sigma))
+    for _ in range(max(1, max_steps // chunk_steps)):
+        x_prev = state.x
+        state = run(state, chunk_steps)
+        steps += chunk_steps
+        info.steps = steps
+        dx = float(jnp.linalg.norm(state.x - x_prev)
+                   / jnp.maximum(jnp.linalg.norm(state.x), 1e-30))
+        dx_rels.append(dx)
+        if tv_shape and dx <= refine_try_rtol:
+            d_np = jnp.abs(jnp.diff(state.x))
+            n_jumps = int(jnp.sum(d_np > 1e-3 * jnp.max(d_np)))
+            if 4 * n_jumps <= state.x.shape[0]:
+                x_hat, certified, _ = tv_refine(
+                    Fd, state.x, float(jnp.asarray(h_r.lam)),
+                    chunk=gchunk)
+                info.certified = certified
+                if certified:
+                    info.refined = True
+                    return x_hat, info
+        if dx <= plateau_rtol:
+            break
+    return state.x, info

@@ -1673,7 +1673,15 @@ def _pd_step_local(F, ghk, cfg: DPCfg, state: DPPDState):
     from ciao_tpu.solvers.primal_dual import _pd_step
 
     g, h, K = ghk
-    grad_fn = lambda x: _psum(F.grad_sum_all(x)) / cfg.N
+    if cfg.polish_chunk:
+        # deep-target route (parallel.deep_solve_pd_dp): per-shard
+        # compensated chunked gradient, the _fb_step_local pattern
+        from ciao_tpu.solvers.polish import grad_sum_chunked
+
+        grad_fn = lambda x: _psum(grad_sum_chunked(
+            F, x, cfg.polish_chunk)) / cfg.N
+    else:
+        grad_fn = lambda x: _psum(F.grad_sum_all(x)) / cfg.N
     return _pd_step(F, g, h, K, None, state, grad_fn=grad_fn)
 
 
@@ -3319,11 +3327,13 @@ class DPCondatVu:
     maxit: int = 1000
     verbose: bool = False
     freq: int = 100
+    polish_chunk: int = 0   # >0: compensated chunked local gradient
 
     def __post_init__(self):
         assert self.tau is None or self.tau > 0
         assert self.sigma is None or self.sigma > 0
         assert self.maxit > 0 and self.freq > 0
+        assert self.polish_chunk >= 0
 
     def _setup(self, x0, F, g, h, K, L, N):
         from ciao_tpu.ops.linmap import IdentityMap
@@ -3367,7 +3377,20 @@ class DPCondatVu:
         tau, sigma = cv._stepsizes(Lf, float(K.opnorm_bound(x0.shape[0])),
                                    rdt)
         ghk = (g, h, K)
-        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999)
+        if self.polish_chunk:
+            if isinstance(F, ZeroOracle):
+                raise ValueError(
+                    "DPCondatVu: polish_chunk compensates the finite-"
+                    "sum gradient — there is none with F omitted")
+            if (N // D) % self.polish_chunk:
+                raise ValueError(
+                    f"DPCondatVu: polish_chunk={self.polish_chunk} "
+                    f"must divide the per-device shard N/D={N // D}")
+            if getattr(F, "coeff_rows_scale", lambda: None)() is not None:
+                raise ValueError(
+                    "DPCondatVu: polish_chunk needs f32/bf16 rows")
+        cfg = DPCfg(N=N, D=D, b_loc=1, sweeping=Sweep.RANDOM, alpha=0.999,
+                    polish_chunk=self.polish_chunk)
         init_c, step_c, run_c, rebase_c = build_dp_functions(
             "pd", mesh, F, ghk, cfg, extra_init_scalars=1
         )

@@ -153,3 +153,27 @@ def test_deep_solve_pd_chambolle_pock_path():
     J = np.abs(d) > 1e-6
     assert np.max(np.abs(v[~J])) <= lam * (1 + 1e-6)
     np.testing.assert_allclose(v[J], lam * np.sign(d[J]), rtol=0, atol=1e-6)
+
+
+def test_deep_solve_pd_dp_certified_on_mesh():
+    """The primal-dual deep route over the 8-device DP mesh
+    (`parallel.deep_solve_pd_dp`): DPCondatVu with per-shard
+    compensated chunks + the certified TV reduced solve evaluated on
+    the ROW-SHARDED oracle (auto-partitioned jits) — same accuracy
+    contract as single-chip."""
+    from ciao_tpu.parallel import deep_solve_pd_dp, make_mesh, \
+        shard_finite_sum
+
+    N, n = 8192, 256
+    p = make_fused_lasso_planted(N=N, n=n, jumps=8, seed=0)
+    mesh = make_mesh()
+    Fd = shard_finite_sum(_oracle(p), mesh)
+    h = NormL1(lam=jnp.asarray(p.lam, jnp.float32))
+    x, info = deep_solve_pd_dp(
+        jnp.zeros(n, jnp.float32), Fd, h=h, K=FirstDifference(), N=N,
+        mesh=mesh, chunk_steps=512, max_steps=16384, polish_chunk=1024)
+    rel = (p.cost(np.asarray(x)) - p.f_star) / abs(p.f_star)
+    assert info.refined and info.certified
+    assert 0 <= rel < 1e-8
+    d = np.abs(np.diff(np.asarray(x, np.float64)))
+    assert np.all(d[np.abs(np.diff(p.x_star)) == 0] == 0.0)
