@@ -52,3 +52,7 @@ def test_example_large_scale_lasso_small(storage):
 
 def test_example_deep_accuracy_small():
     assert _load("deep_accuracy").main(small=True) <= 1e-6
+
+
+def test_example_fused_lasso_tv_small():
+    _load("fused_lasso_tv").main(small=True)
