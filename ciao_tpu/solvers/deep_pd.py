@@ -240,8 +240,12 @@ def tv_refine(F, x, lam: float, *, chunk: int = 4096,
     # (e.g. a non-converged iterate flagging every coordinate) fails
     # (b) immediately
     dz = np.diff(z)
-    sign_ok = bool(np.all(np.sign(dz) == s)
-                   and np.min(np.abs(dz)) > cert_rtol * np.max(np.abs(dz)))
+    if k == 1:          # no jumps identified — nothing to sign-check
+        sign_ok = True
+    else:
+        sign_ok = bool(
+            np.all(np.sign(dz) == s)
+            and np.min(np.abs(dz)) > cert_rtol * np.max(np.abs(dz)))
     certified = bool(
         sign_ok
         and np.all(np.abs(v[off]) <= lam * (1.0 + cert_rtol))

@@ -177,3 +177,17 @@ def test_deep_solve_pd_dp_certified_on_mesh():
     assert 0 <= rel < 1e-8
     d = np.abs(np.diff(np.asarray(x, np.float64)))
     assert np.all(d[np.abs(np.diff(p.x_star)) == 0] == 0.0)
+
+
+def test_tv_refine_constant_iterate_no_jumps():
+    """k = 1 edge case (constant iterate → empty jump set): the
+    reduced solve degenerates to one global least-squares mean and the
+    certificate must evaluate without error (it fails honestly here —
+    the true optimum has jumps)."""
+    N, n = 2048, 128
+    p = make_fused_lasso_planted(N=N, n=n, jumps=6, seed=5)
+    F = _oracle(p)
+    x_const = jnp.ones(n, jnp.float32) * 0.5
+    x_hat, certified, v = tv_refine(F, x_const, p.lam, chunk=1024)
+    assert isinstance(certified, bool) and not certified
+    assert x_hat.shape == (n,) and v.shape == (n - 1,)
