@@ -90,3 +90,46 @@ class FirstDifference:
 
     def opnorm_bound(self, n):
         return 2.0  # ‖D‖ = 2·sin(π(n−1)/(2n)) < 2
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class FirstDifference2D:
+    """K = [D_h; D_v] on an (H, W) image flattened row-major to
+    (H·W,): the stacked horizontal and vertical first differences —
+    ``‖Kx‖₁`` is ANISOTROPIC 2-D total variation, the classic
+    Chambolle-Pock image model (denoise/deblur with blocky priors).
+    Output is (H·(W−1) + (H−1)·W,), horizontal block first. The
+    adjoint is the negative 2-D divergence. ‖K‖² = ‖D_hᵀD_h + D_vᵀD_v‖
+    ≤ 4 + 4 = 8 (each 1-D difference contributes < 4), so the bound is
+    √8 — the standard TV operator-norm constant.
+
+    Reference anchor: none (the reference's g-prox interface cannot
+    express h∘K at all); VPU stencil ops, no gather/scatter."""
+
+    H: int = static_field()
+    W: int = static_field()
+
+    def matvec(self, x):
+        im = x.reshape(self.H, self.W)
+        dh = (im[:, 1:] - im[:, :-1]).reshape(-1)
+        dv = (im[1:, :] - im[:-1, :]).reshape(-1)
+        return jnp.concatenate([dh, dv])
+
+    def rmatvec(self, y):
+        mh = self.H * (self.W - 1)
+        dh = y[:mh].reshape(self.H, self.W - 1)
+        dv = y[mh:].reshape(self.H - 1, self.W)
+        im = jnp.zeros((self.H, self.W), y.dtype)
+        im = im.at[:, :-1].add(-dh)
+        im = im.at[:, 1:].add(dh)
+        im = im.at[:-1, :].add(-dv)
+        im = im.at[1:, :].add(dv)
+        return im.reshape(-1)
+
+    def out_dim(self, n):
+        assert n == self.H * self.W, (n, self.H, self.W)
+        return self.H * (self.W - 1) + (self.H - 1) * self.W
+
+    def opnorm_bound(self, n):
+        return 2.8284271247461903  # √8

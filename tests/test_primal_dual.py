@@ -515,3 +515,111 @@ def test_tp_condat_vu_matches_single_chip():
         TPCondatVu(mesh=mesh, maxit=2)(
             x0, F=Fd, g=NormNuclear(lam=jnp.asarray(0.1)), h=h, K=K,
             L=L, N=Np)
+
+
+# ---------------------------------------------------------------------------
+# 2-D total variation (FirstDifference2D, round 5)
+# ---------------------------------------------------------------------------
+
+def _dense_tv2d(H, W):
+    """Explicit dense [D_h; D_v] for cross-checking the stencil map."""
+    n = H * W
+    rows = []
+    for i in range(H):
+        for j in range(W - 1):
+            r = np.zeros(n)
+            r[i * W + j] = -1.0
+            r[i * W + j + 1] = 1.0
+            rows.append(r)
+    for i in range(H - 1):
+        for j in range(W):
+            r = np.zeros(n)
+            r[i * W + j] = -1.0
+            r[(i + 1) * W + j] = 1.0
+            rows.append(r)
+    return np.stack(rows)
+
+
+def test_first_difference_2d_matches_dense():
+    """matvec/rmatvec/out_dim of the stencil map equal the explicit
+    dense [D_h; D_v]; the √8 bound dominates the exact spectral norm."""
+    from ciao_tpu import FirstDifference2D
+
+    H, W = 6, 5
+    K = FirstDifference2D(H=H, W=W)
+    M = _dense_tv2d(H, W)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(H * W))
+    y = jnp.asarray(rng.standard_normal(M.shape[0]))
+    np.testing.assert_allclose(np.asarray(K.matvec(x)), M @ np.asarray(x),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(K.rmatvec(y)), M.T @ np.asarray(y),
+                               rtol=0, atol=1e-12)
+    assert K.out_dim(H * W) == M.shape[0]
+    # adjoint identity and the operator-norm bound
+    assert abs(float(jnp.vdot(K.matvec(x), y))
+               - float(jnp.vdot(x, K.rmatvec(y)))) < 1e-10
+    assert np.linalg.norm(M, 2) <= K.opnorm_bound(H * W)
+
+
+def test_tv2d_denoise_stencil_equals_dense_trajectory():
+    """Chambolle-Pock on 2-D TV denoising: the stencil map and the
+    SAME operator as a DenseMap must produce identical trajectories
+    (same stepsizes forced — DenseMap's exact ‖K‖ would differ from
+    the √8 bound otherwise), and the solution must be blocky."""
+    from ciao_tpu import DenseMap, FirstDifference2D
+    from ciao_tpu.prox import SqrDistPoint
+
+    H, W = 8, 8
+    n = H * W
+    rng = np.random.default_rng(1)
+    truth = np.zeros((H, W))
+    truth[:4, :] = 1.5
+    truth[4:, 4:] = -1.0
+    b_np = (truth + 0.25 * rng.standard_normal((H, W))).reshape(-1)
+    b = jnp.asarray(b_np)
+    lam = 0.4
+    g = SqrDistPoint(b=b, rho=jnp.asarray(1.0))
+    h = NormL1(lam=jnp.asarray(lam))
+    tau = sigma = 1.0 / np.sqrt(8.0)
+    x_st, _ = ciao_tpu.ChambollePock(maxit=6000, tau=tau, sigma=sigma)(
+        jnp.zeros(n, b.dtype), g=g, h=h, K=FirstDifference2D(H=H, W=W), N=1)
+    x_dn, _ = ciao_tpu.ChambollePock(maxit=6000, tau=tau, sigma=sigma)(
+        jnp.zeros(n, b.dtype), g=g, h=h,
+        K=DenseMap(M=jnp.asarray(_dense_tv2d(H, W))), N=1)
+    np.testing.assert_allclose(np.asarray(x_st), np.asarray(x_dn),
+                               rtol=0, atol=1e-9)
+    # blocky: most differences exactly-ish flat, plateaus near truth
+    d = np.abs(np.asarray(
+        FirstDifference2D(H=H, W=W).matvec(jnp.asarray(x_st))))
+    assert np.sum(d > 1e-4) < d.size // 3
+    assert np.max(np.abs(np.asarray(x_st) - truth.reshape(-1))) < 0.5
+
+
+def test_tv2d_condat_vu_with_finite_sum():
+    """Condat-Vũ: 2-D TV with the quadratic as the finite-sum smooth
+    term (identity rows) must agree with the Chambolle-Pock solution
+    of the same objective."""
+    from ciao_tpu import FirstDifference2D
+    from ciao_tpu.prox import SqrDistPoint
+
+    H, W = 6, 6
+    n = H * W
+    rng = np.random.default_rng(2)
+    truth = np.zeros((H, W))
+    truth[:, :3] = 2.0
+    b_np = (truth + 0.2 * rng.standard_normal((H, W))).reshape(-1)
+    b = jnp.asarray(b_np)
+    lam = 0.3
+    K = FirstDifference2D(H=H, W=W)
+    h = NormL1(lam=jnp.asarray(lam))
+    x_cp, _ = ciao_tpu.ChambollePock(maxit=20000)(
+        jnp.zeros(n, b.dtype), g=SqrDistPoint(b=b, rho=jnp.asarray(1.0)),
+        h=h, K=K, N=1)
+    F = LeastSquaresRows(A=jnp.eye(n, dtype=b.dtype), b=b,
+                         scale=jnp.asarray(float(n), b.dtype))
+    x_cv, _ = ciao_tpu.CondatVu(maxit=20000)(
+        jnp.zeros(n, b.dtype), F=F, h=h, K=K,
+        L=np.full(n, float(n)), N=n)
+    np.testing.assert_allclose(np.asarray(x_cv), np.asarray(x_cp),
+                               rtol=0, atol=5e-6)
