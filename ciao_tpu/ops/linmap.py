@@ -133,3 +133,45 @@ class FirstDifference2D:
 
     def opnorm_bound(self, n):
         return 2.8284271247461903  # √8
+
+
+@register_oracle
+@dataclasses.dataclass(frozen=True)
+class GradientMap2D:
+    """K = (∇_h, ∇_v) on an (H, W) image flattened row-major: FORWARD
+    differences with Neumann boundary (last column/row of each field
+    is 0), output (2·H·W,) — horizontal field first, each field in
+    image layout. Pairing the two fields pixelwise under
+    :class:`ciao_tpu.prox.NormL21` gives ISOTROPIC total variation
+    (the standard Rudin-Osher-Fatemi discretization, rotation-fairer
+    than the anisotropic stacked-ℓ1 of :class:`FirstDifference2D`);
+    under NormL1 it is exactly the anisotropic model on padded fields.
+    Adjoint = negative divergence with the matching boundary
+    convention. ‖K‖² ≤ 8 as for any 2-point difference pair."""
+
+    H: int = static_field()
+    W: int = static_field()
+
+    def matvec(self, x):
+        im = x.reshape(self.H, self.W)
+        dh = jnp.zeros_like(im).at[:, :-1].set(im[:, 1:] - im[:, :-1])
+        dv = jnp.zeros_like(im).at[:-1, :].set(im[1:, :] - im[:-1, :])
+        return jnp.concatenate([dh.reshape(-1), dv.reshape(-1)])
+
+    def rmatvec(self, y):
+        m = self.H * self.W
+        dh = y[:m].reshape(self.H, self.W)
+        dv = y[m:].reshape(self.H, self.W)
+        im = jnp.zeros((self.H, self.W), y.dtype)
+        im = im.at[:, :-1].add(-dh[:, :-1])
+        im = im.at[:, 1:].add(dh[:, :-1])
+        im = im.at[:-1, :].add(-dv[:-1, :])
+        im = im.at[1:, :].add(dv[:-1, :])
+        return im.reshape(-1)
+
+    def out_dim(self, n):
+        assert n == self.H * self.W, (n, self.H, self.W)
+        return 2 * self.H * self.W
+
+    def opnorm_bound(self, n):
+        return 2.8284271247461903  # √8

@@ -6,6 +6,7 @@ identical closed-form XLA formula, usable standalone and on CPU CI."""
 from ciao_tpu.prox.base import ProxOperator, register_prox
 from ciao_tpu.prox.separable import (
     Zero,
+    GroupNormL21,
     NormL1,
     NormL2,
     SqrNormL2,
@@ -39,6 +40,7 @@ __all__ = [
     "register_prox",
     "Zero",
     "NormL1",
+    "GroupNormL21",
     "NormL2",
     "SqrNormL2",
     "ElasticNet",

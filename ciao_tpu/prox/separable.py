@@ -206,3 +206,34 @@ class NormNuclear(ProxOperator):
         u, s, vt = jnp.linalg.svd(x, full_matrices=False)
         s_thr = jnp.maximum(s - gamma * self.lam, 0)
         return (u * s_thr[..., None, :]) @ vt
+
+
+@register_prox
+@dataclasses.dataclass(frozen=True)
+class GroupNormL21(ProxOperator):
+    """g(u) = lam · Σ_p ‖(u_p, u_{p+m}, …)‖₂ over ``groups`` stacked
+    fields of equal length m = len(u)/groups, on a FLAT vector — the
+    ISOTROPIC total variation norm when u is
+    :class:`ciao_tpu.GradientMap2D`'s stacked (∇_h, ∇_v) output
+    (groups=2); the flat-vector counterpart of the matrix group-lasso
+    :class:`ciao_tpu.prox.NormL21` shaped for primal-dual duals. Prox
+    = per-group block soft-threshold (group-separable, so it is
+    TP-shardable along the within-field axis). Complex entries:
+    magnitudes with phase kept, like NormL1."""
+
+    separable = False
+
+
+    lam: jnp.ndarray = 1.0
+    groups: int = static_field(default=2)
+
+    def value(self, u):
+        v = u.reshape(self.groups, -1)
+        return self.lam * jnp.sum(jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0)))
+
+    def prox_only(self, u, gamma):
+        v = u.reshape(self.groups, -1)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
+        scale = jnp.maximum(
+            1 - gamma * self.lam / jnp.maximum(nrm, 1e-38), 0)
+        return (scale[None, :] * v).reshape(u.shape)
