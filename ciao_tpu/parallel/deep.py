@@ -292,7 +292,10 @@ def deep_solve_pd_dp(
     g_r, h_r, K_r = ghk
     state = init()
 
-    tv_shape = (isinstance(g_r, Zero) and isinstance(h_r, NormL1)
+    from ciao_tpu.oracles import LeastSquaresRows
+
+    tv_shape = (isinstance(Fd, LeastSquaresRows)
+                and isinstance(g_r, Zero) and isinstance(h_r, NormL1)
                 and isinstance(K_r, FirstDifference))
     gchunk = _largest_divisor_leq(N, polish_chunk)
 

@@ -29,9 +29,9 @@ solves the k-segment REDUCED problem exactly (compensated chunked
 Gram/rhs, k×k host-f64 solve), re-certifies optimality through the
 recovered dual (|v| ≤ λ interior off-jump — the analysis-sparsity
 analog of a lasso KKT certificate), and returns the certified
-piecewise-constant point. Measured rel ~1e-7 (the f32 REPRESENTATION
-floor of the point itself); tests/test_deep_pd.py pins f32
-rel ≤ 1e-6 vs the f64 optimum of the planted any-scale fused lasso
+piecewise-constant point. Measured rel ~1e-10..1e-11 across seeds —
+the structural floor vanishes outright; tests/test_deep_pd.py pins
+f32 rel ≤ 1e-8 vs the f64 optimum of the planted any-scale fused lasso
 (``utils.problems.make_fused_lasso_planted``, exact f* by a rank-1
 KKT construction).
 
@@ -165,6 +165,14 @@ def tv_refine(F, x, lam: float, *, chunk: int = 4096,
     the unrefined iterate."""
     import numpy as np
 
+    from ciao_tpu.oracles import LeastSquaresRows
+
+    if not isinstance(F, LeastSquaresRows):
+        # the reduced solve is the QUADRATIC normal-equation system —
+        # a non-LSQ margin loss would be silently mis-solved
+        raise ValueError(
+            "tv_refine solves the least-squares reduced system; "
+            f"{type(F).__name__} is not a LeastSquaresRows oracle")
     rows, offs = F.coeff_rows_data()
     N, n = rows.shape
     c = _chunk_of(N, chunk)
@@ -339,10 +347,12 @@ def deep_solve_pd(
     c = _chunk_of(cfg.N, chunk)
 
     from ciao_tpu.ops.linmap import FirstDifference
+    from ciao_tpu.oracles import LeastSquaresRows
     from ciao_tpu.prox import NormL1, Zero
 
     tv_shape = (
         refine and dense_rows
+        and isinstance(F, LeastSquaresRows)
         and isinstance(g, Zero)
         and isinstance(h, NormL1)
         and isinstance(K, FirstDifference)

@@ -191,3 +191,23 @@ def test_tv_refine_constant_iterate_no_jumps():
     x_hat, certified, v = tv_refine(F, x_const, p.lam, chunk=1024)
     assert isinstance(certified, bool) and not certified
     assert x_hat.shape == (n,) and v.shape == (n - 1,)
+
+
+def test_tv_refine_rejects_non_lsq_oracle():
+    """tv_refine solves the QUADRATIC reduced system — a non-LSQ
+    margin oracle must raise rather than be silently mis-solved, and
+    deep_solve_pd must simply skip refinement for it."""
+    from ciao_tpu import LogisticRows
+
+    rng = np.random.default_rng(0)
+    N, n = 256, 32
+    A = jnp.asarray(rng.standard_normal((N, n)), jnp.float32)
+    yv = jnp.asarray(np.sign(rng.standard_normal(N)), jnp.float32)
+    F = LogisticRows(X=A, y=yv)
+    with pytest.raises(ValueError, match="LeastSquaresRows"):
+        tv_refine(F, jnp.zeros(n, jnp.float32), 0.1, chunk=64)
+    x, info = deep_solve_pd(
+        jnp.zeros(n, jnp.float32), F, h=NormL1(lam=jnp.asarray(0.05)),
+        K=FirstDifference(), N=N, L=np.full(N, float(N)),
+        tau=1e-3, chunk=64, chunk_steps=64, max_steps=256)
+    assert not info.refined
