@@ -294,6 +294,8 @@ def deep_solve_pd(
     refine_try_rtol: float = 3e-5,
     power_iters: int = 12,
     refine: bool = True,
+    jump_rtol: float = 1e-3,
+    cert_rtol: float = 0.01,
     seed: int = 0,
 ) -> Tuple[jnp.ndarray, DeepPDInfo]:
     """Solve ``min (1/N)Σ fᵢ(x) + g(x) + h(Kx)`` to deep relative
@@ -314,8 +316,9 @@ def deep_solve_pd(
     ``chunk_steps`` the steps between plateau checks; ``plateau_rtol``
     defaults to the f32 noise scale of the per-chunk primal motion —
     identification needs the plateau, not the last digits. Explicit
-    ``tau``/``sigma`` override the spectral choice. Returns
-    ``(x, DeepPDInfo)``."""
+    ``tau``/``sigma`` override the spectral choice;
+    ``jump_rtol``/``cert_rtol`` pass through to :func:`tv_refine`.
+    Returns ``(x, DeepPDInfo)``."""
     from ciao_tpu.ops.linmap import IdentityMap
     from ciao_tpu.solvers.polish import power_lmax
     from ciao_tpu.solvers.primal_dual import CondatVu, pd_run
@@ -390,7 +393,8 @@ def deep_solve_pd(
             n_jumps = int(jnp.sum(d_np > 1e-3 * jnp.max(d_np)))
             if 4 * n_jumps <= state.x.shape[0]:
                 x_hat, certified, _ = tv_refine(
-                    F, state.x, float(jnp.asarray(h.lam)), chunk=c)
+                    F, state.x, float(jnp.asarray(h.lam)), chunk=c,
+                    jump_rtol=jump_rtol, cert_rtol=cert_rtol)
                 info.certified = certified
                 if certified:
                     info.refined = True
