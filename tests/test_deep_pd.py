@@ -211,3 +211,42 @@ def test_tv_refine_rejects_non_lsq_oracle():
         K=FirstDifference(), N=N, L=np.full(N, float(N)),
         tau=1e-3, chunk=64, chunk_steps=64, max_steps=256)
     assert not info.refined
+
+
+def test_tv_refine_certificate_soundness_under_corruption():
+    """Soundness fuzz: feed the reduced solve deliberately WRONG
+    structures — a dropped true jump, a spurious extra jump, a
+    flipped jump sign — by crafting iterates with those jump patterns.
+    Every corruption must fail the certificate (the refined point of a
+    wrong structure is not the optimum, and returning it certified
+    would be the one unacceptable failure mode)."""
+    N, n = 4096, 128
+    p = make_fused_lasso_planted(N=N, n=n, jumps=6, seed=7)
+    F = _oracle(p)
+    xs = p.x_star.copy()
+    J = np.nonzero(np.abs(np.diff(xs)) > 0)[0]
+
+    corruptions = []
+    # drop a true jump: merge the two segments around J[2]
+    x_drop = xs.copy()
+    x_drop[J[2] + 1:J[3] + 1] = x_drop[J[2]]
+    corruptions.append(x_drop)
+    # spurious jump: split a long segment in half with a visible step
+    x_spur = xs.copy()
+    mid = (J[0] + 1 + J[1]) // 2
+    x_spur[mid:J[1] + 1] += 2.0
+    corruptions.append(x_spur)
+    # flipped sign: negate the step of one jump
+    x_flip = xs.copy()
+    lvl_lo, lvl_hi = x_flip[J[1]], x_flip[J[1] + 1]
+    x_flip[J[1] + 1:J[2] + 1] = lvl_lo - (lvl_hi - lvl_lo)
+    corruptions.append(x_flip)
+
+    for x_bad in corruptions:
+        _, certified, _ = tv_refine(F, jnp.asarray(x_bad, jnp.float32),
+                                    p.lam, chunk=1024)
+        assert not certified
+    # the TRUE structure (x* itself) certifies
+    _, certified, _ = tv_refine(F, jnp.asarray(xs, jnp.float32),
+                                p.lam, chunk=1024)
+    assert certified
