@@ -18,7 +18,8 @@ from ciao_tpu.solvers.ssnm import SSNM
 from ciao_tpu.solvers.staged import StagedInfo, staged_saga
 from ciao_tpu.solvers.deep import DeepSolveInfo, deep_solve
 from ciao_tpu.solvers.deep_sharing import DeepSharingInfo, deep_solve_sharing
-from ciao_tpu.solvers.deep_pd import DeepPDInfo, deep_solve_pd, tv_refine
+from ciao_tpu.solvers.deep_pd import (DeepPDInfo, deep_solve_pd,
+                                      tv_refine, tv_refine3)
 from ciao_tpu.solvers.proshi import proshi_resync, sharing_objective
 from ciao_tpu.solvers.polish import (
     PolishResult,
@@ -69,6 +70,7 @@ __all__ = [
     "DeepPDInfo",
     "deep_solve_pd",
     "tv_refine",
+    "tv_refine3",
     "proshi_resync",
     "sharing_objective",
     "PolishResult",

@@ -353,13 +353,16 @@ def deep_solve_pd(
     from ciao_tpu.oracles import LeastSquaresRows
     from ciao_tpu.prox import NormL1, Zero
 
-    tv_shape = (
+    refinable = (
         refine and dense_rows
         and isinstance(F, LeastSquaresRows)
-        and isinstance(g, Zero)
         and isinstance(h, NormL1)
         and isinstance(K, FirstDifference)
     )
+    tv_shape = refinable and isinstance(g, Zero)
+    # the FULL three-term objective (λ₁‖x‖₁ + λ₂‖Dx‖₁): both
+    # structures identified, interval-propagation certificate
+    three_term = refinable and isinstance(g, NormL1)
 
     dx_rels: List[float] = []
     steps = 0
@@ -382,7 +385,7 @@ def deep_solve_pd(
         dx = float(jnp.linalg.norm(state.x - x_prev)
                    / jnp.maximum(jnp.linalg.norm(state.x), 1e-30))
         dx_rels.append(dx)
-        if tv_shape and dx <= refine_try_rtol:
+        if (tv_shape or three_term) and dx <= refine_try_rtol:
             # identification, not deep convergence, is all the
             # certified reduced solve needs — try it as soon as the
             # iterate settles AND actually looks identified (a sparse
@@ -392,9 +395,15 @@ def deep_solve_pd(
             d_np = jnp.abs(jnp.diff(state.x))
             n_jumps = int(jnp.sum(d_np > 1e-3 * jnp.max(d_np)))
             if 4 * n_jumps <= state.x.shape[0]:
-                x_hat, certified, _ = tv_refine(
-                    F, state.x, float(jnp.asarray(h.lam)), chunk=c,
-                    jump_rtol=jump_rtol, cert_rtol=cert_rtol)
+                if three_term:
+                    x_hat, certified = tv_refine3(
+                        F, state.x, float(jnp.asarray(g.lam)),
+                        float(jnp.asarray(h.lam)), chunk=c,
+                        jump_rtol=jump_rtol, cert_rtol=cert_rtol)
+                else:
+                    x_hat, certified, _ = tv_refine(
+                        F, state.x, float(jnp.asarray(h.lam)), chunk=c,
+                        jump_rtol=jump_rtol, cert_rtol=cert_rtol)
                 info.certified = certified
                 if certified:
                     info.refined = True
@@ -402,3 +411,132 @@ def deep_solve_pd(
         if dx <= plateau_rtol:
             break
     return state.x, info
+
+
+def tv_refine3(F, x, lam1: float, lam2: float, *, chunk: int = 4096,
+               jump_rtol: float = 1e-3, zero_rtol: float = 1e-3,
+               cert_rtol: float = 0.01):
+    """Certified exact reduced solve for the THREE-TERM objective
+    ``½‖Ax−b‖² + λ₁‖x‖₁ + λ₂‖Dx‖₁`` — both structures identified
+    from the plateaued iterate: the jump set J (segments) AND the
+    exact-zero segments (ℓ1 sparsity). Nonzero segment levels solve
+    the linear stationarity system (per segment m spanning [a, b]:
+    Σ_m w + λ₁|m|·t_m + λ₂(s_left − s_right) = 0, telescoped TV dual),
+    zero segments are pinned; same compensated Gram + iterative
+    refinement as :func:`tv_refine`.
+
+    The certificate has a twist the two-term case lacks: on zero
+    coordinates the ℓ1 dual u is FREE in [−λ₁, λ₁], so the TV dual is
+    only determined up to an interval — existence of a valid (u, v)
+    pair is checked by FORWARD INTERVAL PROPAGATION of
+    v_i = v_{i−1} + w_i + u_i (nonzero coords shift deterministically
+    by λ₁t, zero coords widen by ±λ₁; each step intersects [−λ₂, λ₂],
+    pins λ₂s at identified jumps, and the final virtual v must hit 0).
+    With λ₁ = 0 this reduces exactly to the two-term cumsum
+    certificate. Returns ``(x_hat, certified)``."""
+    import numpy as np
+
+    from ciao_tpu.oracles import LeastSquaresRows
+
+    if not isinstance(F, LeastSquaresRows):
+        raise ValueError(
+            "tv_refine3 solves the least-squares reduced system; "
+            f"{type(F).__name__} is not a LeastSquaresRows oracle")
+    rows, offs = F.coeff_rows_data()
+    N, n = rows.shape
+    c = _chunk_of(N, chunk)
+
+    x_np = np.asarray(x, np.float64)
+    d = np.diff(x_np)
+    theta = jump_rtol * max(np.max(np.abs(d)), 1e-30)
+    J = np.nonzero(np.abs(d) > theta)[0]
+    k = len(J) + 1
+    s = np.sign(d[J])
+    seg_id = np.zeros(n, np.int32)
+    seg_id[J + 1] = 1
+    seg_id = np.cumsum(seg_id).astype(np.int32)
+    widths = np.bincount(seg_id, minlength=k).astype(np.float64)
+    seg_mean = np.bincount(seg_id, weights=x_np, minlength=k) / widths
+    zmax = max(np.max(np.abs(seg_mean)), 1e-30)
+    nz = np.abs(seg_mean) > zero_rtol * zmax       # nonzero segments
+    t = np.sign(seg_mean) * nz
+
+    # per-segment TV boundary signs: s_left (jump entering) − s_right
+    s_left = np.zeros(k)
+    s_left[1:] = s
+    s_right = np.zeros(k)
+    s_right[:-1] = s
+    mult = lam1 * widths * t + lam2 * (s_left - s_right)
+
+    Ghi, Glo, rhi, rlo = _segment_normal_eq(
+        rows, offs, jnp.asarray(seg_id), c, k)
+    G = np.asarray(Ghi, np.float64) + np.asarray(Glo, np.float64)
+    r = np.asarray(rhi, np.float64) + np.asarray(rlo, np.float64)
+    sc = float(np.asarray(F.scale)) if hasattr(F, "scale") else float(N)
+    fac = N / sc
+
+    idx = np.nonzero(nz)[0]
+    z = np.zeros(k)
+    if len(idx):
+        z[idx] = np.linalg.solve(G[np.ix_(idx, idx)],
+                                 (r - fac * mult)[idx])
+
+    seg_j = jnp.asarray(seg_id)
+    for _ in range(3):
+        z_hi = np.asarray(z, np.float32)
+        z_lo = np.asarray(z - z_hi.astype(np.float64), np.float32)
+        whi, wlo = _tv_cert_grad(rows, offs, seg_j,
+                                 jnp.asarray(z_hi), jnp.asarray(z_lo),
+                                 c, k)
+        w_un = np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)
+        rho = -(np.eye(k)[seg_id].T @ w_un) - fac * mult
+        if len(idx):
+            z[idx] += np.linalg.solve(G[np.ix_(idx, idx)], rho[idx])
+
+    x_hat = jnp.asarray(z[seg_id], jnp.float32)
+    z_hi = np.asarray(z, np.float32)
+    z_lo = np.asarray(z - z_hi.astype(np.float64), np.float32)
+    whi, wlo = _tv_cert_grad(rows, offs, seg_j,
+                             jnp.asarray(z_hi), jnp.asarray(z_lo), c, k)
+    w = (np.asarray(whi, np.float64) + np.asarray(wlo, np.float64)) \
+        * (sc / N)
+
+    # solved-structure checks (the near-tautological equalities are
+    # enforced by the solve; these are the load-bearing ones)
+    dz = np.diff(z)
+    if k > 1 and not (np.all(np.sign(dz) == s)
+                      and np.min(np.abs(dz))
+                      > cert_rtol * np.max(np.abs(dz))):
+        return x_hat, False
+    if len(idx) and not np.all(np.sign(z[idx]) == t[idx]):
+        return x_hat, False
+
+    # forward interval propagation for the joint (u, v) feasibility
+    eps1 = cert_rtol * lam1
+    eps2 = cert_rtol * lam2
+    lo = hi = 0.0                 # v_{-1} = 0 (virtual)
+    jump_set = set(J.tolist())
+    x_seg_nz = nz[seg_id]
+    t_coord = t[seg_id]
+    ok = True
+    for i in range(n):
+        wi = w[i]
+        if x_seg_nz[i]:
+            lo = lo + wi + lam1 * t_coord[i] - eps1
+            hi = hi + wi + lam1 * t_coord[i] + eps1
+        else:
+            lo = lo + wi - lam1 - eps1
+            hi = hi + wi + lam1 + eps1
+        if i < n - 1:
+            if i in jump_set:
+                pin = lam2 * s[np.searchsorted(J, i)]
+                lo2, hi2 = (max(lo, pin - eps2), min(hi, pin + eps2))
+            else:
+                lo2, hi2 = max(lo, -lam2 - eps2), min(hi, lam2 + eps2)
+        else:
+            lo2, hi2 = max(lo, -eps2), min(hi, eps2)   # v_{n-1} = 0
+        if lo2 > hi2:
+            ok = False
+            break
+        lo, hi = lo2, hi2
+    return x_hat, ok

@@ -473,3 +473,74 @@ def make_fused_lasso_planted(N=4096, n=256, jumps=None, lam=1.0, rho=5.0,
         A=A, b=b, lam=float(lam), x_star=x_star, v_star=v,
         f_star=f_star, L=L,
     )
+
+
+class PlantedThreeTermProblem(NamedTuple):
+    """Any-scale THREE-TERM fused lasso with a closed-form optimum:
+    ½‖Ax−b‖² + λ₁‖x‖₁ + λ₂‖Dx‖₁ (sparse AND piecewise-constant)."""
+
+    A: np.ndarray
+    b: np.ndarray
+    lam1: float          # ℓ1 weight on x
+    lam2: float          # ℓ1 weight on Dx
+    x_star: np.ndarray   # piecewise constant WITH exact-zero segments
+    u_star: np.ndarray   # (n,) ℓ1 dual, |u| ≤ λ₁, interior on zeros
+    v_star: np.ndarray   # (n-1,) TV dual, |v| ≤ λ₂, interior off-jump
+    f_star: float
+    L: np.ndarray
+
+    def cost(self, x) -> float:
+        x = np.asarray(x, np.float64)
+        r = self.A @ x - self.b
+        return float(0.5 * np.dot(r, r) + self.lam1 * np.sum(np.abs(x))
+                     + self.lam2 * np.sum(np.abs(np.diff(x))))
+
+
+def make_three_term_planted(N=4096, n=256, jumps=None, lam1=0.5, lam2=1.0,
+                            rho=5.0, seed=0):
+    """Plant the exact optimum of the THREE-TERM objective by the same
+    rank-1 dual correction as :func:`make_fused_lasso_planted`, with
+    TWO multipliers: stationarity needs ``Aᵀy* = u + Dᵀv`` where
+    u ∈ λ₁∂‖x*‖₁ (λ₁·sign on the support, interior ≤ 0.6λ₁ on the
+    zero segments) and v ∈ λ₂∂‖Dx*‖₁ (λ₂·sign at jumps, interior
+    ≤ 0.6λ₂ on flat runs). Every third segment is pinned EXACTLY zero
+    so both structures are non-trivial. Everything f64;
+    f* = ½ + λ₁‖x*‖₁ + λ₂‖Dx*‖₁ exactly."""
+    if jumps is None:
+        jumps = max(3, n // 32)
+    assert 3 <= jumps + 1 <= n
+    rng = np.random.default_rng(seed)
+
+    bounds = np.sort(rng.choice(np.arange(1, n), size=jumps, replace=False))
+    widths = np.diff(np.concatenate(([0], bounds, [n])))
+    levels = rho * (0.5 + rng.random(jumps + 1)) * \
+        (-1.0) ** np.arange(jumps + 1)
+    levels[::3] = 0.0                       # exact-zero segments
+    # a zero level between same-sign neighbors still jumps; but two
+    # ADJACENT zeros would merge — the ::3 pattern never does that
+    x_star = np.repeat(levels, widths)
+
+    d = np.diff(x_star)
+    v = rng.uniform(-0.6, 0.6, n - 1) * lam2
+    jm = d != 0
+    v[jm] = lam2 * np.sign(d[jm])
+    u = np.where(x_star != 0, lam1 * np.sign(x_star),
+                 rng.uniform(-0.6, 0.6, n) * lam1)
+
+    Dt_v = np.zeros(n)
+    Dt_v[:-1] -= v
+    Dt_v[1:] += v
+
+    y = rng.standard_normal(N)
+    y /= np.linalg.norm(y)
+    C = rng.uniform(-1.0, 1.0, (N, n))
+    A = C + np.outer(y, u + Dt_v - C.T @ y)   # Aᵀy* = u + Dᵀv exactly
+    b = A @ x_star + y
+
+    f_star = (0.5 + lam1 * float(np.sum(np.abs(x_star)))
+              + lam2 * float(np.sum(np.abs(d))))
+    L = np.sum(A * A, axis=1) * N
+    return PlantedThreeTermProblem(
+        A=A, b=b, lam1=float(lam1), lam2=float(lam2), x_star=x_star,
+        u_star=u, v_star=v, f_star=f_star, L=L,
+    )

@@ -25,6 +25,14 @@ from ciao_tpu.solvers.deep_pd import pd_run_compensated
 from ciao_tpu.utils import make_fused_lasso_planted
 
 
+def _oracle_A(A, b, dtype=jnp.float32):
+    N = A.shape[0]
+    return LeastSquaresRows(
+        A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype),
+        scale=jnp.asarray(float(N), dtype),
+    )
+
+
 def _oracle(p, dtype=jnp.float32):
     N = p.A.shape[0]
     return LeastSquaresRows(
@@ -250,3 +258,105 @@ def test_tv_refine_certificate_soundness_under_corruption():
     _, certified, _ = tv_refine(F, jnp.asarray(xs, jnp.float32),
                                 p.lam, chunk=1024)
     assert certified
+
+
+# ---------------------------------------------------------------------------
+# three-term fused lasso (λ₁‖x‖₁ + λ₂‖Dx‖₁, round 5 late)
+# ---------------------------------------------------------------------------
+
+def test_three_term_construction_is_exact():
+    from ciao_tpu.utils import make_three_term_planted
+
+    N, n = 2048, 128
+    p = make_three_term_planted(N=N, n=n, jumps=6, seed=0)
+    Dt_v = np.zeros(n)
+    Dt_v[:-1] -= p.v_star
+    Dt_v[1:] += p.v_star
+    kkt = p.A.T @ (p.A @ p.x_star - p.b) + p.u_star + Dt_v
+    assert np.max(np.abs(kkt)) < 1e-10
+    assert abs(p.cost(p.x_star) - p.f_star) < 1e-10
+    assert np.sum(p.x_star == 0) > n // 4        # material sparsity
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        assert p.cost(p.x_star + 1e-3 * rng.standard_normal(n)) > p.f_star
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_deep_solve_pd_three_term_certified(seed):
+    """The FULL three-term objective to certified accuracy: both
+    structures exact in f32 (zero segments exactly zero, flat runs
+    exactly flat), rel ≤ 1e-9 vs the planted f64 optimum."""
+    from ciao_tpu.utils import make_three_term_planted
+
+    N, n = 8192, 256
+    p = make_three_term_planted(N=N, n=n, jumps=9, seed=seed)
+    F = _oracle_A(p.A, p.b)
+    x, info = deep_solve_pd(
+        jnp.zeros(n, jnp.float32), F,
+        g=NormL1(lam=jnp.asarray(p.lam1, jnp.float32)),
+        h=NormL1(lam=jnp.asarray(p.lam2, jnp.float32)),
+        K=FirstDifference(), N=N,
+        chunk=1024, chunk_steps=512, max_steps=32768)
+    rel = (p.cost(np.asarray(x)) - p.f_star) / abs(p.f_star)
+    assert info.refined and info.certified
+    assert 0 <= rel < 1e-9
+    xn = np.asarray(x, np.float64)
+    assert np.all(xn[p.x_star == 0] == 0.0)
+    d = np.abs(np.diff(xn))
+    assert np.all(d[np.abs(np.diff(p.x_star)) == 0] == 0.0)
+
+
+def test_tv_refine3_reduces_to_two_term_at_lam1_zero():
+    """λ₁ = 0 degenerates tv_refine3's interval certificate to the
+    exact cumsum of tv_refine: same decision and same point on the
+    two-term planted instance."""
+    from ciao_tpu import tv_refine3
+
+    N, n = 4096, 128
+    p = make_fused_lasso_planted(N=N, n=n, jumps=6, seed=4)
+    F = _oracle(p)
+    x_good = jnp.asarray(p.x_star, jnp.float32)
+    xh2, cert2, _ = tv_refine(F, x_good, p.lam, chunk=1024)
+    xh3, cert3 = tv_refine3(F, x_good, 0.0, p.lam, chunk=1024)
+    assert cert2 and cert3
+    np.testing.assert_allclose(np.asarray(xh3), np.asarray(xh2),
+                               rtol=0, atol=2e-6)
+
+
+def test_tv_refine3_soundness_under_corruption():
+    """Corrupted structures must fail the three-term certificate:
+    a zeroed-out true nonzero segment, and an un-zeroed true zero
+    segment (both change the ℓ1 pattern the reduced solve assumes)."""
+    from ciao_tpu import tv_refine3
+    from ciao_tpu.utils import make_three_term_planted
+
+    N, n = 4096, 128
+    p = make_three_term_planted(N=N, n=n, jumps=6, seed=3)
+    F = _oracle_A(p.A, p.b)
+    xs = p.x_star.copy()
+    seg_lvls = np.unique(np.cumsum(np.concatenate(
+        ([0], (np.diff(xs) != 0).astype(int)))))
+    del seg_lvls  # segment bookkeeping below uses masks directly
+
+    nz_mask = xs != 0
+    x_zeroed = xs.copy()
+    # zero out the first nonzero segment entirely
+    first_nz = np.nonzero(nz_mask)[0][0]
+    lvl = xs[first_nz]
+    x_zeroed[xs == lvl] = 0.0
+    x_unzeroed = xs.copy()
+    first_z = np.nonzero(~nz_mask)[0][0]
+    zlvl_mask = (xs == 0)
+    # lift the first zero segment to a visible level
+    seg_end = first_z
+    while seg_end < n and zlvl_mask[seg_end]:
+        seg_end += 1
+    x_unzeroed[first_z:seg_end] = 3.0
+
+    for x_bad in (x_zeroed, x_unzeroed):
+        _, cert = tv_refine3(F, jnp.asarray(x_bad, jnp.float32),
+                             p.lam1, p.lam2, chunk=1024)
+        assert not cert
+    _, cert = tv_refine3(F, jnp.asarray(xs, jnp.float32),
+                         p.lam1, p.lam2, chunk=1024)
+    assert cert
