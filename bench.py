@@ -1215,6 +1215,48 @@ def bench_pd_deep(Nb=262_144, nb=1_024, jumps=16):
         f"{info.refined} certified={info.certified}, "
         f"~{dt / max(info.steps, 1) * 1e3:.2f} ms/step incl. compile)")
 
+    # THREE-TERM leg (round 5 late): λ₁‖x‖₁ + λ₂‖Dx‖₁ via tv_refine3's
+    # interval-propagation certificate — same device-assembled plant
+    # with the two-multiplier correction Aᵀy* = u + Dᵀv
+    from ciao_tpu.utils import make_three_term_planted
+
+    p3 = make_three_term_planted(N=8, n=nb, jumps=jumps, seed=0)
+    Dt_v3 = np.zeros(nb)
+    Dt_v3[:-1] -= p3.v_star
+    Dt_v3[1:] += p3.v_star
+    corr3 = jnp.asarray(p3.u_star + Dt_v3, jnp.float32)
+    A3, b3, y3 = build(jax.random.PRNGKey(1),
+                       jnp.asarray(p3.x_star, jnp.float32), corr3, Nb, nb)
+    A3.block_until_ready()
+    F3 = LeastSquaresRows(A=A3, b=b3,
+                          scale=jnp.asarray(float(Nb), jnp.float32))
+    t0 = time.perf_counter()
+    x3, i3 = deep_solve_pd(
+        jnp.zeros(nb, jnp.float32), F3,
+        g=NormL1(lam=jnp.asarray(p3.lam1, jnp.float32)),
+        h=NormL1(lam=jnp.asarray(p3.lam2, jnp.float32)),
+        K=FirstDifference(), N=Nb,
+        chunk=4096, chunk_steps=256, max_steps=8192)
+    _sync = float(x3[0])  # noqa: F841
+    dt3 = time.perf_counter() - t0
+    d64 = np.asarray(x3, np.float64) - p3.x_star
+    d_hi = np.asarray(d64, np.float32)
+    d_lo = np.asarray(d64 - d_hi.astype(np.float64), np.float32)
+    gap_q3 = float(quad_gap(A3, y3, jnp.asarray(d_hi),
+                            jnp.asarray(d_lo), 4096))
+    x3_64 = np.asarray(x3, np.float64)
+    gap_ns = (p3.lam1 * (np.sum(np.abs(x3_64))
+                         - np.sum(np.abs(p3.x_star)))
+              + p3.lam2 * (np.sum(np.abs(np.diff(x3_64)))
+                           - np.sum(np.abs(np.diff(p3.x_star)))))
+    f3 = (0.5 + p3.lam1 * np.sum(np.abs(p3.x_star))
+          + p3.lam2 * np.sum(np.abs(np.diff(p3.x_star))))
+    rel3 = (gap_q3 + gap_ns) / f3
+    log(f"pd deep three-term {Nb}x{nb} [f32 CondatVu+tv_refine3]: rel "
+        f"{rel3:.2e} in {dt3:.1f}s ({i3.steps} CV steps, "
+        f"certified={i3.certified}; zeros exact="
+        f"{bool(np.all(x3_64[p3.x_star == 0] == 0.0))})")
+
 
 def bench_sparse_e2e(Np=131_072, n_feat=16_384, hot=512, k_hot=24,
                      k_cold=8, p_supp=64, B=2_048, max_chunks=56):
