@@ -325,3 +325,106 @@ def deep_solve_pd_dp(
         if dx <= plateau_rtol:
             break
     return state.x, info
+
+
+def deep_solve_pd_tp(
+    x0,
+    F,
+    g=None,
+    h=None,
+    K=None,
+    L=None,
+    N: Optional[int] = None,
+    *,
+    mesh,
+    tau: Optional[float] = None,
+    sigma: Optional[float] = None,
+    chunk_steps: int = 256,
+    max_steps: int = 8192,
+    refine_try_rtol: float = 3e-5,
+    plateau_rtol: float = 5e-8,
+    refine_chunk: int = 32_768,
+    power_iters: int = 12,
+    seed: int = 0,
+):
+    """The PRIMAL-DUAL deep route on a ("data", "model") mesh —
+    :class:`TPCondatVu` (stencil K, one scalar halo per neighbor per
+    apply) run in chunks to IDENTIFICATION, then the certified
+    :func:`ciao_tpu.tv_refine` / :func:`tv_refine3` reduced solve on
+    the 2-D-sharded oracle (plain jits — XLA auto-partitions the
+    segment-Gram scan and inserts the collectives). Identification
+    does not need a compensated gradient (the reduced solve does the
+    deep part — unlike the finite-sum plans, the stochastic stage's
+    gradient noise never bounds the final accuracy here), so the plain
+    TP step body is used as-is.
+
+    ``F`` must be sharded with ``shard_finite_sum_2d`` (dense f32
+    rows); ``g``/``h`` separable (the TPCondatVu contract). Returns
+    ``(x, DeepPDInfo)``."""
+    from ciao_tpu.oracles import LeastSquaresRows
+    from ciao_tpu.ops.linmap import FirstDifference, IdentityMap
+    from ciao_tpu.parallel.mesh import MODEL_AXIS
+    from ciao_tpu.parallel.tp import TPCondatVu
+    from ciao_tpu.prox import NormL1, Zero
+    from ciao_tpu.solvers.deep_pd import DeepPDInfo, tv_refine, tv_refine3
+
+    if MODEL_AXIS not in getattr(mesh, "shape", {}):
+        raise ValueError("deep_solve_pd_tp needs a ('data','model') mesh")
+    if N is None:
+        N = F.num_terms
+    x0j = jnp.asarray(x0)
+
+    lam_hat = None
+    if tau is None:
+        lam_hat = 1.2 * float(power_lmax(
+            F, x0j.astype(jnp.float32), jax.random.PRNGKey(seed),
+            iters=power_iters))
+        Kn = K if K is not None else IdentityMap()
+        normK = float(Kn.opnorm_bound(x0j.shape[0]))
+        sigma = 1.0 / max(normK, 1e-12) if sigma is None else sigma
+        tau = 0.99 / (lam_hat / 2.0 + sigma * normK * normK)
+
+    solver = TPCondatVu(mesh=mesh, tau=tau, sigma=sigma)
+    x0r, Fd, gh, init, _, run, _ = solver._setup(x0j, F, g, h, K, L, N)
+    g_r, h_r = gh
+    state = init()
+
+    lsq = isinstance(Fd, LeastSquaresRows)
+    fd_k = isinstance(K, FirstDifference)
+    tv_shape = lsq and fd_k and isinstance(g_r, Zero) \
+        and isinstance(h_r, NormL1)
+    three_term = lsq and fd_k and isinstance(g_r, NormL1) \
+        and isinstance(h_r, NormL1)
+    gchunk = _largest_divisor_leq(N, refine_chunk)
+
+    dx_rels: List[float] = []
+    steps = 0
+    info = DeepPDInfo(steps=0, dx_rels=dx_rels, lam_hat=lam_hat,
+                      tau=float(tau), sigma=float(sigma))
+    for _ in range(max(1, max_steps // chunk_steps)):
+        x_prev = state.x
+        state = run(state, chunk_steps)
+        steps += chunk_steps
+        info.steps = steps
+        dx = float(jnp.linalg.norm(state.x - x_prev)
+                   / jnp.maximum(jnp.linalg.norm(state.x), 1e-30))
+        dx_rels.append(dx)
+        if (tv_shape or three_term) and dx <= refine_try_rtol:
+            d_np = jnp.abs(jnp.diff(state.x))
+            n_jumps = int(jnp.sum(d_np > 1e-3 * jnp.max(d_np)))
+            if 4 * n_jumps <= state.x.shape[0]:
+                if three_term:
+                    x_hat, certified = tv_refine3(
+                        Fd, state.x, float(jnp.asarray(g_r.lam)),
+                        float(jnp.asarray(h_r.lam)), chunk=gchunk)
+                else:
+                    x_hat, certified, _ = tv_refine(
+                        Fd, state.x, float(jnp.asarray(h_r.lam)),
+                        chunk=gchunk)
+                info.certified = certified
+                if certified:
+                    info.refined = True
+                    return x_hat, info
+        if dx <= plateau_rtol:
+            break
+    return state.x, info

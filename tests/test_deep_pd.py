@@ -360,3 +360,30 @@ def test_tv_refine3_soundness_under_corruption():
     _, cert = tv_refine3(F, jnp.asarray(xs, jnp.float32),
                          p.lam1, p.lam2, chunk=1024)
     assert cert
+
+
+def test_deep_solve_pd_tp_certified_on_2d_mesh():
+    """The primal-dual deep route on the ("data","model") mesh
+    (`parallel.deep_solve_pd_tp`): TPCondatVu (scalar-halo stencil) to
+    identification + the certified reduced solve on the 2-D-sharded
+    oracle — same accuracy contract as single-chip/DP, covering the
+    three-term objective."""
+    from ciao_tpu.parallel import deep_solve_pd_tp, make_mesh_2d, \
+        shard_finite_sum_2d
+    from ciao_tpu.utils import make_three_term_planted
+
+    N, n = 8192, 256
+    p = make_three_term_planted(N=N, n=n, jumps=9, seed=0)
+    mesh = make_mesh_2d(4, 2)
+    Fd = shard_finite_sum_2d(_oracle_A(p.A, p.b), mesh)
+    x, info = deep_solve_pd_tp(
+        jnp.zeros(n, jnp.float32), Fd,
+        g=NormL1(lam=jnp.asarray(p.lam1, jnp.float32)),
+        h=NormL1(lam=jnp.asarray(p.lam2, jnp.float32)),
+        K=FirstDifference(), N=N, mesh=mesh,
+        chunk_steps=512, max_steps=16384, refine_chunk=1024)
+    rel = (p.cost(np.asarray(x)) - p.f_star) / abs(p.f_star)
+    assert info.refined and info.certified
+    assert 0 <= rel < 1e-8
+    xn = np.asarray(x, np.float64)
+    assert np.all(xn[p.x_star == 0] == 0.0)
