@@ -56,3 +56,7 @@ def test_example_deep_accuracy_small():
 
 def test_example_fused_lasso_tv_small():
     _load("fused_lasso_tv").main(small=True)
+
+
+def test_example_tv_denoise_2d_small():
+    _load("tv_denoise_2d").main(small=True)
